@@ -1,0 +1,56 @@
+"""Benchmark harness: runs the headline suite queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Queries are executed via `.write.format("noop")` so the full plan runs
+(no collect bottleneck, no driver materialization) — the same way a
+cluster job would be measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from ergo_uexplorer_spark.session import get_spark
+from ergo_uexplorer_spark.suite import REGISTRY
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("uexplorer-bench")
+
+    names = [n for n, qd in sorted(REGISTRY.items()) if qd.bench]
+    # warm the JVM/codegen path once with the cheapest query
+    REGISTRY[names[0]].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

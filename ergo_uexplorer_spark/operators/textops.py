@@ -1,0 +1,118 @@
+"""Text-analysis operators for a training-data pipeline: tokenization,
+portable hashing, language-ID, quality scoring, fingerprinting.
+
+Everything is built from JVM-side `pyspark.sql.functions` (no Python UDFs
+in the hot path) so whole-stage codegen applies. The hash primitive is
+`md5 → first 15 hex digits → bigint`, chosen because it is bit-identical
+in DuckDB (`('0x'||substr(md5(s),1,15))::BIGINT`), Spark
+(`conv(substr(md5(s),1,15),16,10)`), and any other engine with md5 — which
+makes every downstream sketch (minhash/simhash) oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# DuckDB SQL fragments mirroring the Column builders below — the suite
+# composes oracle SQL out of these so both sides share one definition.
+SQL_TOKENS = (
+    "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+)
+SQL_HASH = "(('0x' || substr(md5({col}), 1, 15))::BIGINT)"
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased word tokens, empties dropped."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda x: x != F.lit(""))
+
+
+def portable_hash(col: Column) -> Column:
+    """60-bit non-negative hash, identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token array (empty when < n tokens)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - n),
+        lambda i: F.concat_ws(" ", *[F.get(tok, i + d) for d in range(n)]),
+    )
+    return F.when(F.size(tok) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def sql_shingles(n: int = 3) -> str:
+    """DuckDB mirror of `shingles` over a list column named `t`
+    (1-indexed lists; `range` end-exclusive ⇒ empty list when len < n)."""
+    parts = " || ' ' || ".join(f"t[i+{d}]" for d in range(n))
+    return f"list_transform(range(1, len(t) - {n - 2}), i -> {parts})"
+
+
+# ---------------------------------------------------------------------------
+# language ID: stopword-hit scoring over literal per-language lists.
+# Heuristic (the reference has no NLP; this is the LLM-pipeline extension).
+# ---------------------------------------------------------------------------
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr": ("le", "de", "un", "et", "la", "les", "des", "en", "du", "une"),
+    "de": ("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "ist"),
+    "zh": ("de", "shi", "le", "zai", "he", "you", "wo", "ta", "men", "zhe"),
+}
+LANG_ORDER = ("en", "es", "fr", "de", "zh")  # deterministic tie priority
+
+
+def lang_scores(tok_distinct: Column) -> dict[str, Column]:
+    """Per-language stopword-intersection sizes over distinct tokens."""
+    return {
+        lang: F.size(
+            F.array_intersect(tok_distinct, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_pred(scores: dict[str, Column]) -> Column:
+    """argmax with LANG_ORDER tie priority, as a CASE chain (portable)."""
+    expr = F.lit(LANG_ORDER[-1])
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = [l for l in LANG_ORDER if LANG_ORDER.index(l) > LANG_ORDER.index(lang)]
+        cond = None
+        for o in later:
+            c = scores[lang] >= scores[o]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def sql_lang_pred(toks_expr: str) -> str:
+    """DuckDB mirror of lang_scores+lang_pred over `tok` (distinct list)."""
+    score = {
+        lang: f"len(list_intersect({toks_expr}, {list(words)}))"
+        for lang, words in STOPWORDS.items()
+    }
+    case = f"'{LANG_ORDER[-1]}'"
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = [l for l in LANG_ORDER if LANG_ORDER.index(l) > LANG_ORDER.index(lang)]
+        cond = " AND ".join(f"{score[lang]} >= {score[o]}" for o in later)
+        case = f"CASE WHEN {cond} THEN '{lang}' ELSE {case} END"
+    return case
+
+
+PUNCT_RE = "[.,!?;:]"
+
+
+def punct_count(col: Column) -> Column:
+    return (
+        F.length(col) - F.length(F.regexp_replace(col, PUNCT_RE, ""))
+    ).cast("bigint")
+
+
+def fingerprint(tok: Column) -> Column:
+    """Order/multiplicity-insensitive document fingerprint: md5 over the
+    sorted distinct token set (classic near-dup canonicalization)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tok))))

@@ -1,0 +1,8 @@
+"""Suite registry: import all suite modules so their @register calls run."""
+
+from .base import REGISTRY, QueryDef  # noqa: F401
+from . import relational  # noqa: F401
+from . import windows  # noqa: F401
+from . import dedup  # noqa: F401
+from . import similarity  # noqa: F401
+from . import textops  # noqa: F401

@@ -1,0 +1,163 @@
+"""Dedup operator surface bound to the `documents` table, with DuckDB
+oracles generated from the SAME constants as the Spark implementation
+(operators/dedup.py) — algorithm drift between engine and oracle is
+structurally impossible."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators.textops import SQL_HASH
+from .base import load, register
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_SHINGLES = "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+
+_SHINGLE_CTE = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh0 AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
+    sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+    ncount AS (SELECT doc_id, count(*) AS nn FROM sh GROUP BY doc_id)
+"""
+
+_JACCARD_TAIL = """
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared, x.nn AS na, y.nn AS nb
+    FROM pairs
+    JOIN ncount x ON doc_a = x.doc_id
+    JOIN ncount y ON doc_b = y.doc_id
+    WHERE {den} * shared >= {num} * (x.nn + y.nn - shared)
+"""
+
+
+# --------------------------------------------------------------------------
+# exact dedup: hash-groupBy with canonical representative
+# --------------------------------------------------------------------------
+@register(
+    "d01_dedup_exact",
+    sql="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+           min(doc_id) AS keep_id, count(*) AS n_in_group
+    FROM documents
+    GROUP BY 1
+    """,
+    survey_ref="LLM-pipeline: exact dedup (hash-groupBy)",
+    tags=("dedup", "agg"),
+    bench=True,
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return D.exact_dup_groups(docs)
+
+
+# --------------------------------------------------------------------------
+# all-pairs n-gram Jaccard ≥ 0.8 (quadratic baseline)
+# --------------------------------------------------------------------------
+@register(
+    "d02_dedup_ngram_jaccard",
+    sql="WITH " + _SHINGLE_CTE + "," + _JACCARD_TAIL.format(num=4, den=5),
+    survey_ref="LLM-pipeline: n-gram Jaccard near-dup",
+    tags=("dedup", "join"),
+)
+def d02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return D.jaccard_pairs(D.shingle_sets(docs), num=4, den=5)
+
+
+# --------------------------------------------------------------------------
+# MinHash + banded LSH + exact verification (the scale path)
+# --------------------------------------------------------------------------
+def _minhash_sql() -> str:
+    mh_cols = ", ".join(
+        f"min(({D.MINHASH_A[i]} * hm + {D.MINHASH_B[i]}) % {D.MINHASH_PRIME}) AS mh{i}"
+        for i in range(D.NUM_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('-', {cols}) AS bsig FROM sig".format(
+            b=bi,
+            cols=", ".join(
+                f"mh{bi * D.LSH_ROWS + r}" for r in range(D.LSH_ROWS)
+            ),
+        )
+        for bi in range(D.LSH_BANDS)
+    )
+    return (
+        "WITH "
+        + _SHINGLE_CTE
+        + f""",
+    hm AS (SELECT doc_id, s, {SQL_HASH.format(col='s')} % {D.MINHASH_PRIME} AS hm FROM sh),
+    sig AS (SELECT doc_id, {mh_cols} FROM hm GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ),
+    pairs0 AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.shared, x.nn AS na, y.nn AS nb
+    FROM pairs0 p
+    JOIN cand c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+    JOIN ncount x ON p.doc_a = x.doc_id
+    JOIN ncount y ON p.doc_b = y.doc_id
+    WHERE 5 * p.shared >= 4 * (x.nn + y.nn - p.shared)
+    """
+    )
+
+
+@register(
+    "d03_dedup_minhash_lsh",
+    sql=_minhash_sql(),
+    survey_ref="LLM-pipeline: MinHash+LSH near-dup (scale path)",
+    tags=("dedup", "sketch", "join"),
+    bench=True,
+)
+def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, num=4, den=5)
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs
+# --------------------------------------------------------------------------
+_SIMHASH_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tok0 AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    tok AS (SELECT DISTINCT doc_id, w FROM tok0),
+    h AS (SELECT doc_id, {SQL_HASH.format(col='w')} % {D.SIMHASH_MOD} AS hm FROM tok),
+    bits AS (SELECT unnest(range(0, {D.SIMHASH_BITS})) AS j),
+    contrib AS (
+      SELECT doc_id, j, (1::BIGINT << j) AS pw,
+             CASE WHEN (hm // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+      FROM h CROSS JOIN bits
+    ),
+    per_bit AS (SELECT doc_id, j, pw, sum(sgn) AS s FROM contrib GROUP BY 1, 2, 3),
+    sig AS (
+      SELECT doc_id, sum(CASE WHEN s > 0 THEN pw ELSE 0 END) AS simhash
+      FROM per_bit GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register(
+    "d04_dedup_simhash",
+    sql=_SIMHASH_SQL,
+    survey_ref="LLM-pipeline: SimHash near-dup",
+    tags=("dedup", "sketch"),
+)
+def d04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return D.simhash_pairs(D.simhash(docs), max_hamming=3)

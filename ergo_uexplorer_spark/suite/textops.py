@@ -1,0 +1,132 @@
+"""Text-analysis surface bound to the `documents` table: token stats,
+quality scoring, language-ID, fingerprinting. Integer/string outputs only
+— no float drift possible."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import textops as T
+from .base import load, register
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+# --------------------------------------------------------------------------
+# token counting
+# --------------------------------------------------------------------------
+@register(
+    "x01_token_stats",
+    sql=f"""
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_distinct,
+           length(text) AS n_chars
+    FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+    """,
+    survey_ref="LLM-pipeline: token counting",
+    tags=("text",),
+    bench=True,
+)
+def x01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    tok = T.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_distinct"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quality scoring: length / punctuation / stopword-ratio signals as exact
+# integers + an integer-rule quality flag
+# --------------------------------------------------------------------------
+_EN_STOP = list(T.STOPWORDS["en"])
+
+
+@register(
+    "x02_quality_score",
+    sql=f"""
+    SELECT doc_id, n_tokens, total_token_chars, n_punct, n_stop,
+           (n_tokens >= 10 AND n_stop * 20 >= n_tokens) AS is_quality
+    FROM (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT)
+               AS total_token_chars,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT)
+               AS n_punct,
+             len(list_filter(t, x -> list_contains({_EN_STOP}, x))) AS n_stop
+      FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+    )
+    """,
+    survey_ref="LLM-pipeline: quality scoring",
+    tags=("text",),
+)
+def x02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    tok = T.tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in _EN_STOP])
+    base = docs.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.coalesce(
+            F.aggregate(
+                T.tokens(F.col("text")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.length(x),
+            ),
+            F.lit(0),
+        ).alias("total_token_chars"),
+        T.punct_count(F.col("text")).alias("n_punct"),
+        F.size(F.filter(tok, lambda x: F.array_contains(stop_arr, x))).alias(
+            "n_stop"
+        ),
+    )
+    return base.withColumn(
+        "is_quality",
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_stop") * 20 >= F.col("n_tokens")),
+    )
+
+
+# --------------------------------------------------------------------------
+# language ID: stopword-hit argmax over literal per-language lists
+# --------------------------------------------------------------------------
+@register(
+    "x03_lang_id",
+    sql=f"""
+    SELECT doc_id, {T.sql_lang_pred("td")} AS lang_pred
+    FROM (SELECT doc_id, list_distinct({_TOKS}) AS td FROM documents)
+    """,
+    survey_ref="LLM-pipeline: language ID heuristic",
+    tags=("text",),
+)
+def x03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    td = F.array_distinct(T.tokens(F.col("text")))
+    scores = T.lang_scores(td)
+    return docs.select("doc_id", T.lang_pred(scores).alias("lang_pred"))
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting: md5 over sorted distinct token set
+# --------------------------------------------------------------------------
+@register(
+    "x04_fingerprint",
+    sql=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+    FROM documents
+    """,
+    survey_ref="LLM-pipeline: document fingerprinting",
+    tags=("text",),
+)
+def x04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.fingerprint(T.tokens(F.col("text"))).alias("fp")
+    )
