@@ -1,0 +1,325 @@
+"""Deterministic synthetic chain generator (FIXTURES.md shapes).
+
+Mirrors the reference's recorded-chain test backbone
+(modules/node-pool/src/test/resources/blocks/*.gz replayed by
+StreamSchedulerSpec.scala:30-57) with synthetic blocks that preserve the
+structural invariants the ingest logic depends on:
+
+  1. chain linkage: parentId(h) == id(h-1); height-1 parent is the
+     all-zero genesis id (Const.scala:17);
+  2. UTXO discipline: every input spends an output of a strictly earlier
+     block, at most once globally (MvStorage.scala:132-147);
+  3. coinbase last (FullBlockBuilder.scala:86-88): spends the previous
+     emission box, re-creates it, pays the miner, and collects the block
+     fee into the designated fee contract (RewardCalculator.scala:45-49);
+  4. token mints: asset.tokenId == inputs[0].boxId with EIP-4 R4/R5/R6
+     (OutputBuilder.scala:21-26, TokenPropsParser.scala:14-19);
+  5. skew: one exchange tree collects >supernode-threshold outputs and
+     one hot token appears in many boxes (SuperNodeCounter.scala:19);
+  6. tree variety: ~90% P2PK (no T8), ~10% contract trees with an
+     extractable template, a few malformed (ErgoTreeParser.scala:87-90);
+  7. registers: absent / Coll[Byte] / SInt / SigmaProp / undecodable.
+
+Fork variants share a prefix and diverge for the last K heights
+(shorter K=2, longer K=4 and one block taller), matching the
+forks_shorter/forks_longer replay fixtures.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import json
+import random
+
+GENESIS_ID = "0" * 64
+# pseudo genesis boxes, excluded from UTXO existence checks like the
+# reference's Emission/Foundation input boxes (backend/PersistentRepo.scala:28-31)
+GENESIS_EMISSION_BOX = "e" * 64
+GENESIS_BOXES = frozenset({GENESIS_EMISSION_BOX, "f" * 64})
+
+# designated contract trees (synthetic hexes; roles mirror Const.Protocol)
+FEE_TREE = "1005040004000e36100204a7b1"  # fee contract (fee aggregation target)
+EMISSION_TREE = "101004020e368cc7a7017300"  # emission contract
+EXCHANGE_PK = "03" + "ab" * 32  # the planted supernode address
+NANO = 1_000_000_000
+
+
+def _hex(tag: str, n: int = 32) -> str:
+    return hashlib.sha256(tag.encode()).hexdigest()[: n * 2]
+
+
+def p2pk_tree(pk: str) -> str:
+    """P2PK ErgoTree: header 0008cd + 33-byte compressed point hex."""
+    return "0008cd" + pk
+
+
+def contract_tree(seed: str, n_consts: int = 2) -> str:
+    """Synthetic contract tree with an extractable template: header '19',
+    1-byte constant count, 4-byte constants, then the template body."""
+    consts = "".join(_hex(f"const-{seed}-{i}", 4) for i in range(n_consts))
+    body = _hex(f"body-{seed}", 16)
+    return "19" + f"{n_consts:02x}" + consts + body
+
+
+class ChainGen:
+    """Deterministic chain builder; `variant` seeds forked branches."""
+
+    def __init__(self, seed: int = 42):
+        self.rng = random.Random(seed)
+        self.unspent: list[tuple[str, int]] = []  # (boxId, value) pool
+        self.minted_tokens: list[str] = []
+        self.hot_token = _hex("hot-token")
+        self.blocks: list[dict] = []
+        self.emission_box = GENESIS_EMISSION_BOX
+        # address pool with a long tail + the exchange supernode
+        self.pks = [_hex(f"pk-{i}", 33) for i in range(190)]
+
+    # -- tree selection (FIXTURES §1 invariant 6) ---------------------------
+    def _pick_tree(self) -> str:
+        r = self.rng.random()
+        if r < 0.30:
+            return p2pk_tree(EXCHANGE_PK)  # skew: exchange hot address
+        if r < 0.88:
+            return p2pk_tree("02" + self.rng.choice(self.pks)[:64])
+        if r < 0.98:
+            return contract_tree(f"c{self.rng.randrange(20)}")
+        return "zz-malformed-" + _hex("bad", 4)  # fallback-address path
+
+    def _registers(self, mint_props: dict | None = None) -> dict:
+        regs = {}
+        if mint_props:
+            regs["R4"] = mint_props["name"].encode().hex()
+            regs["R5"] = mint_props["desc"].encode().hex()
+            regs["R6"] = f"{mint_props['decimals']:02x}"
+        else:
+            r = self.rng.random()
+            if r < 0.3:
+                regs["R4"] = "0e20" + _hex(f"r4-{self.rng.random()}")  # Coll[Byte]
+            elif r < 0.4:
+                regs["R5"] = "04" + f"{self.rng.randrange(256):02x}"  # SInt-ish
+            elif r < 0.45:
+                regs["R7"] = "xx" + _hex("undecodable", 3)  # undecodable blob
+        return regs
+
+    def _assets(self, tx_first_input: str, mint: bool) -> tuple[list, dict | None]:
+        assets, props = [], None
+        if mint:
+            props = {
+                "name": f"TOK{len(self.minted_tokens)}",
+                "desc": "synthetic eip4 token",
+                "decimals": self.rng.randrange(0, 9),
+            }
+            assets.append(
+                {"tokenId": tx_first_input, "amount": self.rng.randrange(1, 10**6)}
+            )
+            self.minted_tokens.append(tx_first_input)
+        if self.rng.random() < 0.35:
+            assets.append(
+                {"tokenId": self.hot_token, "amount": self.rng.randrange(1, 1000)}
+            )
+        if self.minted_tokens and self.rng.random() < 0.2:
+            assets.append(
+                {
+                    "tokenId": self.rng.choice(self.minted_tokens),
+                    "amount": self.rng.randrange(1, 500),
+                }
+            )
+        return assets, props
+
+    def _tx(self, height: int, txi: int, variant: str) -> dict:
+        tx_id = _hex(f"tx-{variant}-{height}-{txi}")
+        n_inputs = min(len(self.unspent), self.rng.randrange(1, 3))
+        inputs = []
+        in_value = 0
+        for _ in range(n_inputs):
+            box_id, val = self.unspent.pop(
+                self.rng.randrange(len(self.unspent))
+            )
+            in_value += val
+            inputs.append(
+                {
+                    "boxId": box_id,
+                    "spendingProof": {
+                        "proofBytes": _hex(f"proof-{tx_id}", 8),
+                        "extension": "{}",
+                    },
+                }
+            )
+        data_inputs = []
+        if self.unspent and self.rng.random() < 0.15:
+            data_inputs.append({"boxId": self.unspent[0][0]})
+
+        n_outputs = self.rng.randrange(1, 5)
+        mint = self.rng.random() < 0.05
+        fee = in_value // 100  # 1% fee, collected by coinbase
+        spendable = in_value - fee
+        outputs = []
+        exchange_tree = p2pk_tree(EXCHANGE_PK)
+        for oi in range(n_outputs):
+            box_id = _hex(f"box-{variant}-{height}-{txi}-{oi}")
+            value = spendable // n_outputs
+            assets, props = self._assets(inputs[0]["boxId"], mint and oi == 0)
+            tree = self._pick_tree()
+            outputs.append(
+                {
+                    "boxId": box_id,
+                    "value": value,
+                    "creationHeight": height,
+                    "ergoTree": tree,
+                    "assets": assets,
+                    "additionalRegisters": self._registers(props),
+                }
+            )
+            # exchange deposits accumulate (cold wallet): never re-spent,
+            # which both guarantees the supernode skew (FIXTURES §1.5) and
+            # mirrors real hot-address behavior
+            if tree != exchange_tree:
+                self.unspent.append((box_id, value))
+        return {
+            "id": tx_id,
+            "inputs": inputs,
+            "dataInputs": data_inputs,
+            "outputs": outputs,
+            "size": 300 + self.rng.randrange(700),
+        }, fee
+
+    def _coinbase(self, height: int, fees: int, miner_pk: str, variant: str) -> dict:
+        """Last tx: spends prev emission box, re-creates it, pays miner
+        reward + fee output (RewardCalculator semantics)."""
+        tx_id = _hex(f"coinbase-{variant}-{height}")
+        reward = 75 * NANO  # emission(h) in the fixture height range
+        new_emission = _hex(f"emission-{variant}-{height}")
+        outs = [
+            {
+                "boxId": new_emission,
+                "value": 10**15 - reward * height,
+                "creationHeight": height,
+                "ergoTree": EMISSION_TREE,
+                "assets": [],
+                "additionalRegisters": {},
+            },
+            {
+                "boxId": _hex(f"reward-{variant}-{height}"),
+                "value": reward,
+                "creationHeight": height,
+                "ergoTree": p2pk_tree(miner_pk),
+                "assets": [],
+                "additionalRegisters": {},
+            },
+            {
+                "boxId": _hex(f"fee-{variant}-{height}"),
+                "value": fees,
+                "creationHeight": height,
+                "ergoTree": FEE_TREE,
+                "assets": [],
+                "additionalRegisters": {},
+            },
+        ]
+        # miner reward box is spendable later; emission/fee boxes are not
+        # re-spent by the generator (keeps fee aggregation stable)
+        self.unspent.append((outs[1]["boxId"], reward))
+        prev_emission, self.emission_box = self.emission_box, new_emission
+        return {
+            "id": tx_id,
+            "inputs": [
+                {
+                    "boxId": prev_emission,
+                    "spendingProof": {"proofBytes": None, "extension": "{}"},
+                }
+            ],
+            "dataInputs": [],
+            "outputs": outs,
+            "size": 250,
+        }
+
+    def block(self, height: int, parent_id: str, variant: str = "main") -> dict:
+        miner_pk = "02" + self.rng.choice(self.pks)[:64]
+        n_txs = self.rng.randrange(1, 4) if self.unspent else 0
+        txs, fees = [], 0
+        for txi in range(n_txs):
+            if not self.unspent:
+                break
+            tx, fee = self._tx(height, txi, variant)
+            txs.append(tx)
+            fees += fee
+        txs.append(self._coinbase(height, fees, miner_pk, variant))
+        block_id = _hex(f"block-{variant}-{height}")
+        ts = 1_600_000_000_000 + height * 120_000 + self.rng.randrange(60_000)
+        return {
+            "header": {
+                "id": block_id,
+                "parentId": parent_id,
+                "version": 1,
+                "height": height,
+                "nBits": 117_849_332,
+                "difficulty": str(10**12 + height),
+                "timestamp": ts,
+                "stateRoot": _hex(f"state-{variant}-{height}", 33),
+                "adProofsRoot": _hex(f"adproof-{variant}-{height}"),
+                "transactionsRoot": _hex(f"txroot-{variant}-{height}"),
+                "extensionHash": _hex(f"ext-{variant}-{height}"),
+                "minerPk": miner_pk,
+                "w": _hex(f"w-{height}", 33),
+                "n": _hex(f"n-{height}", 8),
+                "d": str(10**20 + height),
+                "votes": "000000",
+            },
+            "transactions": txs,
+            "extension": {
+                "headerId": block_id,
+                "digest": _hex(f"digest-{height}"),
+                "fields": "[]",
+            },
+            "adProofs": None,
+            "size": sum(t["size"] for t in txs) + 280,
+        }
+
+    def generate(self, n_blocks: int) -> list[dict]:
+        parent = GENESIS_ID
+        for h in range(1, n_blocks + 1):
+            b = self.block(h, parent)
+            self.blocks.append(b)
+            parent = b["header"]["id"]
+        return self.blocks
+
+    def fork(self, diverge_at: int, extra_heights: int, variant: str) -> list[dict]:
+        """Alternative branch: shares prefix below `diverge_at`, different
+        blocks from there up to tip+extra_heights. Returns prefix+branch."""
+        prefix = [b for b in self.blocks if b["header"]["height"] < diverge_at]
+        parent = prefix[-1]["header"]["id"] if prefix else GENESIS_ID
+        # branch generator must not double-spend main-chain boxes created at
+        # >= diverge_at: rebuild pool state by replay
+        sub = ChainGen(seed=999)
+        sub.blocks = list(prefix)
+        sub.unspent = [
+            (o["boxId"], o["value"])
+            for b in prefix
+            for t in b["transactions"]
+            for o in t["outputs"]
+            if o["ergoTree"] not in (EMISSION_TREE, FEE_TREE, p2pk_tree(EXCHANGE_PK))
+        ]
+        spent = {
+            i["boxId"] for b in prefix for t in b["transactions"] for i in t["inputs"]
+        }
+        sub.unspent = [(bid, v) for bid, v in sub.unspent if bid not in spent]
+        sub.emission_box = (
+            prefix[-1]["transactions"][-1]["outputs"][0]["boxId"]
+            if prefix
+            else GENESIS_EMISSION_BOX
+        )
+        sub.minted_tokens = list(self.minted_tokens)
+        tip = max(b["header"]["height"] for b in self.blocks)
+        branch = []
+        for h in range(diverge_at, tip + extra_heights + 1):
+            b = sub.block(h, parent, variant=variant)
+            branch.append(b)
+            parent = b["header"]["id"]
+        return prefix + branch
+
+
+def write_jsonl_gz(blocks: list[dict], path: str) -> str:
+    with gzip.open(path, "wt") as f:
+        for b in blocks:
+            f.write(json.dumps(b, separators=(",", ":")) + "\n")
+    return path

@@ -3,70 +3,126 @@
 The reference computes running chain totals and global box/tx indexes by
 folding block-after-block on a single thread (BlockBuilder.scala:8-66,
 FullBlockBuilder.scala:116-144). Spark-first, these are window functions —
-but a naive `Window.orderBy(...)` with no partition key collapses the whole
-dataset into ONE task, which is exactly what dies at 100 TB. The operators
-here keep the computation distributed:
+but a naive `Window.orderBy(...)` with no partition key collapses the
+whole dataset into ONE task, which is exactly what dies at 100 TB.
 
-  * running totals partitioned by a real key (address/customer/...) use a
-    plain partitioned window — scales with key cardinality;
-  * global sequences (maxBoxGix-style) use range partitioning + per-
-    partition window + a tiny driver-side prefix-sum of partition counts
-    (the only data collected is ONE long per partition).
+`ordered_prefix` is the scale-correct building block: range-partition on
+the order key (contiguous ranges), compute row numbers / prefix sums /
+lags within each partition, then correct partition boundaries with a tiny
+driver-side prefix scan over per-partition aggregates (one row per
+partition crosses the wire). Everything else stays fully parallel.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
-_PID = "__gseq_pid"
-_LOCAL = "__gseq_local"
-_OFF = "__gseq_off"
+_PID = "__op_pid"
+
+
+def ordered_prefix(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: dict[str, str] | None = None,
+    lag_cols: dict[str, str] | None = None,
+    row_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed prefix computations over a total order.
+
+    order_cols : total order (include a unique tiebreak).
+    sum_cols   : {out_name: source_col} running (inclusive) sums — long.
+    lag_cols   : {out_name: source_col} previous row's value (null for
+                 the globally first row).
+    row_col    : optional 1-based global row number.
+
+    One extra narrow shuffle (repartitionByRange) + one tiny collect of
+    per-partition aggregates; no single-task stage at any point.
+    """
+    sum_cols = sum_cols or {}
+    lag_cols = lag_cols or {}
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+
+    aggs = [F.count(F.lit(1)).alias("__cnt")]
+    for out, src in sum_cols.items():
+        aggs.append(F.sum(F.col(src).cast("long")).alias(f"__sum_{out}"))
+    for out, src in lag_cols.items():
+        aggs.append(
+            F.max_by(F.col(src).cast("long"), F.struct(*order_cols)).alias(
+                f"__last_{out}"
+            )
+        )
+    part_stats = sorted(
+        ranged.groupBy(_PID).agg(*aggs).collect(), key=lambda r: r[_PID]
+    )
+
+    rows, acc_cnt = [], 0
+    acc_sum = {o: 0 for o in sum_cols}
+    prev_last: dict[str, int | None] = {o: None for o in lag_cols}
+    for r in part_stats:
+        rows.append(
+            (
+                r[_PID],
+                acc_cnt,
+                *[acc_sum[o] for o in sum_cols],
+                *[prev_last[o] for o in lag_cols],
+            )
+        )
+        acc_cnt += r["__cnt"]
+        for o in sum_cols:
+            acc_sum[o] += r[f"__sum_{o}"] or 0
+        for o in lag_cols:
+            if r["__cnt"]:
+                prev_last[o] = r[f"__last_{o}"]
+    fields = [StructField(_PID, LongType()), StructField("__off_cnt", LongType())]
+    fields += [StructField(f"__off_{o}", LongType()) for o in sum_cols]
+    fields += [StructField(f"__prev_{o}", LongType()) for o in lag_cols]
+    off_df = spark.createDataFrame(rows, StructType(fields)).withColumn(
+        _PID, F.col(_PID).cast("int")
+    )
+
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    out = ranged.join(F.broadcast(off_df), _PID)
+    if row_col:
+        out = out.withColumn(
+            row_col, (F.row_number().over(w) + F.col("__off_cnt")).cast("long")
+        )
+    for o, src in sum_cols.items():
+        out = out.withColumn(
+            o,
+            F.sum(F.col(src).cast("long")).over(wcum) + F.col(f"__off_{o}"),
+        )
+    for o, src in lag_cols.items():
+        out = out.withColumn(
+            o,
+            F.coalesce(
+                F.lag(F.col(src).cast("long")).over(w), F.col(f"__prev_{o}")
+            ),
+        )
+    drop = [_PID, "__off_cnt"]
+    drop += [f"__off_{o}" for o in sum_cols] + [f"__prev_{o}" for o in lag_cols]
+    return out.drop(*drop)
 
 
 def global_sequence(
     df: DataFrame,
-    order_cols: list[str | Column],
+    order_cols: list[str],
     out_col: str = "gix",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Scalable global row_number() over a total order.
-
-    Equivalent of the reference's global output index
-    (FullBlockBuilder.scala:116-144: gix = previous block's maxBoxGix +
-    rank within block) — generalized: range-partition on the order key so
-    ranges are contiguous, number rows within each partition, then shift
-    each partition by the exact count of all earlier partitions. The
-    prefix-sum touches one row per partition on the driver; everything
-    else stays fully parallel (vs. the single-task naive global window).
-
-    `order_cols` must be a total order (include a unique tiebreak).
-    Returns df + `out_col` with 1-based global indexes.
-    """
-    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_parts, *order_cols).withColumn(
-        _PID, F.spark_partition_id()
-    )
-    # cache: the partition-count job and the final job must see identical
-    # range boundaries
-    ranged = ranged.persist()
-    w = Window.partitionBy(_PID).orderBy(*order_cols)
-    local = ranged.withColumn(_LOCAL, F.row_number().over(w))
-    counts = sorted(
-        (r[_PID], r["cnt"])
-        for r in ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    offsets, acc = [], 0
-    for pid, cnt in counts:
-        offsets.append((pid, acc))
-        acc += cnt
-    off_df = df.sparkSession.createDataFrame(
-        offsets, f"{_PID} int, {_OFF} long"
-    )
-    return (
-        local.join(F.broadcast(off_df), _PID)
-        .withColumn(out_col, (F.col(_LOCAL) + F.col(_OFF)).cast("long"))
-        .drop(_PID, _LOCAL, _OFF)
+    """Scalable global row_number() (FullBlockBuilder.scala:116-144:
+    gix = previous block's maxBoxGix + rank within block, generalized)."""
+    return ordered_prefix(
+        df, order_cols, row_col=out_col, num_partitions=num_partitions
     )
 
 
@@ -77,8 +133,8 @@ def running_totals(
     sums: dict[str, Column],
 ) -> DataFrame:
     """Partitioned running totals (BlockBuilder.scala:49-63 semantics,
-    distributed by partition key). `sums` maps output column name → input
-    column expression."""
+    distributed by partition key — use `ordered_prefix` when there is no
+    natural partition key)."""
     w = (
         Window.partitionBy(*partition_cols)
         .orderBy(*order_cols)

@@ -1,0 +1,138 @@
+"""Full-block sources (SURVEY §2.1 S1-S4).
+
+The primary batch source is gzip JSON-lines of `ApiFullBlock` records —
+the exact shape of the reference's benchmark/replay source
+(BlockReader.blockSourceFromFS, chain/BlockReader.scala:26-40). The
+explicit nested StructType (mirroring node/NodeModel.scala:35-83) is
+load-bearing at scale: schema inference would scan the corpus twice, and
+an explicit schema lets Spark prune unread nested fields.
+
+Live-node ingestion (S1/S2: REST pagination + fetch) is a driver loop
+that appends micro-batches of the same schema; see streaming/incremental.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DecimalType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+S = StringType()
+I = IntegerType()
+L = LongType()
+
+
+ASSET_SCHEMA = StructType(
+    [StructField("tokenId", S), StructField("amount", L)]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("boxId", S),
+        StructField("value", L),
+        StructField("creationHeight", I),
+        StructField("ergoTree", S),
+        StructField("assets", ArrayType(ASSET_SCHEMA)),
+        StructField("additionalRegisters", MapType(S, S)),
+    ]
+)
+
+TX_SCHEMA = StructType(
+    [
+        StructField("id", S),
+        StructField(
+            "inputs",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("boxId", S),
+                        StructField(
+                            "spendingProof",
+                            StructType(
+                                [
+                                    StructField("proofBytes", S),
+                                    StructField("extension", S),
+                                ]
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
+        StructField(
+            "dataInputs",
+            ArrayType(StructType([StructField("boxId", S)])),
+        ),
+        StructField("outputs", ArrayType(OUTPUT_SCHEMA)),
+        StructField("size", I),
+    ]
+)
+
+HEADER_SCHEMA = StructType(
+    [
+        StructField("id", S),
+        StructField("parentId", S),
+        StructField("version", I),
+        StructField("height", I),
+        StructField("nBits", L),
+        StructField("difficulty", DecimalType(38, 0)),
+        StructField("timestamp", L),
+        StructField("stateRoot", S),
+        StructField("adProofsRoot", S),
+        StructField("transactionsRoot", S),
+        StructField("extensionHash", S),
+        StructField("minerPk", S),
+        StructField("w", S),
+        StructField("n", S),
+        StructField("d", S),  # BigInt PoW distance: string (can exceed 38 digits)
+    ]
+)
+
+BLOCK_SCHEMA = StructType(
+    [
+        StructField("header", HEADER_SCHEMA),
+        StructField("transactions", ArrayType(TX_SCHEMA)),
+        StructField(
+            "extension",
+            StructType(
+                [
+                    StructField("headerId", S),
+                    StructField("digest", S),
+                    StructField("fields", S),
+                ]
+            ),
+        ),
+        StructField(
+            "adProofs",
+            StructType(
+                [
+                    StructField("headerId", S),
+                    StructField("proofBytes", S),
+                    StructField("digest", S),
+                ]
+            ),
+        ),
+        StructField("size", I),
+    ]
+)
+
+
+def read_blocks(
+    spark: SparkSession, path: str, from_height: int | None = None
+) -> DataFrame:
+    """S3 file source: JSON-lines (optionally .gz) of full blocks. The
+    `from_height` resume filter mirrors `dropUntil(height)` and is pushed
+    into the scan."""
+    df = spark.read.schema(BLOCK_SCHEMA).json(path)
+    if from_height is not None:
+        df = df.filter(F.col("header.height") >= from_height)
+    return df
