@@ -32,17 +32,15 @@ import hashlib
 import json
 import random
 
-GENESIS_ID = "0" * 64
-# pseudo genesis boxes, excluded from UTXO existence checks like the
-# reference's Emission/Foundation input boxes (backend/PersistentRepo.scala:28-31)
-GENESIS_EMISSION_BOX = "e" * 64
-GENESIS_BOXES = frozenset({GENESIS_EMISSION_BOX, "f" * 64})
-
-# designated contract trees (synthetic hexes; roles mirror Const.Protocol)
-FEE_TREE = "1005040004000e36100204a7b1"  # fee contract (fee aggregation target)
-EMISSION_TREE = "101004020e368cc7a7017300"  # emission contract
-EXCHANGE_PK = "03" + "ab" * 32  # the planted supernode address
-NANO = 1_000_000_000
+from ..constants import (  # noqa: F401 - re-exported for fixture users
+    EMISSION_TREE,
+    EXCHANGE_PK,
+    FEE_TREE,
+    GENESIS_BOXES,
+    GENESIS_EMISSION_BOX,
+    GENESIS_ID,
+    NANO,
+)
 
 
 def _hex(tag: str, n: int = 32) -> str:

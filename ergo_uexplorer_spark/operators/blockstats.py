@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..fixtures.chaingen import FEE_TREE, NANO
+from ..constants import FEE_TREE, NANO
 from ..functions.crypto import ergo_tree_to_address
 from .cumulative import ordered_prefix
 

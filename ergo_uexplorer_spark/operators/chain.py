@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..fixtures.chaingen import GENESIS_ID
+from ..constants import GENESIS_ID
 
 
 def detect_forks(headers: DataFrame) -> DataFrame:

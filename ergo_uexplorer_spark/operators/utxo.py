@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..fixtures.chaingen import GENESIS_BOXES
+from ..constants import GENESIS_BOXES
 
 
 def spent_inputs(inputs: DataFrame) -> DataFrame:

@@ -1,0 +1,46 @@
+"""Mempool operators (SURVEY §2.1 S5, §2.3 C11).
+
+The reference polls `/transactions/unconfirmed` and diffs consecutive
+snapshots (`newTxIds = all.keySet.diff(old)`, MempoolSyncer.scala:23-33).
+Two equivalent Spark forms:
+
+  * batch: `except` on tx ids between snapshot DataFrames;
+  * streaming: snapshots land as files → `readStream` +
+    `dropDuplicates("tx_id")` emits each tx exactly once across
+    overlapping snapshots (state-store backed; a watermark bounds state
+    since mempool txs settle or expire within a known horizon).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.blocks import TX_SCHEMA
+
+
+def mempool_diff(new_snapshot: DataFrame, old_snapshot: DataFrame) -> DataFrame:
+    """C11 batch form: txs present now but not in the previous snapshot."""
+    new_ids = new_snapshot.select("id").exceptAll(
+        old_snapshot.select("id")
+    ).distinct()
+    return new_snapshot.join(new_ids, "id", "left_semi")
+
+
+def stream_new_txs(
+    spark: SparkSession, snapshot_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming form: each snapshot file is an array of unconfirmed txs;
+    emits every tx id exactly once (first snapshot that contains it).
+
+    Returns a streaming DataFrame; callers attach their sink, e.g.
+    `.writeStream.format("memory")` in tests or `foreachBatch(plugin)`
+    for C12 plugin dispatch.
+    """
+    stream = (
+        spark.readStream.schema(TX_SCHEMA)
+        .json(snapshot_dir)
+        .withColumnRenamed("id", "tx_id")
+        .select("tx_id", "size", F.size("inputs").alias("n_inputs"))
+    )
+    return stream.dropDuplicates(["tx_id"])

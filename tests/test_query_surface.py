@@ -1,0 +1,150 @@
+"""Box/stats/graph/alert query surface over the synthetic chain
+(the reference's route-level invariant tests, BoxRoutesSpec/
+StatsRoutesSpec shapes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ergo_uexplorer_spark.constants import EXCHANGE_PK, FEE_TREE
+from ergo_uexplorer_spark.fixtures.chaingen import (
+    ChainGen,
+    p2pk_tree,
+    write_jsonl_gz,
+)
+from ergo_uexplorer_spark.functions.crypto import _tree_to_address
+from ergo_uexplorer_spark.operators import boxes as B
+from ergo_uexplorer_spark.operators.alerts import high_value_txs
+from ergo_uexplorer_spark.operators.graph import (
+    graph_edges,
+    graph_vertices,
+    two_hop_neighbors,
+)
+from ergo_uexplorer_spark.operators.stats import (
+    hot_keys,
+    top_addresses_by_utxo_count,
+    top_addresses_by_value,
+)
+from ergo_uexplorer_spark.pipeline import ingest_blocks
+
+N_BLOCKS = 200
+
+
+@pytest.fixture(scope="module")
+def tables(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("qchain")
+    gen = ChainGen(seed=11)
+    gen.generate(N_BLOCKS)
+    path = write_jsonl_gz(gen.blocks, str(d / "chain.jsonl.gz"))
+    return ingest_blocks(spark, path)
+
+
+EXCHANGE_ADDR = _tree_to_address(p2pk_tree(EXCHANGE_PK))
+
+
+def test_liveness_partition_per_key(tables):
+    """|spent| + |unspent| = |any| for every key kind (BoxRoutesSpec
+    invariant)."""
+    for kind, keys in [
+        ("address", [EXCHANGE_ADDR]),
+        ("ergo_tree", [FEE_TREE]),
+    ]:
+        n_any = B.select_boxes(tables, "any", kind, keys).count()
+        n_spent = B.select_boxes(tables, "spent", kind, keys).count()
+        n_unspent = B.select_boxes(tables, "unspent", kind, keys).count()
+        assert n_any == n_spent + n_unspent, kind
+        assert n_any > 0, kind
+
+
+def test_exchange_never_spent(tables):
+    """Fixture semantics: exchange deposits accumulate."""
+    assert B.select_boxes(tables, "spent", "address", [EXCHANGE_ADDR]).count() == 0
+    assert B.select_boxes(tables, "unspent", "address", [EXCHANGE_ADDR]).count() > 100
+
+
+def test_box_id_lookup_roundtrip(tables):
+    some = [r["box_id"] for r in tables["utxo"].select("box_id").limit(5).collect()]
+    got = B.select_boxes(tables, "unspent", "box_id", some)
+    assert got.count() == len(some)
+    assert B.is_empty(B.select_boxes(tables, "spent", "box_id", some))
+
+
+def test_token_and_template_queries(tables):
+    token = tables["tokens"].first()["token_id"]
+    holders = B.select_boxes(tables, "any", "token_id", [token])
+    assert holders.count() >= 1
+    t8 = (
+        tables["ergo_trees"]
+        .filter(F.col("ergo_tree_t8_hash").isNotNull())
+        .first()["ergo_tree_t8_hash"]
+    )
+    assert B.select_boxes(tables, "any", "template_hash", [t8]).count() > 0
+
+
+def test_dynamic_params_whitelist(tables):
+    r4_box = (
+        tables["boxes_main"].filter(F.col("r4").isNotNull()).first()
+    )
+    got = B.select_boxes(tables, "any", params={"r4": r4_box["r4"]})
+    assert got.count() >= 1
+    with pytest.raises(ValueError):
+        B.select_boxes(tables, "any", params={"value": "1"})
+
+
+def test_response_assembly(tables):
+    token = tables["tokens"].first()["token_id"]
+    out = B.boxes_with_assets(tables, "any", "token_id", [token]).first()
+    assert out["assets"][0]["token_id"] is not None
+    assert out["block_timestamp"] is not None
+
+
+def test_blocks_endpoints(tables):
+    last = B.last_blocks(tables, 10)
+    heights = [r["height"] for r in last.collect()]
+    assert heights == list(range(N_BLOCKS, N_BLOCKS - 10, -1))
+    info = B.chain_info(tables).first()
+    assert info["last_height"] == N_BLOCKS
+    got = B.blocks_by_ids(tables, [last.first()["block_id"]])
+    assert got.count() == 1
+
+
+def test_stats_topk(tables):
+    stats = tables["address_stats"]
+    top_c = top_addresses_by_utxo_count(stats, min_count=1, k=10)
+    assert top_c.first()["address"] == EXCHANGE_ADDR
+    top_v = top_addresses_by_value(stats, min_erg=1, k=10)
+    assert top_v.count() == 10
+    hk = hot_keys(stats)
+    assert hk.count() >= 0  # threshold 500 needs a longer chain
+
+
+def test_graph(tables):
+    edges = graph_edges(tables["boxes_main"], tables["inputs_main"])
+    assert edges.filter("direction = 'in'").count() > 0
+    assert edges.filter("direction = 'out'").count() > 0
+    # no protocol addresses in the graph
+    fee_hash = B.tree_sha256(FEE_TREE)
+    assert edges.filter(
+        (F.col("src") == fee_hash) | (F.col("dst") == fee_hash)
+    ).count() == 0
+    verts = graph_vertices(edges)
+    assert verts.count() > 0
+    exchange_hash = B.tree_sha256(p2pk_tree(EXCHANGE_PK))
+    # exchange never spends → no outgoing 'in' edges, but appears as dst
+    assert edges.filter(F.col("dst") == exchange_hash).count() > 0
+    # traversal from a spending address
+    some_src = edges.filter("direction = 'in'").first()["src"]
+    neigh = two_hop_neighbors(edges, some_src)
+    assert neigh.count() >= 0
+
+
+def test_high_value_alerts(tables):
+    alerts = high_value_txs(
+        tables["boxes_main"], tables["inputs_main"], threshold_nano=10**9
+    )
+    rows = alerts.collect()
+    assert len(rows) > 0
+    for r in rows[:5]:
+        assert r["moved_value"] >= 10**9
+        assert len(r["out_addresses"]) >= 1

@@ -1,0 +1,122 @@
+"""Streaming operators: mempool diff (C11), incremental UTXO sync
+(C10/C4/C5/S10) — streamed result must equal the batch pipeline."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ergo_uexplorer_spark.fixtures.chaingen import ChainGen, write_jsonl_gz
+from ergo_uexplorer_spark.pipeline import ingest_blocks
+from ergo_uexplorer_spark.streaming.incremental import (
+    UtxoState,
+    apply_block_batch,
+    incremental_sync,
+)
+from ergo_uexplorer_spark.streaming.mempool import mempool_diff, stream_new_txs
+
+
+@pytest.fixture(scope="module")
+def gen():
+    g = ChainGen(seed=21)
+    g.generate(120)
+    return g
+
+
+def _write_tx_snapshot(path, txs):
+    with open(path, "w") as f:
+        for t in txs:
+            f.write(json.dumps(t, separators=(",", ":")) + "\n")
+
+
+def test_mempool_diff_batch(spark, gen, tmp_path):
+    """3 snapshots of 6/9/9 txs with overlaps (FIXTURES §3)."""
+    txs = [t for b in gen.blocks[:20] for t in b["transactions"]][:12]
+    snap1, snap2, snap3 = txs[0:6], txs[2:11], txs[3:12]
+    d = tmp_path / "mp"
+    d.mkdir()
+    _write_tx_snapshot(d / "s1.json", snap1)
+    _write_tx_snapshot(d / "s2.json", snap2)
+    from ergo_uexplorer_spark.sources.blocks import TX_SCHEMA
+
+    df1 = spark.read.schema(TX_SCHEMA).json(str(d / "s1.json"))
+    df2 = spark.read.schema(TX_SCHEMA).json(str(d / "s2.json"))
+    new = mempool_diff(df2, df1)
+    expect = {t["id"] for t in snap2} - {t["id"] for t in snap1}
+    assert {r["id"] for r in new.select("id").collect()} == expect
+
+
+def test_mempool_stream_exactly_once(spark, gen, tmp_path):
+    txs = [t for b in gen.blocks[:20] for t in b["transactions"]][:12]
+    snaps = [txs[0:6], txs[2:11], txs[3:12]]
+    snap_dir = tmp_path / "snaps"
+    snap_dir.mkdir()
+    for i, s in enumerate(snaps):
+        _write_tx_snapshot(snap_dir / f"s{i}.json", s)
+    out = stream_new_txs(
+        spark, str(snap_dir), str(tmp_path / "ckpt_mp")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mp_new")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select tx_id from mp_new").collect()
+    ids = [r["tx_id"] for r in got]
+    assert len(ids) == len(set(ids)), "duplicate emission"
+    assert set(ids) == {t["id"] for t in txs[:12]}
+
+
+def test_incremental_matches_batch(spark, gen, tmp_path):
+    """Split the chain into 4 file-batches, stream them, compare the
+    final UTXO snapshot to the batch pipeline's anti-join result."""
+    blocks_dir = tmp_path / "blocks_in"
+    blocks_dir.mkdir()
+    chunks = [gen.blocks[i * 30 : (i + 1) * 30] for i in range(4)]
+    for i, chunk in enumerate(chunks):
+        write_jsonl_gz(chunk, str(blocks_dir / f"part{i}.jsonl.gz"))
+
+    state_dir = str(tmp_path / "state")
+    q = incremental_sync(
+        spark,
+        str(blocks_dir),
+        state_dir,
+        str(tmp_path / "ckpt_inc"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    state = UtxoState(spark, state_dir)
+    streamed = state.read()
+    assert streamed is not None
+
+    full_path = str(tmp_path / "full.jsonl.gz")
+    write_jsonl_gz(gen.blocks, full_path)
+    batch = ingest_blocks(spark, full_path)
+    batch_ids = {r["box_id"] for r in batch["utxo"].select("box_id").collect()}
+    stream_ids = {r["box_id"] for r in streamed.select("box_id").collect()}
+    assert stream_ids == batch_ids
+
+
+def test_utxo_state_rollback(spark, gen, tmp_path):
+    """S10: rollbackTo(version) restores an older snapshot (fork
+    recovery path)."""
+    state = UtxoState(spark, str(tmp_path / "rb_state"))
+    from ergo_uexplorer_spark.sources.blocks import read_blocks
+
+    p1 = write_jsonl_gz(gen.blocks[:50], str(tmp_path / "c1.jsonl.gz"))
+    p2 = write_jsonl_gz(gen.blocks[50:100], str(tmp_path / "c2.jsonl.gz"))
+    v1 = apply_block_batch(state, read_blocks(spark, p1))
+    count_v1 = state.read().count()
+    v2 = apply_block_batch(state, read_blocks(spark, p2))
+    assert state.current_version() == v2 == v1 + 1
+    assert state.read().count() != count_v1
+    state.rollback_to(v1)
+    assert state.current_version() == v1
+    assert state.read().count() == count_v1
