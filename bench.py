@@ -18,6 +18,36 @@ from ergo_uexplorer_spark.session import get_spark
 from ergo_uexplorer_spark.suite import REGISTRY
 
 
+CHAIN_BLOCKS = 4200  # the reference's CI chain size (BASELINE.md)
+
+
+def _chain_fixture(n_blocks: int = CHAIN_BLOCKS) -> str:
+    """Deterministic 4200-block chain, cached under .bench/."""
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"chain{n_blocks}.jsonl.gz")
+    if not os.path.exists(path):
+        from ergo_uexplorer_spark.fixtures import ChainGen, write_jsonl_gz
+
+        gen = ChainGen(seed=42)
+        gen.generate(n_blocks)
+        write_jsonl_gz(gen.blocks, path)
+    return path
+
+
+def _bench_chain_ingest(spark) -> float:
+    """Full ingest (normalize → main chain → Block table → UTXO → stats),
+    forced end-to-end; BASELINE.md target ≈258 blocks/s single-node."""
+    from ergo_uexplorer_spark.pipeline import ingest_blocks
+
+    path = _chain_fixture()
+    t0 = time.perf_counter()
+    tables = ingest_blocks(spark, path)
+    for t in ("blocks", "utxo", "address_stats"):
+        tables[t].write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -36,6 +66,8 @@ def main() -> None:
             "overwrite"
         ).save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    timings[f"chain_ingest_{CHAIN_BLOCKS}"] = round(_bench_chain_ingest(spark), 3)
 
     total = round(sum(timings.values()), 3)
     print(

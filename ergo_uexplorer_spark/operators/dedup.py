@@ -51,13 +51,25 @@ def normalized_text(col):
     return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Tokenize/shingle stages are CPU-bound string work: a corpus that
+    arrives in few files (one 128 MB parquet = 1 partition) would pin a
+    single core. Spread it before exploding; no-op when the scan already
+    has enough splits (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dup_groups(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Exact dedup via hash-groupBy: one row per distinct normalized text,
     keeping the min id as the canonical representative."""
     return (
-        docs.select(
+        _ensure_parallelism(docs)
+        .select(
             F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("text_hash")
         )
         .groupBy("text_hash")
@@ -72,7 +84,7 @@ def shingle_sets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """(doc_id, s) distinct word-n-gram shingles."""
-    return docs.select(
+    return _ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(tokens(F.col(text_col)), n)).alias("s"),
     ).distinct()
@@ -171,9 +183,13 @@ def minhash_lsh_pairs(
     The exact verification join runs ONLY over LSH candidates (semi-join
     pushes the candidate set into the shingle join) — this is the
     shape that survives a 100× corpus scale-up.
+
+    The shingle set feeds both the signature pass and the verification
+    join: persist it once (MEMORY_AND_DISK) instead of re-exploding the
+    corpus — at scale this halves the dominant scan+shuffle cost.
     """
-    sh = shingle_sets(docs, id_col, text_col, n)
-    cand = lsh_candidates(minhash_signatures(sh))
+    sh = shingle_sets(docs, id_col, text_col, n).persist()
+    cand = lsh_candidates(minhash_signatures(sh)).persist()
     verified = jaccard_pairs(
         sh.join(
             cand.select(F.col("doc_a").alias("doc_id"))
@@ -198,7 +214,7 @@ def simhash(
 ) -> DataFrame:
     """32-bit SimHash over distinct unigram tokens → (doc_id, simhash)."""
     spark = docs.sparkSession
-    tok = docs.select(
+    tok = _ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("w"),
     ).distinct()

@@ -1,0 +1,112 @@
+"""Temporal join operators Spark lacks as built-ins (SURVEY §2.6 notes
+the reference has none either — these are the training-pipeline/analytics
+extensions): as-of join and range join.
+
+`asof_join` is the union-tag algorithm, not a correlated lookup: tag both
+sides, union, and forward-fill the most recent right-side payload with a
+`last(ignorenulls)` window partitioned by key — one shuffle on (key),
+linear in |L|+|R|, no per-row probing. This is the shape that scales to
+100 TB (a broadcast-probe as-of dies when the right side is large; a
+correlated subquery never distributes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_T = "__asof_t"
+_SIDE = "__asof_side"  # 0 = right (sorts first on ties → inclusive match)
+_TB = "__asof_tb"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts_col: str,
+    right_ts_col: str,
+    left_id_col: str,
+    payload_cols: list[str],
+    right_tiebreak_col: str | None = None,
+) -> DataFrame:
+    """For each left row: the payload of the latest right row with
+    right_ts <= left_ts and equal key (backward as-of, inclusive).
+
+    Ties on right_ts resolve to the greatest `right_tiebreak_col`
+    (deterministic). Returns left's (id, key, ts) + payload columns
+    (null when no right row precedes).
+    """
+    tb = right_tiebreak_col or payload_cols[0]
+    r = right.select(
+        F.col(key_col).alias("__key"),
+        F.col(right_ts_col).cast("long").alias(_T),
+        F.lit(0).alias(_SIDE),
+        F.col(tb).cast("long").alias(_TB),
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+    )
+    l = left.select(
+        F.col(key_col).alias("__key"),
+        F.col(left_ts_col).cast("long").alias(_T),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast("long").alias(_TB),
+        F.col(left_id_col).alias("__lid"),
+    )
+    for c in payload_cols:
+        l = l.withColumn(f"__p_{c}", F.lit(None).cast(r.schema[f"__p_{c}"].dataType))
+    r = r.withColumn("__lid", F.lit(None).cast(l.schema["__lid"].dataType))
+
+    unioned = r.unionByName(l.select(*r.columns))
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col(_T), F.col(_SIDE), F.col(_TB).asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned
+    for c in payload_cols:
+        filled = filled.withColumn(
+            f"__p_{c}", F.last(f"__p_{c}", ignorenulls=True).over(w)
+        )
+    out = filled.filter(F.col(_SIDE) == 1).select(
+        F.col("__lid").alias(left_id_col),
+        F.col("__key").alias(key_col),
+        F.col(_T).alias(left_ts_col),
+        *[F.col(f"__p_{c}").alias(c) for c in payload_cols],
+    )
+    return out
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts_col: str,
+    right_ts_col: str,
+    left_id_col: str,
+    window_len: int,
+) -> DataFrame:
+    """Count right rows per left row within [left_ts, left_ts+window_len).
+
+    Expressed as an equi-join on key + range predicates so Catalyst keeps
+    the equi part as the shuffle key and applies the range as a post-join
+    filter; with AQE the skewed keys split. (For key-less range joins,
+    bucketize both sides by floor(ts/window) first — the classic
+    interval-bucket trick.)"""
+    l = left.select(
+        F.col(left_id_col),
+        F.col(key_col).alias("__key"),
+        F.col(left_ts_col).cast("long").alias("__lt"),
+    )
+    r = right.select(
+        F.col(key_col).alias("__key"),
+        F.col(right_ts_col).cast("long").alias("__rt"),
+    )
+    joined = l.join(
+        r,
+        (l["__key"] == r["__key"])
+        & (r["__rt"] >= l["__lt"])
+        & (r["__rt"] < l["__lt"] + window_len),
+        "left",
+    )
+    return joined.groupBy(left_id_col, l["__key"].alias(key_col)).agg(
+        F.count(r["__rt"]).alias("n_in_range")
+    )

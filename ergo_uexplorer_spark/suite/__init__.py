@@ -6,3 +6,5 @@ from . import windows  # noqa: F401
 from . import dedup  # noqa: F401
 from . import similarity  # noqa: F401
 from . import textops  # noqa: F401
+from . import olap  # noqa: F401
+from . import temporal  # noqa: F401

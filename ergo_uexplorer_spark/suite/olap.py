@@ -1,0 +1,169 @@
+"""OLAP surface additions: multi-key fan-out collapse (Q10), block-table
+IN lookup (Q12), graph traversal in joins (Q19), rollup (SURVEY §2.6 —
+free via Spark built-ins), exact + approximate distinct sketches (the
+reference's datasketches TODO, readme.md:226)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import load, register
+
+
+def _cents(col):
+    return F.round(col * F.lit(100)).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# Q10: the reference fans out per-key queries with parallelism 32
+# (BoxService.scala:13-26); one joined DataFrame answers all keys at once.
+# --------------------------------------------------------------------------
+@register(
+    "q10_multi_key_fanout",
+    sql="""
+    SELECT o_custkey, count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders WHERE o_custkey < 50
+    GROUP BY o_custkey
+    """,
+    survey_ref="Q10 BoxService.scala:13-26",
+    tags=("agg", "broadcast"),
+)
+def q10_multi_key_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    keys = spark.range(50).select(F.col("id").alias("o_custkey"))
+    return (
+        orders.join(F.broadcast(keys), "o_custkey", "left_semi")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12: IN-list lookup on the block-shaped table (events)
+# --------------------------------------------------------------------------
+_EVENT_IDS = (0, 7, 42, 99, 123, 456)
+
+
+@register(
+    "q12_event_inlist",
+    sql=f"""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id IN {_EVENT_IDS}
+    """,
+    survey_ref="Q12 PersistentBlockRepo.scala:43-62",
+    tags=("filter", "pushdown"),
+)
+def q12_event_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    return events.filter(F.col("event_id").isin(*_EVENT_IDS)).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19: graph traversal as iterative joins (customer → orders → lineitem →
+# suppliers = addr → tx → addr in the tx graph)
+# --------------------------------------------------------------------------
+@register(
+    "q19_graph_two_hop",
+    sql="""
+    SELECT DISTINCT o_custkey AS src, l_suppkey AS neighbor
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_custkey < 10
+    """,
+    survey_ref="Q19 StreamExecutor.scala:37-41 / TxGraphWriter",
+    tags=("join", "graph"),
+)
+def q19_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    hop1 = orders.filter(F.col("o_custkey") < 10).select(
+        "o_custkey", "o_orderkey"
+    )
+    return (
+        hop1.join(lineitem, hop1.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            F.col("l_suppkey").alias("neighbor"),
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# rollup: free Spark built-in the reference lacks (SURVEY §2.6)
+# --------------------------------------------------------------------------
+@register(
+    "b02_rollup_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    survey_ref="SURVEY §2.6: grouping sets via built-ins",
+    tags=("agg", "rollup"),
+)
+def b02_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# distinct sketches (the reference lists datasketches as TODO — Spark has
+# them built-in). Exact version oracle-checked; approximate versions are
+# rows-only (estimates are engine-specific by nature).
+# --------------------------------------------------------------------------
+@register(
+    "a01_distinct_per_group",
+    sql="""
+    SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    survey_ref="readme.md:226 sketches TODO — exact baseline",
+    tags=("agg", "distinct"),
+    bench=True,
+)
+def a01_distinct_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_suppkey").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "a02_approx_distinct",
+    sql=None,  # HLL estimates are engine-specific → rows-only check
+    survey_ref="readme.md:226 sketches TODO — approx_count_distinct",
+    tags=("agg", "sketch"),
+)
+def a02_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_suppkey").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")
+    )
+
+
+@register(
+    "a03_approx_percentile",
+    sql=None,  # t-digest/GK estimates are engine-specific → rows-only
+    survey_ref="readme.md:226 sketches TODO — approx_percentile",
+    tags=("agg", "sketch"),
+)
+def a03_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_percentiles"
+        )
+    )

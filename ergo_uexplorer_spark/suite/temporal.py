@@ -1,0 +1,181 @@
+"""Temporal/event-stream surface over the `events` table (nanos `ts` as
+long — see suite.base.load): sessionization, tumbling windows, as-of and
+range joins (operators/joins.py). These are the batch twins of the
+Structured Streaming operators in `streaming/` — same logic, bounded
+input."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.joins import asof_join, range_join_count
+from .base import load, register
+
+SESSION_GAP_NS = 1_800_000_000_000  # 30 min
+DAY_NS = 86_400_000_000_000
+
+
+# --------------------------------------------------------------------------
+# sessionization: gap-based session ids via lag + cumulative flag — the
+# batch form of a session window (streaming: window(..., "session"))
+# --------------------------------------------------------------------------
+@register(
+    "e01_sessionization",
+    sql=f"""
+    WITH l AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+             lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_ns(ts), event_id) AS prev
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, tsn,
+             CASE WHEN prev IS NULL OR tsn - prev > {SESSION_GAP_NS}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM l
+    )
+    SELECT user_id, event_id,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM s
+    """,
+    survey_ref="streaming extension: session windows (batch twin)",
+    tags=("window", "temporal"),
+    bench=True,
+)
+def e01_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        events.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("ts") - F.col("prev") > SESSION_GAP_NS),
+                1,
+            ).otherwise(0),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("is_new").over(wcum).alias("session_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# tumbling event-time windows (watermark-less batch twin)
+# --------------------------------------------------------------------------
+HOUR_NS = 3_600_000_000_000
+
+
+@register(
+    "e02_tumbling_windows",
+    sql=f"""
+    SELECT event_type,
+           (epoch_ns(ts) // {HOUR_NS}) * 3600 AS hour_start,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_ref="streaming extension: windowed aggregation (batch twin)",
+    tags=("agg", "temporal"),
+)
+def e02_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    # pure integer bucketing on epoch nanos: engine- and timezone-proof
+    # (date_trunc on an instant shifts with session tz)
+    hour_start = F.expr(f"ts div {HOUR_NS}L") * F.lit(3600).cast("long")
+    return (
+        events.withColumn("hour_start", hour_start)
+        .groupBy("event_type", "hour_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# as-of join: latest order at-or-before each event (union-tag algorithm;
+# oracle = correlated top-1, same semantics)
+# --------------------------------------------------------------------------
+@register(
+    "j01_asof_join",
+    sql="""
+    SELECT e.event_id, e.user_id AS key_user,
+           (SELECT o.o_orderkey FROM orders o
+            WHERE o.o_custkey = e.user_id AND epoch_ns(o.o_orderdate) <= epoch_ns(e.ts)
+            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_orderkey
+    FROM events e
+    """,
+    survey_ref="custom operator: as-of join (union-tag + window)",
+    tags=("join", "temporal", "asof"),
+    bench=True,
+)
+def j01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events, orders = load(spark, sf_dir, "events", "orders")
+    right = orders.select(
+        "o_custkey",
+        (F.unix_timestamp("o_orderdate").cast("long") * F.lit(1_000_000_000)).alias(
+            "order_ts_ns"
+        ),
+        "o_orderkey",
+    )
+    out = asof_join(
+        left=events,
+        right=right.withColumnRenamed("o_custkey", "user_id"),
+        key_col="user_id",
+        left_ts_col="ts",
+        right_ts_col="order_ts_ns",
+        left_id_col="event_id",
+        payload_cols=["o_orderkey"],
+        right_tiebreak_col="o_orderkey",
+    )
+    return out.select(
+        "event_id", F.col("user_id").alias("key_user"), "o_orderkey"
+    )
+
+
+# --------------------------------------------------------------------------
+# range join: orders placed within 7 days after each event
+# --------------------------------------------------------------------------
+@register(
+    "j02_range_join",
+    sql=f"""
+    SELECT e.event_id, e.user_id AS key_user, count(o.o_orderkey) AS n_in_range
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id
+     AND epoch_ns(o.o_orderdate) >= epoch_ns(e.ts)
+     AND epoch_ns(o.o_orderdate) < epoch_ns(e.ts) + {7 * DAY_NS}
+    GROUP BY e.event_id, e.user_id
+    """,
+    survey_ref="custom operator: range join (equi-key + range filter)",
+    tags=("join", "temporal", "range"),
+)
+def j02_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events, orders = load(spark, sf_dir, "events", "orders")
+    right = orders.select(
+        "o_custkey",
+        (F.unix_timestamp("o_orderdate").cast("long") * F.lit(1_000_000_000)).alias(
+            "order_ts_ns"
+        ),
+        "o_orderkey",
+    )
+    out = range_join_count(
+        left=events.withColumnRenamed("user_id", "key_user"),
+        right=right.withColumnRenamed("o_custkey", "key_user"),
+        key_col="key_user",
+        left_ts_col="ts",
+        right_ts_col="order_ts_ns",
+        left_id_col="event_id",
+        window_len=7 * DAY_NS,
+    )
+    return out.select("event_id", "key_user", "n_in_range")

@@ -1,0 +1,73 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcasts. A plan
+regression (e.g. a lost broadcast after a refactor) fails here even while
+results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ergo_uexplorer_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_column_pruned,
+    assert_filter_pushed,
+    assert_no_cartesian,
+    whole_stage_codegen_spans,
+)
+from ergo_uexplorer_spark.suite import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_point_lookup_pushdown(spark):
+    df = REGISTRY["q01_point_lookup"].fn(spark, SF_DIR)
+    assert_filter_pushed(df, "o_orderkey")
+
+
+def test_inlist_pushdown(spark):
+    df = REGISTRY["q02_inlist_lookup"].fn(spark, SF_DIR)
+    assert_filter_pushed(df, "o_orderkey")
+    # projection pruning: o_totalprice not in any ReadSchema
+    assert_column_pruned(df, "o_totalprice")
+
+
+def test_dynamic_predicates_pushed(spark):
+    df = REGISTRY["q09_dynamic_predicate"].fn(spark, SF_DIR)
+    assert_filter_pushed(df, "l_returnflag")
+    assert_filter_pushed(df, "l_linestatus")
+    assert_column_pruned(df, "l_extendedprice")
+
+
+def test_dim_joins_broadcast(spark):
+    assert_broadcast_join(REGISTRY["q05_three_way_join"].fn(spark, SF_DIR))
+    assert_broadcast_join(REGISTRY["b03_shipping_priority"].fn(spark, SF_DIR))
+
+
+def test_ann_no_unbounded_cartesian(spark):
+    # brute-force ANN is a *broadcast* nested loop (bounded query side),
+    # never a shuffled cartesian
+    df = REGISTRY["s01_ann_bruteforce_cosine"].fn(spark, SF_DIR)
+    assert_no_cartesian(df)
+
+
+def test_codegen_alive(spark):
+    df = REGISTRY["b01_pricing_summary"].fn(spark, SF_DIR)
+    assert whole_stage_codegen_spans(df) >= 1
+
+
+def test_chain_pipeline_plan(spark, tmp_path):
+    from ergo_uexplorer_spark.fixtures.chaingen import ChainGen, write_jsonl_gz
+    from ergo_uexplorer_spark.pipeline import ingest_blocks
+
+    gen = ChainGen(seed=3)
+    gen.generate(60)
+    path = write_jsonl_gz(gen.blocks, str(tmp_path / "c.jsonl.gz"))
+    tables = ingest_blocks(spark, path)
+    # tree-dimension join into the box fact table must broadcast
+    assert_broadcast_join(tables["boxes_main"])
+    # height-resume filter lands in the json scan's data filters
+    from ergo_uexplorer_spark.sources.blocks import read_blocks
+
+    resumed = read_blocks(spark, path, from_height=30)
+    plan = resumed.select(F.col("header.height")).columns  # force analysis
+    assert plan == ["height"]
