@@ -140,3 +140,15 @@ def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
         F.round(w * scale).cast("int").alias("target_width"),
         F.round(h * scale).cast("int").alias("target_height"),
     )
+
+
+# Ship this module by VALUE to Spark python workers (they don't share the
+# driver's sys.path; see functions/crypto.py for the same pattern).
+try:  # pragma: no cover
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001 - best-effort; --py-files is the fallback
+    pass

@@ -1,0 +1,96 @@
+"""Custom stateful streaming operator via applyInPandasWithState:
+gap-based sessionization (the streaming twin of suite.temporal
+e01_sessionization — same semantics, unbounded input).
+
+State per user: (last_event_ts, sessions_so_far). Each micro-batch
+sorts its rows (file/kafka sources don't guarantee order within a
+batch), continues the session count across batches through the state
+store, and emits (user_id, event_id, session_id) rows. This is the
+`flatMapGroupsWithState` pattern the reference would need for C1-style
+tip tracking, expressed Arrow-batched in Python.
+
+Ordering contract: within a micro-batch rows may arrive in any order
+(sorted here); ACROSS batches the source must deliver events roughly
+time-ordered — a batch whose events predate the stored last_ts joins
+the current session rather than retro-splitting (standard streaming
+semantics; add a watermark + append-mode reprocessing for late data)."""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+SESSION_GAP_NS = 1_800_000_000_000  # 30 min
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("session_id", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [StructField("last_ts", LongType()), StructField("n_sessions", LongType())]
+)
+
+
+def _sessionize_group(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    last_ts, n_sessions = state.get if state.exists else (None, 0)
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    out_event, out_session = [], []
+    for ts, event_id in zip(rows["ts"], rows["event_id"]):
+        if last_ts is None or ts - last_ts > SESSION_GAP_NS:
+            n_sessions += 1
+        last_ts = ts
+        out_event.append(event_id)
+        out_session.append(n_sessions)
+    state.update((int(last_ts), int(n_sessions)))
+    yield pd.DataFrame(
+        {
+            "user_id": user_id,
+            "event_id": out_event,
+            "session_id": out_session,
+        }
+    )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """events(user_id, event_id, ts[nanos]) → (user_id, event_id,
+    session_id), stateful across micro-batches. Works on both streaming
+    and batch DataFrames (batch = one "micro-batch" with empty state,
+    which makes the operator unit-testable without a stream)."""
+    return events.select("user_id", "event_id", "ts").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# Ship this module by VALUE to Spark python workers (they don't share the
+# driver's sys.path; see functions/crypto.py for the same pattern).
+try:  # pragma: no cover
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001 - best-effort; --py-files is the fallback
+    pass

@@ -1,0 +1,167 @@
+"""Property-based checks for the custom distributed operators: the
+scalable implementations must agree with their trivially-correct
+single-node definitions on arbitrary inputs."""
+
+from __future__ import annotations
+
+import bisect
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ergo_uexplorer_spark.operators.cumulative import ordered_prefix
+from ergo_uexplorer_spark.operators.dedup import (
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    shingle_sets,
+    simhash,
+    simhash_pairs,
+)
+from ergo_uexplorer_spark.operators.joins import asof_join
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),  # order key (dups allowed)
+        st.integers(min_value=-1000, max_value=1000),  # value
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=rows_strategy)
+def test_ordered_prefix_equals_naive_window(spark, rows):
+    """ordered_prefix (range-partitioned, boundary-corrected) ≡ the
+    single-task global window on any input."""
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]  # uid tiebreak
+    df = spark.createDataFrame(data, "uid long, k long, v long")
+    out = (
+        ordered_prefix(
+            df,
+            order_cols=["k", "uid"],
+            sum_cols={"run_v": "v"},
+            lag_cols={"prev_v": "v"},
+            row_col="rn",
+            num_partitions=4,
+        )
+        .orderBy("k", "uid")
+        .collect()
+    )
+    w = Window.orderBy("k", "uid")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    naive = (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("run_v", F.sum("v").over(wc))
+        .withColumn("prev_v", F.lag("v").over(w))
+        .orderBy("k", "uid")
+        .collect()
+    )
+    got = [(r["uid"], r["rn"], r["run_v"], r["prev_v"]) for r in out]
+    want = [(r["uid"], r["rn"], r["run_v"], r["prev_v"]) for r in naive]
+    assert got == want
+
+
+asof_strategy = st.tuples(
+    st.lists(  # left: (key, ts)
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(  # right: (key, ts, payload)
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=asof_strategy)
+def test_asof_join_equals_bruteforce(spark, data):
+    left_rows, right_rows = data
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "lid long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        right_rows or [(None, None, None)],
+        "k long, t long, payload long",
+    ).filter(F.col("k").isNotNull())
+    out = asof_join(
+        left,
+        right,
+        key_col="k",
+        left_ts_col="t",
+        right_ts_col="t",
+        left_id_col="lid",
+        payload_cols=["payload"],
+        right_tiebreak_col="payload",
+    ).collect()
+    got = {r["lid"]: r["payload"] for r in out}
+
+    # brute force: greatest (t, payload) with right.t <= left.t, same key
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, t, p in right_rows:
+        by_key.setdefault(k, []).append((t, p))
+    for k in by_key:
+        by_key[k].sort()
+    want = {}
+    for i, (k, t) in enumerate(left_rows):
+        cands = by_key.get(k, [])
+        pos = bisect.bisect_right(cands, (t, float("inf")))
+        want[i] = cands[pos - 1][1] if pos else None
+    assert got == want
+
+
+def test_minhash_lsh_recall_on_planted_near_dups(spark):
+    """LSH candidates must contain every extreme near-dup pair (j≈0.98 ⇒
+    per-band match prob ≈ 0.94, miss prob < 1e-4 over 4 bands) and never
+    invent pairs that fail exact verification."""
+    base = ("tok%d " % i for i in range(200))
+    base_text = " ".join(f"w{i}" for i in range(200))
+    docs = [(0, base_text), (1, base_text.replace("w100", "q100"))]
+    docs += [(2, base_text.replace("w50", "q50").replace("w150", "q150"))]
+    docs += [
+        (10 + i, " ".join(f"z{i}_{j}" for j in range(50))) for i in range(5)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, num=4, den=5).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 1) in found and (0, 2) in found and (1, 2) in found
+    assert all(a < 10 and b < 10 for a, b in found)
+    # verified pairs are a subset of the exact all-pairs result
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(shingle_sets(df), 4, 5).collect()
+    }
+    assert found <= exact
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    docs = [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+            (2, "totally different words entirely")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sig = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert sig[0] == sig[1]
+    pairs = simhash_pairs(simhash(df), max_hamming=0).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(0, 1)}
