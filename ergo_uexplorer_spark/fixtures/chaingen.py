@@ -100,7 +100,14 @@ class ChainGen:
                 regs["R7"] = "xx" + _hex("undecodable", 3)  # undecodable blob
         return regs
 
-    def _assets(self, tx_first_input: str, mint: bool) -> tuple[list, dict | None]:
+    def _assets(
+        self, tx_first_input: str, mint: bool, reuse_pool: list[str]
+    ) -> tuple[list, dict | None]:
+        """`reuse_pool` excludes tokens minted by the current tx: a token
+        id IS its mint tx's first-input box id, and that box is consumed
+        by the mint itself — so re-circulation can never re-satisfy the
+        mint predicate (OutputBuilder.scala:21-26). Drawing from the live
+        pool would fabricate impossible double-mints."""
         assets, props = [], None
         if mint:
             props = {
@@ -116,10 +123,10 @@ class ChainGen:
             assets.append(
                 {"tokenId": self.hot_token, "amount": self.rng.randrange(1, 1000)}
             )
-        if self.minted_tokens and self.rng.random() < 0.2:
+        if reuse_pool and self.rng.random() < 0.2:
             assets.append(
                 {
-                    "tokenId": self.rng.choice(self.minted_tokens),
+                    "tokenId": self.rng.choice(reuse_pool),
                     "amount": self.rng.randrange(1, 500),
                 }
             )
@@ -154,10 +161,13 @@ class ChainGen:
         spendable = in_value - fee
         outputs = []
         exchange_tree = p2pk_tree(EXCHANGE_PK)
+        reuse_pool = list(self.minted_tokens)  # pre-tx snapshot
         for oi in range(n_outputs):
             box_id = _hex(f"box-{variant}-{height}-{txi}-{oi}")
             value = spendable // n_outputs
-            assets, props = self._assets(inputs[0]["boxId"], mint and oi == 0)
+            assets, props = self._assets(
+                inputs[0]["boxId"], mint and oi == 0, reuse_pool
+            )
             tree = self._pick_tree()
             outputs.append(
                 {

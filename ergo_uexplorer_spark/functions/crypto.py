@@ -189,8 +189,10 @@ def decode_register(hex_val: pd.Series) -> pd.DataFrame:
 
 def decode_utf8_register(hex_col: Column) -> Column:
     """EIP-4 token props: R4/R5 are utf-8 payloads (TokenPropsParser.scala:
-    14-19). JVM-side: decode(unhex(x), 'UTF-8')."""
-    return F.decode(F.unhex(hex_col), "UTF-8")
+    14-19). JVM-side, null-on-undecodable (the reference's props parser
+    returns None for malformed registers rather than failing ingest)."""
+    raw = F.unhex(hex_col)
+    return F.when(F.is_valid_utf8(raw), F.decode(raw, "UTF-8"))
 
 
 # Ship this module's UDFs by VALUE: Spark python workers don't share the

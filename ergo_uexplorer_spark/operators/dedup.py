@@ -83,15 +83,32 @@ def exact_dup_groups(
 def shingle_sets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(doc_id, s) distinct word-n-gram shingles."""
+    """(doc_id, s) distinct word-n-gram shingles (string form — the exact
+    baseline)."""
     return _ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(tokens(F.col(text_col)), n)).alias("s"),
     ).distinct()
 
 
+def hashed_shingle_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, h) distinct hashed shingles: project each shingle to its
+    60-bit portable hash BEFORE the distinct shuffle — the network moves
+    8-byte longs instead of shingle strings, and every downstream join
+    (signatures, verification) is a long-key join. Collisions (~2^-60
+    per pair) merge shingles on BOTH engines identically, so the oracle
+    stays exact."""
+    sh = _ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(tokens(F.col(text_col)), n)).alias("s"),
+    )
+    return sh.select("doc_id", portable_hash(F.col("s")).alias("h")).distinct()
+
+
 def jaccard_pairs(
-    sh: DataFrame, num: int = 4, den: int = 5
+    sh: DataFrame, num: int = 4, den: int = 5, elem_col: str = "s"
 ) -> DataFrame:
     """All-pairs Jaccard ≥ num/den over shingle sets (quadratic baseline).
 
@@ -104,7 +121,7 @@ def jaccard_pairs(
     pairs = (
         a.join(
             b,
-            (F.col("a.s") == F.col("b.s"))
+            (F.col(f"a.{elem_col}") == F.col(f"b.{elem_col}"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -129,9 +146,10 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """12 minhashes per doc in one shuffle (12 partial `min` aggs)."""
-    hm = sh.withColumn("hm", portable_hash(F.col("s")) % MINHASH_PRIME)
+def minhash_signatures(sh_hashed: DataFrame) -> DataFrame:
+    """12 minhashes per doc in one shuffle (12 partial `min` aggs) over
+    hashed shingle sets (doc_id, h)."""
+    hm = sh_hashed.withColumn("hm", F.col("h") % MINHASH_PRIME)
     aggs = [
         F.min(
             (F.lit(MINHASH_A[i]) * F.col("hm") + F.lit(MINHASH_B[i]))
@@ -184,11 +202,11 @@ def minhash_lsh_pairs(
     pushes the candidate set into the shingle join) — this is the
     shape that survives a 100× corpus scale-up.
 
-    The shingle set feeds both the signature pass and the verification
-    join: persist it once (MEMORY_AND_DISK) instead of re-exploding the
-    corpus — at scale this halves the dominant scan+shuffle cost.
+    The hashed shingle set feeds both the signature pass and the
+    verification join: persist it once (it is the expensive scan), and
+    every shuffle downstream carries longs, not strings.
     """
-    sh = shingle_sets(docs, id_col, text_col, n).persist()
+    sh = hashed_shingle_sets(docs, id_col, text_col, n).persist()
     cand = lsh_candidates(minhash_signatures(sh)).persist()
     verified = jaccard_pairs(
         sh.join(
@@ -200,6 +218,7 @@ def minhash_lsh_pairs(
         ),
         num,
         den,
+        elem_col="h",
     )
     return verified.join(cand, ["doc_a", "doc_b"], "left_semi")
 

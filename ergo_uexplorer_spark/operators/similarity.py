@@ -75,6 +75,40 @@ def brute_force_topk(
     )
 
 
+def near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, cos ≥ threshold) — the
+    exact all-pairs baseline with per-vector norms computed once.
+
+    O(n²) by definition; at corpus scale route through `lsh_topk`-style
+    bucketing (or IVF centroids) first and verify only bucket collisions
+    — same composition as MinHash→verify in dedup.py."""
+    e = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+    )
+    a = e.select(
+        F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = e.select(
+        F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
 def _bucket(vec: Column) -> Column:
     """Sign-bit bucket id from the fixed ±1 hyperplanes."""
     out = F.lit(0)

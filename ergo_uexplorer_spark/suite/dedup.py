@@ -74,6 +74,9 @@ def d02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + banded LSH + exact verification (the scale path)
 # --------------------------------------------------------------------------
 def _minhash_sql() -> str:
+    """Mirrors operators/dedup.minhash_lsh_pairs exactly: shingles are
+    projected to their 60-bit portable hash before the distinct, and the
+    signature/verification passes run on the hashed sets."""
     mh_cols = ", ".join(
         f"min(({D.MINHASH_A[i]} * hm + {D.MINHASH_B[i]}) % {D.MINHASH_PRIME}) AS mh{i}"
         for i in range(D.NUM_HASHES)
@@ -87,12 +90,13 @@ def _minhash_sql() -> str:
         )
         for bi in range(D.LSH_BANDS)
     )
-    return (
-        "WITH "
-        + _SHINGLE_CTE
-        + f""",
-    hm AS (SELECT doc_id, s, {SQL_HASH.format(col='s')} % {D.MINHASH_PRIME} AS hm FROM sh),
-    sig AS (SELECT doc_id, {mh_cols} FROM hm GROUP BY doc_id),
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh0 AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
+    hs AS (SELECT DISTINCT doc_id, {SQL_HASH.format(col='s')} AS h FROM sh0),
+    ncount AS (SELECT doc_id, count(*) AS nn FROM hs GROUP BY doc_id),
+    hm0 AS (SELECT doc_id, h % {D.MINHASH_PRIME} AS hm FROM hs),
+    sig AS (SELECT doc_id, {mh_cols} FROM hm0 GROUP BY doc_id),
     bands AS ({band_rows}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -101,7 +105,7 @@ def _minhash_sql() -> str:
     ),
     pairs0 AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT p.doc_a, p.doc_b, p.shared, x.nn AS na, y.nn AS nb
@@ -111,7 +115,6 @@ def _minhash_sql() -> str:
     JOIN ncount y ON p.doc_b = y.doc_id
     WHERE 5 * p.shared >= 4 * (x.nn + y.nn - p.shared)
     """
-    )
 
 
 @register(

@@ -62,6 +62,39 @@ def s01_ann_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# embedding-cosine near-dup pairs (exact all-pairs baseline)
+# --------------------------------------------------------------------------
+_NEAR_DUP_T = 0.4  # the synthetic embeddings have no planted dups
+                   # (max pairwise cos ≈ 0.51) — 0.4 exercises the shape
+
+_NEAR_DUP_SQL = f"""
+    WITH e AS (
+      SELECT vec_id AS vid, embedding AS v,
+             sqrt({_DOT.format(dim=S.EMB_DIM, a='embedding', b='embedding')}) AS norm
+      FROM embeddings
+    )
+    SELECT a.vid AS vec_a, b.vid AS vec_b,
+           round({_DOT.format(dim=S.EMB_DIM, a='a.v', b='b.v')} / (a.norm * b.norm), 3)
+             AS cos_sim
+    FROM e a JOIN e b ON a.vid < b.vid
+    WHERE {_DOT.format(dim=S.EMB_DIM, a='a.v', b='b.v')} / (a.norm * b.norm)
+          >= {_NEAR_DUP_T}
+"""
+
+
+@register(
+    "d05_dedup_embedding_cosine",
+    sql=_NEAR_DUP_SQL,
+    survey_ref="LLM-pipeline: embedding-cosine near-dup",
+    tags=("dedup", "similarity"),
+)
+def d05_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load(spark, sf_dir, "embeddings")
+    out = S.near_dup_pairs(emb, threshold=_NEAR_DUP_T)
+    return out.select("vec_a", "vec_b", F.round("cos_sim", 3).alias("cos_sim"))
+
+
+# --------------------------------------------------------------------------
 # hyperplane-LSH bucketed ANN (scale path)
 # --------------------------------------------------------------------------
 def _sql_bucket(vec: str) -> str:

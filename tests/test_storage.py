@@ -1,0 +1,71 @@
+"""Lakehouse layout: height-bucket partition pruning, in-file clustering,
+dynamic bucket overwrite, round-trip through the query surface."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ergo_uexplorer_spark import storage
+from ergo_uexplorer_spark.fixtures.chaingen import ChainGen, write_jsonl_gz
+from ergo_uexplorer_spark.operators import boxes as B
+from ergo_uexplorer_spark.pipeline import ingest_blocks
+from ergo_uexplorer_spark.plans.explain import formatted_plan
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("lake")
+    gen = ChainGen(seed=13)
+    gen.generate(120)
+    tables = ingest_blocks(
+        spark, write_jsonl_gz(gen.blocks, str(d / "c.jsonl.gz"))
+    )
+    root = str(d / "gold")
+    paths = storage.write_lakehouse(tables, root)
+    return spark, root, paths, tables
+
+
+def test_partition_layout(lake):
+    spark, root, paths, _ = lake
+    dirs = os.listdir(paths["boxes"])
+    assert any(x.startswith("height_bucket=") for x in dirs)
+
+
+def test_roundtrip_counts(lake):
+    spark, root, paths, tables = lake
+    rt = storage.read_lakehouse(spark, root)
+    assert rt["boxes"].count() == tables["boxes_main"].count()
+    assert rt["utxo"].count() == tables["utxo"].count()
+    assert rt["blocks"].count() == 120
+
+
+def test_query_surface_over_lakehouse(lake):
+    spark, root, paths, tables = lake
+    rt = storage.read_lakehouse(spark, root)
+    some_box = tables["utxo"].first()["box_id"]
+    got = B.select_boxes(rt, "unspent", "box_id", [some_box])
+    assert got.count() == 1
+
+
+def test_bucket_pruning_in_plan(lake):
+    spark, root, paths, _ = lake
+    df = spark.read.parquet(paths["boxes"]).filter(F.col("height_bucket") == 0)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "height_bucket" in plan
+
+
+def test_overwrite_buckets_idempotent(spark, tmp_path):
+    gen = ChainGen(seed=14)
+    gen.generate(40)
+    tables = ingest_blocks(
+        spark, write_jsonl_gz(gen.blocks, str(tmp_path / "c.jsonl.gz"))
+    )
+    p = str(tmp_path / "boxes")
+    storage.write_fact(tables["boxes_main"], p, ["box_id"])
+    n = spark.read.parquet(p).count()
+    # re-apply the same data as an incremental overwrite: same count
+    storage.overwrite_buckets(tables["boxes_main"], p)
+    assert spark.read.parquet(p).count() == n
