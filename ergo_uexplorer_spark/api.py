@@ -19,6 +19,7 @@ from .operators import boxes as B
 from .operators.stats import (
     top_addresses_by_utxo_count,
     top_addresses_by_value,
+    top_tokens_by_box_count,
 )
 
 _KEY_KINDS = {
@@ -46,6 +47,7 @@ def routes() -> list[str]:
         "info",
         "stats/top-addresses/by-box-count",
         "stats/top-addresses/by-value",
+        "stats/top-tokens/by-box-count",
     ]
     return out
 
@@ -76,6 +78,8 @@ def endpoint(
         return top_addresses_by_utxo_count(tables["address_stats"], k=limit)
     if route == "stats/top-addresses/by-value":
         return top_addresses_by_value(tables["address_stats"], k=limit)
+    if route == "stats/top-tokens/by-box-count":
+        return top_tokens_by_box_count(tables["assets"], k=limit)
     raise ValueError(f"unknown route: {route}")
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.crypto import (
     address_type,
+    decode_register,
     decode_utf8_register,
     ergo_tree_hash,
     ergo_tree_t8,
@@ -199,6 +200,54 @@ def tokens(assets_df: DataFrame) -> DataFrame:
     )
 
 
+def registers(outputs_df: DataFrame) -> DataFrame:
+    """T6 (RegistersParser.scala:20-89): long-form expanded registers —
+    (box_id, register_id, raw, sigma_type, rendered); undecodable blobs
+    keep raw with null decode (ExpandedRegister(raw, None)). The decode
+    UDF runs over DISTINCT raw values only (dimension trick, like trees).
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("register_id"), F.col(r.lower()).alias("raw")
+            )
+            for r in REGISTER_IDS
+        ]
+    )
+    long = (
+        outputs_df.select(
+            "box_id", "block_id", "height", F.explode(pairs).alias("reg")
+        )
+        .select(
+            "box_id",
+            "block_id",
+            "height",
+            F.col("reg.register_id").alias("register_id"),
+            F.col("reg.raw").alias("raw"),
+        )
+        .filter(F.col("raw").isNotNull())
+    )
+    dim = (
+        long.select("raw")
+        .distinct()
+        .withColumn("decoded", decode_register(F.col("raw")))
+        .select(
+            "raw",
+            F.col("decoded.sigma_type").alias("sigma_type"),
+            F.col("decoded.rendered").alias("rendered"),
+        )
+    )
+    return long.join(F.broadcast(dim), "raw").select(
+        "box_id",
+        "block_id",
+        "height",
+        "register_id",
+        "raw",
+        "sigma_type",
+        "rendered",
+    )
+
+
 def ergo_trees(outputs_df: DataFrame) -> DataFrame:
     """Deduplicated tree dimension with the Python-parsed derivations —
     the ONLY place the crypto UDFs run (T7/T9)."""
@@ -238,6 +287,7 @@ def normalize(raw: DataFrame) -> dict[str, DataFrame]:
         "data_inputs": data_inputs(raw),
         "assets": ast,
         "tokens": tokens(ast),
+        "registers": registers(out),
         "ergo_trees": trees,
         "boxes": boxes(out, trees),
     }

@@ -37,6 +37,42 @@ def top_addresses_by_value(
     )
 
 
+def salted_count_by_key(
+    df: DataFrame, key_cols: list[str], salt_buckets: int = 16
+) -> DataFrame:
+    """Two-phase skew-proof counting: count by (salt, key) first, then
+    merge partials by key. AQE usually makes this unnecessary (it splits
+    skewed shuffle partitions at runtime), but when one key holds a
+    double-digit percentage of ALL rows (the exchange supernode), salting
+    guarantees the first shuffle is uniform regardless of planner state.
+    Same result as a plain groupBy-count."""
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy("__salt", *key_cols).agg(
+        F.count(F.lit(1)).alias("__partial")
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("__partial").alias("count")
+    )
+
+
+def top_tokens_by_box_count(
+    assets: DataFrame, k: int = 100
+) -> DataFrame:
+    """Token analog of Q14: which tokens sit in the most boxes (the hot
+    token is the planted skew key)."""
+    return (
+        assets.groupBy("token_id")
+        .agg(
+            F.count_distinct("box_id").alias("n_boxes"),
+            F.sum("amount").alias("total_amount"),
+        )
+        .orderBy(F.desc("n_boxes"), F.asc("token_id"))
+        .limit(k)
+    )
+
+
 def hot_keys(address_stats: DataFrame) -> DataFrame:
     """Keys above the supernode threshold — the skew report the reference
     persists as hot-keys-*.csv.gz; useful as a broadcast dimension for

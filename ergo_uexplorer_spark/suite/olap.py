@@ -142,6 +142,57 @@ def a01_distinct_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q14b_topk_salted",
+    sql="""
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 5
+    ORDER BY n_orders DESC, o_custkey ASC LIMIT 500
+    """,
+    survey_ref="Q14 + supernode salting (SuperNodeMvMap.scala:18-247)",
+    tags=("agg", "topk", "skew"),
+)
+def q14b_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical semantics to q14 through the two-phase salted
+    aggregation — the explicit skew-proof plan for supernode keys."""
+    from ..operators.stats import salted_count_by_key
+
+    (orders,) = load(spark, sf_dir, "orders")
+    counts = salted_count_by_key(orders, ["o_custkey"], salt_buckets=16)
+    return (
+        counts.withColumnRenamed("count", "n_orders")
+        .filter(F.col("n_orders") >= 5)
+        .orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+        .limit(500)
+    )
+
+
+@register(
+    "a04_exact_percentile",
+    sql="""
+    SELECT l_returnflag,
+           CAST(round(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT)
+             AS median_cents,
+           CAST(round(quantile_cont(l_extendedprice, 0.95) * 100) AS BIGINT)
+             AS p95_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_ref="exact percentiles (SURVEY §2.6 gap, Spark built-in)",
+    tags=("agg", "percentile"),
+)
+def a04_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)") * 100)
+        .cast("bigint")
+        .alias("median_cents"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)") * 100)
+        .cast("bigint")
+        .alias("p95_cents"),
+    )
+
+
+@register(
     "a02_approx_distinct",
     sql=None,  # HLL estimates are engine-specific → rows-only check
     survey_ref="readme.md:226 sketches TODO — approx_count_distinct",

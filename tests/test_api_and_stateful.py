@@ -34,9 +34,27 @@ def tables(spark, tmp_path_factory):
 
 def test_route_enumeration():
     rs = api.routes()
-    assert len(rs) == 2 * 3 * 7 + 5  # 42 box routes + 5 block/stat/info
+    assert len(rs) == 2 * 3 * 7 + 6  # 42 box routes + block/stat/info
     assert "boxes/unspent/by-address" in rs
     assert "box-ids/spent/by-token-id" in rs
+
+
+def test_top_tokens_route(tables):
+    from ergo_uexplorer_spark.fixtures.chaingen import _hex
+
+    top = api.endpoint(tables, "stats/top-tokens/by-box-count", limit=3).first()
+    assert top["token_id"] == _hex("hot-token")  # the planted hot token
+
+
+def test_registers_table(tables):
+    regs = tables["registers"].toPandas()
+    assert set(regs["register_id"]) >= {"R4", "R5", "R6"}
+    # Coll[Byte] and SInt decodes present; undecodable R7 blobs → null
+    assert "Coll[SByte]" in set(regs["sigma_type"].dropna())
+    assert "SInt" in set(regs["sigma_type"].dropna())
+    r7 = regs[regs["register_id"] == "R7"]
+    assert len(r7) > 0 and r7["sigma_type"].isna().all()
+    assert r7["raw"].notna().all()  # raw kept (ExpandedRegister(raw, None))
 
 
 def test_every_box_route_resolves(tables):
