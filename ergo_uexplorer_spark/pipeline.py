@@ -23,13 +23,22 @@ from .sources.blocks import read_blocks
 
 
 def ingest_blocks(
-    spark: SparkSession, path: str, from_height: int | None = None
+    spark: SparkSession,
+    path: str,
+    from_height: int | None = None,
+    cache: bool = False,
 ) -> dict[str, DataFrame]:
     raw = read_blocks(spark, path, from_height)
-    return ingest_raw(raw)
+    return ingest_raw(raw, cache=cache)
 
 
-def ingest_raw(raw: DataFrame) -> dict[str, DataFrame]:
+def ingest_raw(raw: DataFrame, cache: bool = False) -> dict[str, DataFrame]:
+    """`cache=True` persists the shared fact tables (MEMORY_AND_DISK)
+    before the gold outputs fan out. Measured locally it is a wash (the
+    JSON re-parse is cheap at fixture scale), so it defaults off; at
+    production scale prefer materializing silver with
+    `storage.write_lakehouse` and reading gold inputs back — durable,
+    shareable, and it survives executor loss, which a .persist does not."""
     tables = N.normalize(raw)
     hdrs = resolve_main_chain(tables["headers"])
     main_ids = hdrs.filter("main_chain").select("block_id")
@@ -43,6 +52,11 @@ def ingest_raw(raw: DataFrame) -> dict[str, DataFrame]:
     tx_main = on_main(tables["transactions"])
     boxes_main = on_main(tables["boxes"])
     inputs_main = on_main(tables["inputs"])
+    if cache:
+        headers_main = headers_main.persist()
+        tx_main = tx_main.persist()
+        boxes_main = boxes_main.persist()
+        inputs_main = inputs_main.persist()
 
     utxo_df = utxo(boxes_main, inputs_main)
     result = dict(tables)
