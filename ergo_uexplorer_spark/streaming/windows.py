@@ -1,0 +1,73 @@
+"""Event-time windowed aggregation with watermarks — late data handled
+by watermark eviction rather than the reference's rollback machinery
+(SURVEY §2.6 notes the reference has no event-time windows at all; its
+"late data" is only forks, handled by C3).
+
+Input events carry `ts` as epoch nanos (the driver testdata shape);
+the stream converts to a proper timestamp, bounds state with
+`withWatermark`, and aggregates per tumbling/session window. Append mode
+emits a window only once its watermark passes — the exactly-once analog
+of the reference's per-epoch finalized stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_event_time(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """nanos long → TIMESTAMP event_time (micros precision)."""
+    return events.withColumn(
+        "event_time", F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Windowed counts with bounded state: rows later than `watermark`
+    behind the max seen event time are dropped, and closed windows are
+    finalized (append mode) — state size is O(open windows × groups)."""
+    return (
+        with_event_time(events)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window_len), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            group_col,
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Built-in session windows (gap-merged per user) — the declarative
+    sibling of streaming/stateful.sessionize_stream, finalized by
+    watermark instead of explicit state handling."""
+    return (
+        with_event_time(events)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

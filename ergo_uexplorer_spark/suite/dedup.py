@@ -164,3 +164,48 @@ _SIMHASH_SQL = f"""
 def d04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     return D.simhash_pairs(D.simhash(docs), max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# the composed cleaning pipeline: exact dedup → LSH near-dup removal →
+# quality gate (operators/corpus.py)
+# --------------------------------------------------------------------------
+def _clean_corpus_sql() -> str:
+    from ..operators.textops import sql_lang_pred
+
+    minhash_pairs = _minhash_sql()
+    return f"""
+    WITH canon AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ),
+    victims AS (
+      SELECT DISTINCT doc_b AS doc_id FROM ({minhash_pairs})
+    ),
+    signals AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             {sql_lang_pred("list_distinct(t)")} AS lang_pred
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    )
+    SELECT s.doc_id, s.lang_pred, s.n_tokens
+    FROM signals s
+    JOIN canon c ON s.doc_id = c.doc_id
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM victims)
+      AND s.n_tokens >= 10
+    """
+
+
+@register(
+    "c01_clean_corpus",
+    sql=_clean_corpus_sql(),
+    survey_ref="LLM-pipeline: composed cleaning (dedup→near-dup→quality)",
+    tags=("dedup", "pipeline"),
+    bench=True,
+)
+def c01_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import clean_corpus
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return clean_corpus(docs)

@@ -1,0 +1,121 @@
+"""Watermarked event-time windows: finalized results equal the batch
+computation; a too-late row is dropped by the watermark."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from ergo_uexplorer_spark.streaming.windows import (
+    session_windows,
+    tumbling_counts,
+    with_event_time,
+)
+
+HOUR_NS = 3_600_000_000_000
+BASE = 1_700_000_000_000_000_000  # aligned-ish epoch nanos
+
+
+def _write(path, rows):
+    with open(path, "w") as f:
+        for u, t, ts, v in rows:
+            f.write(
+                json.dumps(
+                    {"user_id": u, "event_type": t, "ts": ts, "value": v}
+                )
+                + "\n"
+            )
+
+
+def _run_stream(spark, src_dir, ck_dir, builder, name):
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src_dir))
+    )
+    q = (
+        builder(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(ck_dir))
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"select * from {name}")
+
+
+def test_tumbling_watermark_finalizes_windows(spark, tmp_path):
+    """Append-mode guarantees under watermarks: a window emits exactly
+    once, only after the watermark passes its end; windows still inside
+    the horizon never emit; doornail-late rows arriving well after
+    finalization do not resurrect an emitted window. (Spark's lateness
+    drop is best-effort one batch behind — the hard guarantee is
+    no-reemission, which is what downstream consumers rely on.)"""
+    src = tmp_path / "src"
+    src.mkdir()
+    import time as _time
+
+    # batch 0: two events in hour-window W0, one in W1
+    _write(src / "b0.json", [
+        (1, "click", BASE, 1.0),
+        (2, "click", BASE + HOUR_NS // 2, 2.0),
+        (1, "view", BASE + HOUR_NS + 1, 3.0),
+    ])
+    _time.sleep(1.1)
+    # batch 1: jump event time far beyond the watermark horizon → W0/W1
+    # finalize in a later batch
+    _write(src / "b1.json", [(3, "click", BASE + 10 * HOUR_NS, 4.0)])
+    _time.sleep(1.1)
+    _write(src / "b2.json", [(4, "view", BASE + 11 * HOUR_NS, 5.0)])
+    _time.sleep(1.1)
+    # batch 3: a doornail-late click for long-finalized W0
+    _write(src / "b3.json", [(9, "click", BASE + 1, 99.0)])
+    out = _run_stream(
+        spark, src, tmp_path / "ck",
+        lambda s: tumbling_counts(s, "1 hour", "2 hours"), "wm_tumble",
+    )
+    rows = [
+        (r["window_start"], r["event_type"], r["n_events"])
+        for r in out.collect()
+    ]
+    keys = [(w, t) for w, t, _ in rows]
+    # exactly-once emission: no window/group appears twice
+    assert len(keys) == len(set(keys)), f"re-emitted window: {rows}"
+    # W0 and W1 finalized
+    finalized = {(t, n) for _, t, n in rows}
+    assert ("click", 2) in finalized, rows
+    assert ("view", 1) in finalized, rows
+    # the last-batch windows (10h/11h clicks) are still open → not emitted
+    assert all(n <= 2 for _, _, n in rows), rows
+
+
+def test_session_windows_match_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    GAP = 1_800_000_000_000
+    rows = [
+        (1, "click", BASE, 1.0),
+        (1, "click", BASE + GAP // 2, 1.0),       # same session
+        (1, "click", BASE + 3 * GAP, 1.0),        # new session
+        (2, "view", BASE, 1.0),
+        # sentinel far in the future so watermark closes everything above
+        (99, "view", BASE + 100 * GAP, 0.0),
+    ]
+    _write(src / "b0.json", rows[:4])
+    import time as _time
+
+    _time.sleep(1.1)
+    _write(src / "b1.json", rows[4:])
+    out = _run_stream(
+        spark, src, tmp_path / "ck2",
+        lambda s: session_windows(s, "30 minutes", "1 hour"), "wm_sess",
+    )
+    got = {
+        (r["user_id"], r["n_events"]) for r in out.collect() if r["user_id"] != 99
+    }
+    assert got == {(1, 2), (1, 1), (2, 1)}
