@@ -118,6 +118,119 @@ def _bucket(vec: Column) -> Column:
     return out
 
 
+def ivf_build_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means with deterministic init (the first
+    n_centroids vectors by id) and a fixed iteration count, computed with
+    DataFrame aggregations (posexplode → mean per (cluster, dim) — never
+    collects vectors beyond the centroid table). Returns the centroid
+    list for broadcast."""
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in emb.orderBy(id_col).limit(n_centroids).collect()
+    ]
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents, id_col, vec_col)
+        dims = assigned.select(
+            "centroid_id", F.posexplode(F.col(vec_col)).alias("dim", "x")
+        )
+        means = (
+            dims.groupBy("centroid_id", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = {c: list(cents[c]) for c in range(len(cents))}
+        for r in means:
+            new[r["centroid_id"]][r["dim"]] = r["m"]
+        cents = [new[c] for c in range(len(cents))]
+    return cents
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine. One struct per centroid,
+    argmax via `array_max` (struct ordering: cosine first, then -cell so
+    ties go to the smaller cell id). Linear expression size — a chained
+    when/otherwise would nest each comparison inside the next and blow
+    the analyzer up exponentially."""
+    structs = []
+    for ci, cent in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(v)) for v in cent])
+        structs.append(
+            F.struct(
+                cosine(F.col(vec_col), lit_c).alias("c"),
+                F.lit(-ci).alias("negcell"),
+            )
+        )
+    best = F.array_max(F.array(*structs))
+    return emb.withColumn("centroid_id", (-best["negcell"]).cast("int"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: corpus partitioned by nearest centroid; each query
+    probes its `n_probes` closest centroid cells and ranks exactly inside
+    them. The join key is the cell id, so at scale each query touches
+    ~n_probes/n_centroids of the corpus (same shape as lsh_topk, but the
+    cells are data-adaptive)."""
+    corpus = ivf_assign(emb, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("nv"),
+        F.col("centroid_id").alias("cell"),
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    probe_rows = []
+    for ci, cent in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(v)) for v in cent])
+        probe_rows.append(
+            F.struct(F.lit(ci).alias("cell"), cosine(F.col("qv"), lit_c).alias("c"))
+        )
+    probes = q.withColumn(
+        "cells",
+        F.slice(
+            F.reverse(F.array_sort(F.array(*probe_rows), _cos_then_cell)),
+            1,
+            n_probes,
+        ),
+    ).select("q_id", "qv", F.explode("cells.cell").alias("cell"))
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "cos_sim")
+    )
+
+
+def _cos_then_cell(a: Column, b: Column) -> Column:
+    """array_sort comparator: ascending by cosine then cell id (reversed
+    afterwards → best cells first, deterministic ties)."""
+    return F.when(a["c"] < b["c"], -1).when(a["c"] > b["c"], 1).otherwise(
+        F.when(a["cell"] < b["cell"], -1).when(a["cell"] > b["cell"], 1).otherwise(0)
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

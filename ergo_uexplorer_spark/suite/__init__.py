@@ -8,3 +8,4 @@ from . import similarity  # noqa: F401
 from . import textops  # noqa: F401
 from . import olap  # noqa: F401
 from . import temporal  # noqa: F401
+from . import grouped  # noqa: F401
