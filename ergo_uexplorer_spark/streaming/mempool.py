@@ -27,6 +27,37 @@ def mempool_diff(new_snapshot: DataFrame, old_snapshot: DataFrame) -> DataFrame:
     return new_snapshot.join(new_ids, "id", "left_semi")
 
 
+def unconfirmed_overlay(
+    utxo: DataFrame, mempool_txs: DataFrame
+) -> DataFrame:
+    """The speculative view: confirmed UTXO with the mempool applied —
+    boxes spent by unconfirmed txs drop out, unconfirmed outputs join
+    with `confirmed = false`. Same anti-join/union algebra as the block
+    path (C4/C5), so a settling tx changes a row's flag, never the
+    set semantics. Returns (box_id, value, ergo_tree, confirmed)."""
+    mem_spent = mempool_txs.select(
+        F.explode("inputs").alias("i")
+    ).select(F.col("i.boxId").alias("box_id"))
+    mem_outputs = (
+        mempool_txs.select(F.explode("outputs").alias("o"))
+        .select(
+            F.col("o.boxId").alias("box_id"),
+            F.col("o.value").alias("value"),
+            F.col("o.ergoTree").alias("ergo_tree"),
+        )
+        .withColumn("confirmed", F.lit(False))
+    )
+    confirmed = (
+        utxo.select("box_id", "value", "ergo_tree")
+        .join(mem_spent, "box_id", "left_anti")
+        .withColumn("confirmed", F.lit(True))
+    )
+    # an unconfirmed output spent by another unconfirmed tx (chained
+    # mempool txs) is not live either
+    live_mem = mem_outputs.join(mem_spent, "box_id", "left_anti")
+    return confirmed.unionByName(live_mem)
+
+
 def stream_new_txs(
     spark: SparkSession, snapshot_dir: str, checkpoint_dir: str
 ) -> DataFrame:

@@ -104,6 +104,57 @@ def test_incremental_matches_batch(spark, gen, tmp_path):
     assert stream_ids == batch_ids
 
 
+def test_unconfirmed_overlay(spark, gen, tmp_path):
+    """Mempool overlay: unconfirmed spends drop boxes, unconfirmed
+    outputs appear unflagged, chained mempool spends stay dead; applying
+    the txs as a real block converges to the same live set."""
+    from ergo_uexplorer_spark.sources.blocks import TX_SCHEMA
+    from ergo_uexplorer_spark.streaming.mempool import unconfirmed_overlay
+
+    full = write_jsonl_gz(gen.blocks, str(tmp_path / "full.jsonl.gz"))
+    tables = ingest_blocks(spark, full)
+    utxo = tables["utxo"]
+
+    # craft a mempool: one tx spends a real utxo, a second spends the
+    # first tx's output (chained)
+    some = utxo.orderBy("box_id").first()
+    mem = [
+        {
+            "id": "aa" * 32,
+            "inputs": [{"boxId": some["box_id"],
+                        "spendingProof": {"proofBytes": None, "extension": "{}"}}],
+            "dataInputs": [],
+            "outputs": [{"boxId": "bb" * 32, "value": 5, "creationHeight": 1,
+                         "ergoTree": "0008cd" + "cc" * 33, "assets": [],
+                         "additionalRegisters": {}}],
+            "size": 100,
+        },
+        {
+            "id": "dd" * 32,
+            "inputs": [{"boxId": "bb" * 32,
+                        "spendingProof": {"proofBytes": None, "extension": "{}"}}],
+            "dataInputs": [],
+            "outputs": [{"boxId": "ee" * 32, "value": 4, "creationHeight": 1,
+                         "ergoTree": "0008cd" + "cc" * 33, "assets": [],
+                         "additionalRegisters": {}}],
+            "size": 100,
+        },
+    ]
+    p = tmp_path / "mem.json"
+    _write_tx_snapshot(p, mem)
+    mem_df = spark.read.schema(TX_SCHEMA).json(str(p))
+
+    overlay = unconfirmed_overlay(utxo, mem_df)
+    rows = {r["box_id"]: r for r in overlay.collect()}
+    assert some["box_id"] not in rows  # spent by mempool
+    assert "bb" * 32 not in rows  # chained spend
+    assert rows["ee" * 32]["confirmed"] is False
+    n_conf = sum(1 for r in rows.values() if r["confirmed"])
+    assert n_conf == utxo.count() - 1
+    # set semantics match "what if these txs settled"
+    assert len(rows) == utxo.count() - 1 + 1
+
+
 def test_utxo_state_rollback(spark, gen, tmp_path):
     """S10: rollbackTo(version) restores an older snapshot (fork
     recovery path)."""
