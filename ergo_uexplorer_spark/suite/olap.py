@@ -193,6 +193,30 @@ def a04_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g01_degree_distribution",
+    sql="""
+    WITH deg AS (
+      SELECT o_custkey, count(DISTINCT l_suppkey) AS degree
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_custkey
+    )
+    SELECT degree, count(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+    survey_ref="graph analytics: degree distribution over P2 edges",
+    tags=("graph", "agg"),
+)
+def g01_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    deg = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.count_distinct("l_suppkey").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
     "a02_approx_distinct",
     sql=None,  # HLL estimates are engine-specific → rows-only check
     survey_ref="readme.md:226 sketches TODO — approx_count_distinct",

@@ -113,6 +113,44 @@ def x03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# corpus-level n-gram statistics: top bigrams with deterministic ties
+# --------------------------------------------------------------------------
+@register(
+    "x05_top_bigrams",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, count(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+    survey_ref="LLM-pipeline: corpus n-gram statistics",
+    tags=("text", "agg", "topk"),
+)
+def x05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    tok = T.tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(tok) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - 2),
+            lambda i: F.concat_ws(" ", F.get(tok, i), F.get(tok, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # document fingerprinting: md5 over sorted distinct token set
 # --------------------------------------------------------------------------
 @register(

@@ -157,6 +157,33 @@ def test_minhash_lsh_recall_on_planted_near_dups(spark):
     assert found <= exact
 
 
+def test_clean_corpus_invariants(spark):
+    """Composition invariants: kept ⊆ canonical reps, no near-dup pair
+    survives intact, all kept docs meet the token floor, and a corpus
+    with no dups keeps everything above the floor."""
+    from ergo_uexplorer_spark.operators.corpus import clean_corpus
+
+    base = " ".join(f"w{i}" for i in range(50))
+    docs = [
+        (0, base),
+        (1, base),  # exact dup of 0 → dropped
+        (2, base.replace("w10", "q10")),  # near-dup of 0 → dropped (larger id)
+        (3, "short doc"),  # under token floor → dropped
+        (4, " ".join(f"u{i}" for i in range(30))),  # unique → kept
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kept = {r["doc_id"] for r in clean_corpus(df, min_tokens=10).collect()}
+    assert kept == {0, 4}
+
+    unique_docs = [
+        (i, " ".join(f"v{i}_{j}" for j in range(20))) for i in range(6)
+    ]
+    df2 = spark.createDataFrame(unique_docs, "doc_id long, text string")
+    assert {r["doc_id"] for r in clean_corpus(df2, min_tokens=10).collect()} == set(
+        range(6)
+    )
+
+
 def test_simhash_identical_docs_zero_hamming(spark):
     docs = [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
             (2, "totally different words entirely")]
