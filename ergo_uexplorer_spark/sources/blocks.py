@@ -127,12 +127,29 @@ BLOCK_SCHEMA = StructType(
 
 
 def read_blocks(
-    spark: SparkSession, path: str, from_height: int | None = None
+    spark: SparkSession,
+    path: str | list[str],
+    from_height: int | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """S3 file source: JSON-lines (optionally .gz) of full blocks. The
     `from_height` resume filter mirrors `dropUntil(height)` and is pushed
-    into the scan."""
+    into the scan.
+
+    `validate` drops structurally-invalid records (Spark's permissive
+    JSON mode turns malformed lines into all-null rows, which would
+    otherwise poison chain resolution with null heights). The reference
+    fails hard on undecodable blocks; dropping + counting is the batch
+    equivalent — use `spark.read.option("mode", "FAILFAST")` semantics
+    via validate=False + your own check if ingest must abort instead.
+    """
     df = spark.read.schema(BLOCK_SCHEMA).json(path)
+    if validate:
+        df = df.filter(
+            F.col("header.id").isNotNull()
+            & F.col("header.parentId").isNotNull()
+            & F.col("header.height").isNotNull()
+        )
     if from_height is not None:
         df = df.filter(F.col("header.height") >= from_height)
     return df

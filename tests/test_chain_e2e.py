@@ -151,6 +151,28 @@ def test_tree_dimension(tables):
     assert contract["ergo_tree_t8_hash"].notna().all()
 
 
+def test_malformed_lines_dropped(spark, tmp_path):
+    """Permissive-mode null rows from garbage lines must not reach the
+    chain operators (they'd poison height arithmetic)."""
+    import gzip
+    import json as _json
+
+    gen = ChainGen(seed=2)
+    gen.generate(5)
+    p = tmp_path / "dirty.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        for b in gen.blocks:
+            f.write(_json.dumps(b) + "\n")
+        f.write('{"not": "a block"}\n')
+        f.write("complete garbage\n")
+    from ergo_uexplorer_spark.sources.blocks import read_blocks
+
+    assert read_blocks(spark, str(p)).count() == 5
+    assert read_blocks(spark, str(p), validate=False).count() == 7
+    tables = ingest_blocks(spark, str(p))
+    assert tables["headers_main"].count() == 5
+
+
 def test_fork_resolution_equivalence(spark, chain_dir):
     """Ingesting main ∪ shorter-fork ∪ longer-fork must produce exactly
     the state of ingesting the longer fork alone (rollback semantics,
