@@ -23,7 +23,8 @@ def _cents(col):
     "q10_multi_key_fanout",
     sql="""
     SELECT o_custkey, count(*) AS n_orders,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
     FROM orders WHERE o_custkey < 50
     GROUP BY o_custkey
     """,
@@ -101,7 +102,7 @@ def q19_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b02_rollup_summary",
     sql="""
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -216,29 +217,100 @@ def g01_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
+_A02_RSD = 0.02
+
+
 @register(
     "a02_approx_distinct",
-    sql=None,  # HLL estimates are engine-specific → rows-only check
+    sql="""
+    SELECT l_suppkey,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+           TRUE AS within_tol
+    FROM lineitem GROUP BY l_suppkey
+    """,
     survey_ref="readme.md:226 sketches TODO — approx_count_distinct",
     tags=("agg", "sketch"),
 )
 def a02_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ estimates are engine-specific, so the deterministic contract
+    is: exact distinct count + `within_tol` asserting the sketch landed
+    inside 3·rsd of exact (with an absolute-1 floor for tiny groups).
+    The oracle computes the exact count and literal TRUE — the entry
+    still exercises the sketch because a drifting estimate flips the
+    boolean and hash-fails."""
     (lineitem,) = load(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_suppkey").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")
+    agg = lineitem.groupBy("l_suppkey").agg(
+        F.count_distinct("l_partkey").alias("n_parts_exact"),
+        F.approx_count_distinct("l_partkey", rsd=_A02_RSD).alias("__approx"),
+    )
+    tol = F.greatest(
+        F.lit(1.0), F.lit(3 * _A02_RSD) * F.col("n_parts_exact").cast("double")
+    )
+    return agg.select(
+        "l_suppkey",
+        "n_parts_exact",
+        (
+            F.abs(
+                F.col("__approx").cast("double")
+                - F.col("n_parts_exact").cast("double")
+            )
+            <= tol
+        ).alias("within_tol"),
     )
 
 
 @register(
     "a03_approx_percentile",
-    sql=None,  # t-digest/GK estimates are engine-specific → rows-only
+    sql="""
+    SELECT l_returnflag,
+           CAST(round(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT)
+               AS p50_cents,
+           CAST(round(quantile_cont(l_extendedprice, 0.95) * 100) AS BIGINT)
+               AS p95_cents,
+           CAST(round(quantile_cont(l_extendedprice, 0.99) * 100) AS BIGINT)
+               AS p99_cents,
+           TRUE AS approx_in_band
+    FROM lineitem GROUP BY l_returnflag
+    """,
     survey_ref="readme.md:226 sketches TODO — approx_percentile",
     tags=("agg", "sketch"),
 )
 def a03_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar columns only (an array column crashes order-insensitive
+    canonicalizers). Deterministic contract: exact interpolated
+    percentiles (match DuckDB quantile_cont) + `approx_in_band` checking
+    each percentile_approx estimate sits between the exact quantiles one
+    percentile-point either side — a ±1%-rank band, far wider than the
+    sketch's 1/accuracy rank error at any sf."""
     (lineitem,) = load(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_percentiles"
-        )
+    acc = 10000
+
+    def ex(q):
+        return F.expr(f"percentile(l_extendedprice, {q})")
+
+    g = lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, acc).alias("__a50"),
+        F.percentile_approx("l_extendedprice", 0.95, acc).alias("__a95"),
+        F.percentile_approx("l_extendedprice", 0.99, acc).alias("__a99"),
+        ex(0.5).alias("__e50"),
+        ex(0.95).alias("__e95"),
+        ex(0.99).alias("__e99"),
+        ex(0.49).alias("__lo50"),
+        ex(0.51).alias("__hi50"),
+        ex(0.94).alias("__lo95"),
+        ex(0.96).alias("__hi95"),
+        ex(0.98).alias("__lo99"),
+        F.max("l_extendedprice").alias("__hi99"),
+    )
+    in_band = (
+        F.col("__a50").between(F.col("__lo50"), F.col("__hi50"))
+        & F.col("__a95").between(F.col("__lo95"), F.col("__hi95"))
+        & F.col("__a99").between(F.col("__lo99"), F.col("__hi99"))
+    )
+    return g.select(
+        "l_returnflag",
+        F.round(F.col("__e50") * 100).cast("bigint").alias("p50_cents"),
+        F.round(F.col("__e95") * 100).cast("bigint").alias("p95_cents"),
+        F.round(F.col("__e99") * 100).cast("bigint").alias("p99_cents"),
+        in_band.alias("approx_in_band"),
     )

@@ -147,7 +147,8 @@ def q05_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT o_orderkey,
            count(l_orderkey) AS n_items,
-           COALESCE(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) AS items_cents
+           CAST(COALESCE(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0)
+                AS BIGINT) AS items_cents
     FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderkey
     """,
@@ -321,7 +322,9 @@ def q14_topk_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q15_topk_by_sum",
     sql="""
-    SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
     FROM orders GROUP BY o_custkey
     ORDER BY total_cents DESC, o_custkey ASC LIMIT 100
     """,
@@ -402,7 +405,8 @@ def q17_unspent_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey,
            count(*) AS n_items,
            array_to_string(list_sort(list(l_linenumber)), ',') AS item_lines,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS items_cents
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS items_cents
     FROM lineitem GROUP BY l_orderkey
     """,
     survey_ref="Q18 LightBlockModel.scala:31-87",
@@ -447,7 +451,8 @@ def c11_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p01_high_value_detector",
     sql="""
     SELECT l_orderkey,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS alert_cents
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS alert_cents
     FROM lineitem WHERE l_returnflag <> 'A'
     GROUP BY l_orderkey
     HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)) >= 20000000
@@ -473,7 +478,8 @@ def p01_high_value_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p02_graph_edges",
     sql="""
     SELECT o_custkey AS src, l_suppkey AS dst,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS edge_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS edge_cents,
            count(*) AS n_txns
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_custkey, l_suppkey
@@ -503,10 +509,11 @@ def p02_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b01_pricing_summary",
     sql="""
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-               AS sum_disc_cents,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_base_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS sum_disc_cents,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -540,8 +547,8 @@ def b01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b03_shipping_priority",
     sql="""
     SELECT l_orderkey,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-               AS revenue_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
            CAST(o_orderdate AS DATE) AS order_date
     FROM customer
     JOIN orders ON c_custkey = o_custkey

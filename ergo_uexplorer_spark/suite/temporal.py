@@ -36,8 +36,9 @@ DAY_NS = 86_400_000_000_000
       FROM l
     )
     SELECT user_id, event_id,
-           sum(is_new) OVER (PARTITION BY user_id ORDER BY tsn, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                                  ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS session_id
     FROM s
     """,
     survey_ref="streaming extension: session windows (batch twin)",
@@ -78,7 +79,8 @@ HOUR_NS = 3_600_000_000_000
     SELECT event_type,
            (epoch_ns(ts) // {HOUR_NS}) * 3600 AS hour_start,
            count(*) AS n_events,
-           sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
     FROM events
     GROUP BY 1, 2
     """,

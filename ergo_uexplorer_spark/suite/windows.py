@@ -23,10 +23,10 @@ def _cents(col):
     "t03_running_totals",
     sql="""
     SELECT o_orderkey, o_custkey,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS UNBOUNDED PRECEDING
-           ) AS running_cents
+           ) AS BIGINT) AS running_cents
     FROM orders
     """,
     survey_ref="T3 BlockBuilder.scala:49-63",
