@@ -62,30 +62,53 @@ def s01_ann_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# embedding-cosine near-dup pairs (exact all-pairs baseline)
+# embedding-cosine near-dup pairs: banded hyperplane-LSH candidates +
+# exact cosine verify. The oracle mirrors the seeded bands literally, so
+# both engines produce the identical deterministic pair set (the LSH
+# recall curve is a property of the operator, not an engine divergence).
 # --------------------------------------------------------------------------
 _NEAR_DUP_T = 0.4  # the synthetic embeddings have no planted dups
                    # (max pairwise cos ≈ 0.51) — 0.4 exercises the shape
 
-_NEAR_DUP_SQL = f"""
+
+def _sql_nd_bucket(vec: str, band: int) -> str:
+    terms = []
+    for p, plane in enumerate(S.ND_PLANES[band]):
+        lit = "[" + ", ".join(f"{float(v)}" for v in plane) + "]"
+        d = _DOT.format(dim=S.EMB_DIM, a=vec, b=f"({lit}::DOUBLE[])")
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _near_dup_sql() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT vid, {band} AS band, {_sql_nd_bucket('v', band)} AS bkt FROM e"
+        for band in range(S.ND_BANDS)
+    )
+    d_xy = _DOT.format(dim=S.EMB_DIM, a="x.v", b="y.v")
+    return f"""
     WITH e AS (
       SELECT vec_id AS vid, embedding AS v,
              sqrt({_DOT.format(dim=S.EMB_DIM, a='embedding', b='embedding')}) AS norm
       FROM embeddings
+    ),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.vid AS vec_a, b.vid AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkt = b.bkt AND a.vid < b.vid
     )
-    SELECT a.vid AS vec_a, b.vid AS vec_b,
-           round({_DOT.format(dim=S.EMB_DIM, a='a.v', b='b.v')} / (a.norm * b.norm), 3)
-             AS cos_sim
-    FROM e a JOIN e b ON a.vid < b.vid
-    WHERE {_DOT.format(dim=S.EMB_DIM, a='a.v', b='b.v')} / (a.norm * b.norm)
-          >= {_NEAR_DUP_T}
-"""
+    SELECT c.vec_a, c.vec_b,
+           round({d_xy} / (x.norm * y.norm), 3) AS cos_sim
+    FROM cand c JOIN e x ON c.vec_a = x.vid JOIN e y ON c.vec_b = y.vid
+    WHERE {d_xy} / (x.norm * y.norm) >= {_NEAR_DUP_T}
+    """
 
 
 @register(
     "d05_dedup_embedding_cosine",
-    sql=_NEAR_DUP_SQL,
-    survey_ref="LLM-pipeline: embedding-cosine near-dup",
+    sql=_near_dup_sql(),
+    survey_ref="LLM-pipeline: embedding-cosine near-dup (banded LSH + verify)",
     tags=("dedup", "similarity"),
 )
 def d05_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

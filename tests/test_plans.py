@@ -50,6 +50,27 @@ def test_ann_no_unbounded_cartesian(spark):
     assert_no_cartesian(df)
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "d02_dedup_ngram_jaccard",
+        "d03_dedup_minhash_lsh",
+        "d04_dedup_simhash",
+        "d05_dedup_embedding_cosine",
+    ],
+)
+def test_near_dup_plans_are_bucketed(spark, name):
+    """The registered near-dup plans are candidate-join shaped: no
+    CartesianProduct and no nested-loop join of any kind — pair
+    generation must be an equi-join on a bucket/block/prefix key."""
+    from ergo_uexplorer_spark.plans.explain import formatted_plan
+
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
+
+
 def test_codegen_alive(spark):
     df = REGISTRY["b01_pricing_summary"].fn(spark, SF_DIR)
     assert whole_stage_codegen_spans(df) >= 1

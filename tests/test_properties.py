@@ -13,13 +13,16 @@ from pyspark.sql import functions as F
 
 from ergo_uexplorer_spark.operators.cumulative import ordered_prefix
 from ergo_uexplorer_spark.operators.dedup import (
+    hashed_shingle_sets,
     jaccard_pairs,
+    jaccard_prefix_pairs,
     lsh_candidates,
     minhash_lsh_pairs,
     minhash_signatures,
     shingle_sets,
     simhash,
     simhash_pairs,
+    simhash_pairs_allpairs,
 )
 from ergo_uexplorer_spark.operators.joins import asof_join
 
@@ -182,6 +185,86 @@ def test_clean_corpus_invariants(spark):
     assert {r["doc_id"] for r in clean_corpus(df2, min_tokens=10).collect()} == set(
         range(6)
     )
+
+
+def _dup_heavy_docs(spark, n_uniques: int = 12):
+    """A corpus with exact dups, 1–2 token edits, and unrelated docs —
+    exercises hamming 0..3+ and Jaccard bands around the threshold."""
+    base = " ".join(f"w{i}" for i in range(60))
+    docs = [
+        (0, base),
+        (1, base),
+        (2, base.replace("w10", "q10")),
+        (3, base.replace("w10", "q10").replace("w20", "q20")),
+        (4, base.replace("w1", "a1").replace("w2", "a2").replace("w3", "a3")),
+    ]
+    docs += [
+        (10 + i, " ".join(f"u{i}_{j}" for j in range(40)))
+        for i in range(n_uniques)
+    ]
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_simhash_pigeonhole_equals_allpairs(spark):
+    """The block-join candidate generation is lossless: identical result
+    set to the quadratic baseline for every max_hamming ≤ 3."""
+    df = _dup_heavy_docs(spark)
+    sig = simhash(df).persist()
+    for mh in (0, 1, 3):
+        fast = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_pairs(sig, max_hamming=mh).collect()
+        }
+        slow = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_pairs_allpairs(sig, max_hamming=mh).collect()
+        }
+        assert fast == slow, f"pigeonhole mismatch at max_hamming={mh}"
+
+
+def test_jaccard_prefix_filter_equals_allpairs(spark):
+    """Prefix filtering is lossless: exact same verified pairs as the
+    quadratic join over the same hashed shingle sets."""
+    df = _dup_heavy_docs(spark)
+    fast = {
+        (r["doc_a"], r["doc_b"], r["shared"], r["na"], r["nb"])
+        for r in jaccard_prefix_pairs(df, num=4, den=5).collect()
+    }
+    slow = {
+        (r["doc_a"], r["doc_b"], r["shared"], r["na"], r["nb"])
+        for r in jaccard_pairs(hashed_shingle_sets(df), 4, 5, elem_col="h").collect()
+    }
+    assert fast == slow
+    assert (0, 1) in {(a, b) for a, b, *_ in fast}  # exact dup found
+
+
+def test_near_dup_bucketed_subset_and_recall(spark):
+    """Banded-LSH near-dup pairs ⊆ exact all-pairs; planted near-identical
+    vectors (cos ≈ 1 ⇒ per-band collision ≈ 1) are always recovered."""
+    import random as _r
+
+    from ergo_uexplorer_spark.operators.similarity import (
+        near_dup_pairs,
+        near_dup_pairs_allpairs,
+    )
+
+    rng = _r.Random(5)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = list(base)
+    near[0] += 0.01  # cos ≈ 1.0
+    vecs = [(0, base), (1, near)]
+    vecs += [(10 + i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    fast = {
+        (r["vec_a"], r["vec_b"])
+        for r in near_dup_pairs(df, threshold=0.9).collect()
+    }
+    slow = {
+        (r["vec_a"], r["vec_b"])
+        for r in near_dup_pairs_allpairs(df, threshold=0.9).collect()
+    }
+    assert fast <= slow
+    assert (0, 1) in fast  # the planted near-dup survives bucketing
 
 
 def test_simhash_identical_docs_zero_hamming(spark):
