@@ -11,10 +11,11 @@ shape is Structured Streaming over arriving block files with
 On Delta-capable storage this is literally `MERGE INTO utxo` (insert
 outputs / delete inputs) and `RESTORE VERSION AS OF` replaces
 rollbackTo; this module implements the same contract on plain parquet
-with versioned snapshot directories (state/utxo/v{n}) so the logic and
-tests carry over unchanged — snapshot writes are atomic via
-write-then-rename and old versions are retained for rollback (the
-reference keeps 10 MVStore versions).
+with versioned DELTA directories (state/utxo/v{n}/{created,spent}) —
+each commit writes O(batch) rows, a periodic compaction materializes a
+full base snapshot, and reads reconstruct base ∪ deltas ∖ spends. Delta
+writes are atomic via write-then-rename and old versions are retained
+for rollback (the reference keeps 10 MVStore versions).
 """
 
 from __future__ import annotations
@@ -30,15 +31,46 @@ from ..operators.utxo import spent_inputs
 from ..sources.blocks import BLOCK_SCHEMA
 
 KEEP_VERSIONS = 10  # MvStorage.scala:298
+COMPACT_EVERY = 10  # BlockWriter.scala:79-83 compaction cadence analog
 
 
 class UtxoState:
-    """Versioned UTXO snapshots on plain parquet (Delta-MERGE stand-in)."""
+    """Versioned UTXO state on plain parquet with **per-batch delta
+    commits**: each version directory holds only the batch's `created/`
+    rows and `spent/` box-ids — write volume is O(batch), never
+    O(state). Every `compact_every`-th commit additionally materializes
+    a full `base/` snapshot (the MVStore `compactFile` / Delta OPTIMIZE
+    analog), so reads reconstruct from the newest base plus a bounded
+    delta chain:
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+        state(v) = (base(b) ∪ created(b+1..v)) ∖ spent(b+1..v)
+
+    Commits are atomic (tmp dir + rename); a crash between the rename
+    and the base write only lengthens the delta chain, never corrupts.
+    Rollback (S10 rollbackTo) drops newer version dirs; pruning removes
+    only versions older than a base that the retained window no longer
+    needs. On Delta-capable storage the whole class collapses to
+    `MERGE INTO utxo` + `RESTORE VERSION AS OF`.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        compact_every: int = COMPACT_EVERY,
+        keep_versions: int = KEEP_VERSIONS,
+    ):
         self.spark = spark
         self.dir = os.path.join(state_dir, "utxo")
+        self.compact_every = compact_every
+        self.keep_versions = keep_versions
         os.makedirs(self.dir, exist_ok=True)
+
+    def _vdir(self, v: int) -> str:
+        return os.path.join(self.dir, f"v{v}")
+
+    def _has_base(self, v: int) -> bool:
+        return os.path.exists(os.path.join(self._vdir(v), "base"))
 
     def versions(self) -> list[int]:
         return sorted(
@@ -50,27 +82,71 @@ class UtxoState:
         return vs[-1] if vs else 0
 
     def read(self, version: int | None = None) -> DataFrame | None:
+        """Reconstruct the UTXO set at `version` from the newest base at
+        or below it plus the (≤ compact_every + keep_versions) deltas
+        above — a union + one anti-join, distributed end to end."""
         v = self.current_version() if version is None else version
-        path = os.path.join(self.dir, f"v{v}")
-        if v == 0 or not os.path.exists(path):
+        vs = [x for x in self.versions() if x <= v]
+        if not vs:
             return None
-        return self.spark.read.parquet(path)
+        bases = [x for x in vs if self._has_base(x)]
+        b = max(bases) if bases else 0
+        created_dirs = [
+            os.path.join(self._vdir(x), "created") for x in vs if x > b
+        ]
+        spent_dirs = [os.path.join(self._vdir(x), "spent") for x in vs if x > b]
+        base_df = (
+            self.spark.read.parquet(os.path.join(self._vdir(b), "base"))
+            if b
+            else None
+        )
+        if not created_dirs:
+            return base_df
+        created = self.spark.read.parquet(*created_dirs)
+        merged = (
+            created if base_df is None else base_df.unionByName(created)
+        ).dropDuplicates(["box_id"])
+        spent = self.spark.read.parquet(*spent_dirs).select("box_id")
+        return merged.join(spent, "box_id", "left_anti")
 
-    def commit(self, utxo_df: DataFrame) -> int:
-        """Write the next version atomically (tmp + rename), prune old."""
+    def commit(self, created: DataFrame, spent: DataFrame) -> int:
+        """O(batch) delta commit: write the batch's created rows and
+        spent box-ids, atomically publish the version, then (on the
+        compaction cadence) materialize the full snapshot and prune
+        deltas the retained window no longer needs."""
         v = self.current_version() + 1
         tmp = os.path.join(self.dir, f".tmp_v{v}")
-        utxo_df.write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, os.path.join(self.dir, f"v{v}"))
-        for old in self.versions()[:-KEEP_VERSIONS]:
-            shutil.rmtree(os.path.join(self.dir, f"v{old}"), ignore_errors=True)
+        created.write.mode("overwrite").parquet(os.path.join(tmp, "created"))
+        spent.select("box_id").write.mode("overwrite").parquet(
+            os.path.join(tmp, "spent")
+        )
+        os.rename(tmp, self._vdir(v))
+        if self.compact_every and v % self.compact_every == 0:
+            tmp_base = os.path.join(self._vdir(v), ".tmp_base")
+            self.read(v).write.mode("overwrite").parquet(tmp_base)
+            os.rename(tmp_base, os.path.join(self._vdir(v), "base"))
+        self._prune(v)
         return v
+
+    def _prune(self, current: int) -> None:
+        """Drop versions strictly older than the newest base that still
+        covers the whole retained rollback window."""
+        window_lo = current - self.keep_versions + 1
+        bases = [
+            x for x in self.versions() if self._has_base(x) and x <= window_lo
+        ]
+        if not bases:
+            return
+        cutoff = max(bases)
+        for old in self.versions():
+            if old < cutoff:
+                shutil.rmtree(self._vdir(old), ignore_errors=True)
 
     def rollback_to(self, version: int) -> None:
         """S10 rollbackTo(rev): drop newer versions (fork recovery)."""
         for v in self.versions():
             if v > version:
-                shutil.rmtree(os.path.join(self.dir, f"v{v}"), ignore_errors=True)
+                shutil.rmtree(self._vdir(v), ignore_errors=True)
 
 
 UTXO_COLS = (
@@ -88,21 +164,16 @@ UTXO_COLS = (
 
 
 def apply_block_batch(state: UtxoState, raw_batch: DataFrame) -> int:
-    """C4/C5 per-batch UTXO application: insert batch outputs, delete
-    batch-spent boxes. Idempotence: re-applying the same batch yields the
-    same snapshot (inserts are by box_id union-dedup, deletes repeat)."""
+    """C4/C5 per-batch UTXO application as a pure DELTA: the commit
+    writes only this batch's outputs and spent ids (O(batch) I/O —
+    MvStorage's per-block commit contract, never a full-state rewrite).
+    Idempotence: re-applying the same batch re-writes the same delta and
+    reconstruction union-dedups by box_id."""
     out = N.outputs(raw_batch)
     trees = N.ergo_trees(out)
     new_boxes = N.boxes(out, trees).select(*UTXO_COLS)
     spent = spent_inputs(N.inputs(raw_batch)).select("box_id")
-    prev = state.read()
-    merged = (
-        new_boxes
-        if prev is None
-        else prev.unionByName(new_boxes).dropDuplicates(["box_id"])
-    )
-    updated = merged.join(spent, "box_id", "left_anti")
-    return state.commit(updated)
+    return state.commit(new_boxes, spent)
 
 
 def incremental_sync(

@@ -155,6 +155,57 @@ def test_unconfirmed_overlay(spark, gen, tmp_path):
     assert len(rows) == utxo.count() - 1 + 1
 
 
+def test_delta_commit_write_volume_is_o_batch(spark, gen, tmp_path):
+    """The scale contract: committing a small batch on top of a large
+    state writes only the batch's rows (created + spent ids), never the
+    merged state — MvStorage's per-block commit, not a snapshot."""
+    import os
+
+    from ergo_uexplorer_spark.operators import normalize as N
+    from ergo_uexplorer_spark.sources.blocks import read_blocks
+
+    state = UtxoState(spark, str(tmp_path / "wv_state"), compact_every=0)
+    p1 = write_jsonl_gz(gen.blocks[:100], str(tmp_path / "wv1.jsonl.gz"))
+    p2 = write_jsonl_gz(gen.blocks[100:110], str(tmp_path / "wv2.jsonl.gz"))
+    apply_block_batch(state, read_blocks(spark, p1))
+    v2 = apply_block_batch(state, read_blocks(spark, p2))
+
+    batch2_outputs = N.outputs(read_blocks(spark, p2)).count()
+    v2_created = spark.read.parquet(
+        os.path.join(state._vdir(v2), "created")
+    ).count()
+    state_rows = state.read().count()
+    assert v2_created == batch2_outputs  # delta == batch, exactly
+    assert v2_created < state_rows  # and much smaller than the state
+
+
+def test_delta_compaction_and_pruning(spark, gen, tmp_path):
+    """Compaction materializes a base on cadence; reads match the batch
+    pipeline; pruning drops only deltas below a covering base while the
+    rollback window stays readable."""
+    from ergo_uexplorer_spark.sources.blocks import read_blocks
+
+    state = UtxoState(
+        spark, str(tmp_path / "cp_state"), compact_every=3, keep_versions=2
+    )
+    for i in range(4):
+        p = write_jsonl_gz(
+            gen.blocks[i * 30 : (i + 1) * 30], str(tmp_path / f"cp{i}.jsonl.gz")
+        )
+        apply_block_batch(state, read_blocks(spark, p))
+    assert state._has_base(3)
+    # v1/v2 are below base v3, which covers the keep_versions=2 window
+    assert state.versions() == [3, 4]
+
+    full = write_jsonl_gz(gen.blocks, str(tmp_path / "cp_full.jsonl.gz"))
+    batch = ingest_blocks(spark, full)
+    batch_ids = {r["box_id"] for r in batch["utxo"].select("box_id").collect()}
+    got = {r["box_id"] for r in state.read().select("box_id").collect()}
+    assert got == batch_ids
+    # the retained window is still reconstructable after pruning
+    assert state.read(3) is not None
+
+
 def test_utxo_state_rollback(spark, gen, tmp_path):
     """S10: rollbackTo(version) restores an older snapshot (fork
     recovery path)."""
