@@ -36,46 +36,103 @@ def detect_forks(headers: DataFrame) -> DataFrame:
     )
 
 
-def resolve_main_chain(headers: DataFrame) -> DataFrame:
-    """Adds `main_chain: boolean`. Only contested heights (and the walk
-    from the best tip down to the lowest contested height) are collected
-    driver-side; reorg depth is protocol-bounded so this is O(reorg
-    window), not O(chain)."""
+def _fork_regions(headers: DataFrame):
+    """Driver-side fork context, bounded by O(forks) — NOT O(chain).
+
+    Returns (segments, rows) where segments are the maximal runs of
+    contiguous contested heights and rows are the collected headers at
+    contested heights PLUS the single anchor block one height above
+    each segment. Every uncontested height has exactly one block, so
+    the main chain necessarily passes through it — the winner inside a
+    contested segment is fully determined by the parent pointer of the
+    unique block just above it (or, for a segment containing the tip,
+    by the best-tip tie-break). Nothing else needs to leave the
+    executors."""
     by_height = (
         headers.groupBy("height").agg(F.count(F.lit(1)).alias("n")).filter("n > 1")
     )
-    contested = [r["height"] for r in by_height.collect()]
+    contested = sorted(r["height"] for r in by_height.collect())
     if not contested:
-        return headers.withColumn("main_chain", F.lit(True))
-
-    lo = min(contested)
-    region = {
-        r["block_id"]: (r["parent_id"], r["height"])
-        for r in headers.filter(F.col("height") >= lo)
+        return [], []
+    segments = []
+    start = prev = contested[0]
+    for h in contested[1:]:
+        if h == prev + 1:
+            prev = h
+        else:
+            segments.append((start, prev))
+            start = prev = h
+    segments.append((start, prev))
+    needed = set(contested) | {hi + 1 for _, hi in segments}
+    rows = (
+        headers.filter(F.col("height").isin(sorted(needed)))
         .select("block_id", "parent_id", "height")
         .collect()
-    }
-    # best tip: max height, tie-break greatest block id
-    tip_id = max(region, key=lambda b: (region[b][1], b))
-    winners = set()
-    cur = tip_id
-    while cur in region:
-        winners.add(cur)
-        cur, _h = region[cur]
-        if cur == GENESIS_ID:
-            break
+    )
+    return segments, rows
+
+
+def resolve_main_chain(headers: DataFrame) -> DataFrame:
+    """Adds `main_chain: boolean`. Each contested segment is resolved
+    independently: walk parent links down from the segment's anchor (the
+    unique block above it, or the best tip for the topmost segment —
+    tie-break: lexicographically greatest block id, the documented
+    deterministic rule). Driver memory/collect is O(forked blocks +
+    segments); a historical fork at height 5 of a million-block chain
+    collects ~5 rows, not the million."""
+    segments, rows = _fork_regions(headers)
+    if not segments:
+        return headers.withColumn("main_chain", F.lit(True))
+
+    by_h: dict[int, dict[str, str]] = {}
+    for r in rows:
+        by_h.setdefault(r["height"], {})[r["block_id"]] = r["parent_id"]
+
+    winners: set[str] = set()
+    for lo, hi in segments:
+        above = by_h.get(hi + 1, {})
+        if len(above) == 1:
+            expected = next(iter(above.values()))  # anchor's parent id
+        else:
+            # segment reaches the tip (or a gap): deterministic best tip
+            expected = max(by_h.get(hi, {}))
+        for h in range(hi, lo - 1, -1):
+            cand = by_h.get(h, {})
+            if expected not in cand:
+                if not cand:
+                    break
+                expected = max(cand)  # broken link: deterministic fallback
+            winners.add(expected)
+            expected = cand[expected]
+            if expected == GENESIS_ID:
+                break
+
     winners_df = headers.sparkSession.createDataFrame(
         [(w,) for w in sorted(winners)], "block_id string"
     )
-    return headers.join(
-        F.broadcast(winners_df.withColumn("main_chain", F.lit(True))),
-        "block_id",
-        "left",
-    ).withColumn(
-        "main_chain",
-        F.when(F.col("height") < lo, F.lit(True)).otherwise(
-            F.coalesce(F.col("main_chain"), F.lit(False))
-        ),
+    contested_heights = {h for lo, hi in segments for h in range(lo, hi + 1)}
+    h_type = dict(headers.dtypes)["height"]
+    heights_df = headers.sparkSession.createDataFrame(
+        [(h,) for h in sorted(contested_heights)], f"height {h_type}"
+    )
+    return (
+        headers.join(
+            F.broadcast(winners_df.withColumn("is_winner", F.lit(True))),
+            "block_id",
+            "left",
+        )
+        .join(
+            F.broadcast(heights_df.withColumn("is_contested", F.lit(True))),
+            "height",
+            "left",
+        )
+        .withColumn(
+            "main_chain",
+            F.when(F.col("is_contested").isNull(), F.lit(True)).otherwise(
+                F.coalesce(F.col("is_winner"), F.lit(False))
+            ),
+        )
+        .drop("is_winner", "is_contested")
     )
 
 

@@ -173,6 +173,41 @@ def test_malformed_lines_dropped(spark, tmp_path):
     assert tables["headers_main"].count() == 5
 
 
+def test_resolve_main_chain_bounded_collect(spark):
+    """An early historical fork on a long chain must collect O(fork)
+    rows to the driver — NOT every header above the fork (the round-2
+    scale finding: `lo` = lowest contested height ever meant the whole
+    chain came back on every run)."""
+    from ergo_uexplorer_spark.constants import GENESIS_ID
+    from ergo_uexplorer_spark.operators.chain import (
+        _fork_regions,
+        resolve_main_chain,
+    )
+
+    n = 2000
+    rows = [
+        (f"b{h:05d}", f"b{h - 1:05d}" if h > 1 else GENESIS_ID, h)
+        for h in range(1, n + 1)
+    ]
+    # losing 2-block fork at heights 5-6, plus a second fork at 100
+    rows += [("f00005", "b00004", 5), ("f00006", "f00005", 6)]
+    rows += [("g00100", "b00099", 100)]
+    headers = spark.createDataFrame(
+        rows, "block_id string, parent_id string, height int"
+    )
+    segments, collected = _fork_regions(headers)
+    assert segments == [(5, 6), (100, 100)]
+    # 4 + 2 contested rows + one anchor row per segment
+    assert len(collected) <= 8
+    mc = {
+        r["block_id"]: r["main_chain"]
+        for r in resolve_main_chain(headers).collect()
+    }
+    assert mc["b00005"] and mc["b00006"] and mc["b00100"]
+    assert not mc["f00005"] and not mc["f00006"] and not mc["g00100"]
+    assert all(mc[f"b{h:05d}"] for h in (1, 4, 7, 99, 101, n))
+
+
 def test_fork_resolution_equivalence(spark, chain_dir):
     """Ingesting main ∪ shorter-fork ∪ longer-fork must produce exactly
     the state of ingesting the longer fork alone (rollback semantics,
