@@ -7,13 +7,19 @@ these block-by-block on one thread; here they are ONE `ordered_prefix`
 pass (distributed prefix sums + boundary-corrected lag) over the resolved
 main chain.
 
-Reward/fee (T1, RewardCalculator.scala:21-58): reward = emission at
-height (pre-EIP-27 closed form; fixtures stay in the 75-ERG era), fee =
-Σ outputs whose tree is the fee contract, miner address derived from
-header.minerPk (P2PK tree → address UDF over the tiny headers table).
+Reward/fee (T1, RewardCalculator.scala:21-57 + Const.scala:98-113):
+reward = min(TeamTreasuryThreshold, emission-at-height) with the EIP-27
+re-emission branch from the activation height; fee = Σ outputs whose
+tree is the fee contract; miner address = Pay2S of the reward-output
+script embedding header.minerPk (synthetic serialized form — full
+sigmastate serialization is out of scope per SURVEY §7, but the address
+is a P2S of a pk-bearing script exactly like the reference's
+`ErgoScriptPredef.rewardOutputScript`, not a bare P2PK).
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -22,24 +28,86 @@ from ..constants import FEE_TREE, NANO
 from ..functions.crypto import ergo_tree_to_address
 from .cumulative import ordered_prefix
 
-FIXED_RATE_PERIOD = 525600
-FIXED_RATE = 75 * NANO
-EPOCH_LENGTH = 64800
-DECREASE_STEP = 3 * NANO
+
+@dataclass(frozen=True)
+class MonetarySettings:
+    """Emission/reward constants (mainnet defaults). Heights in blocks,
+    amounts in nanoERG. Sources: Const.scala:98-113 and Ergo's public
+    EmissionRules (fixed-rate 75 ERG for 525600 blocks, then −3 ERG per
+    64800-block epoch)."""
+
+    fixed_rate_period: int = 525600
+    epoch_length: int = 64800
+    fixed_rate: int = 75 * NANO
+    one_epoch_reduction: int = 3 * NANO
+    team_treasury_threshold: int = 67_500_000_000  # Const.scala:102
+    eip27_upper_point: int = 15 * NANO  # Const.scala:107
+    eip27_default_reemission: int = 12 * NANO
+    eip27_lower_point: int = 3 * NANO
+    eip27_residual_emission: int = 3 * NANO
+    eip27_activation_height: int = 777217  # mainnet, Const.scala:112
 
 
-def emission_at_height(height: Column) -> Column:
-    """Per-block emission (nanoERG), pre-EIP-27 schedule
-    (RewardCalculator.scala / Const.scala:98-113)."""
-    epoch = ((height - F.lit(FIXED_RATE_PERIOD)) / F.lit(EPOCH_LENGTH)).cast(
-        "long"
-    ) + 1
-    declining = F.greatest(
-        F.lit(FIXED_RATE) - F.lit(DECREASE_STEP) * epoch, F.lit(0)
+MAINNET = MonetarySettings()
+
+# the reward-output script's spending delay (Const.scala:100
+# MinerRewardDelta); baked into the synthetic reward tree form below
+MINER_REWARD_DELAY = 720
+
+
+def miner_reward_tree(miner_pk: Column) -> Column:
+    """Synthetic serialized form of `rewardOutputScript(delay, minerPk)`
+    (RewardCalculator.scala:29-35): a P2S script embedding the delay and
+    the pk. Deterministic and collision-free per pk; `ergo_tree_to_
+    address` renders it as a Pay2S address (prefix 0x03 + checksum)."""
+    return F.concat(F.lit("1a" + format(MINER_REWARD_DELAY, "08x")), miner_pk)
+
+
+def emission_at_height(
+    height: Column, s: MonetarySettings = MAINNET
+) -> Column:
+    """Per-block emission (nanoERG). Strict `<` at the fixed-rate
+    boundary: block 525600 is already epoch 1 (72 ERG), matching
+    EmissionRules.emissionAtHeight."""
+    epoch = (
+        F.floor(
+            (height - F.lit(s.fixed_rate_period)) / F.lit(s.epoch_length)
+        ).cast("long")
+        + 1
     )
-    return F.when(height <= FIXED_RATE_PERIOD, F.lit(FIXED_RATE)).otherwise(
+    declining = F.greatest(
+        F.lit(s.fixed_rate) - F.lit(s.one_epoch_reduction) * epoch, F.lit(0)
+    )
+    return F.when(height < s.fixed_rate_period, F.lit(s.fixed_rate)).otherwise(
         declining
     )
+
+
+def miner_reward_at_height(
+    height: Column, s: MonetarySettings = MAINNET
+) -> Column:
+    """T1 reward fidelity (RewardCalculator.scala:38-57): the treasury
+    cap `min(TeamTreasuryThreshold, emission)` applies always (7.5 of
+    the first 75 ERG went to the foundation), and from the EIP-27
+    activation height the re-emission branch kicks in:
+    reward ≥ 15 ERG → reward − 12; 3 < reward < 15 → 3 (residual);
+    else unchanged."""
+    reward = F.least(
+        F.lit(s.team_treasury_threshold), emission_at_height(height, s)
+    )
+    eip27 = (
+        F.when(
+            reward >= s.eip27_upper_point,
+            reward - F.lit(s.eip27_default_reemission),
+        )
+        .when(
+            reward > s.eip27_lower_point, F.lit(s.eip27_residual_emission)
+        )
+        .otherwise(reward)
+    )
+    return F.when(
+        height >= F.lit(s.eip27_activation_height), eip27
+    ).otherwise(reward)
 
 
 def build_block_table(
@@ -47,6 +115,7 @@ def build_block_table(
     transactions: DataFrame,
     outputs: DataFrame,
     num_partitions: int | None = None,
+    settings: MonetarySettings = MAINNET,
 ) -> DataFrame:
     """headers (main chain only) + per-block tx/output aggregates →
     cumulative Block rows. Aggregates are partial map-side; the prefix
@@ -68,7 +137,9 @@ def build_block_table(
         .join(per_tx, "block_id", "left")
         .join(per_out, "block_id", "left")
         .withColumn("block_fee", F.coalesce("block_fee_raw", F.lit(0)))
-        .withColumn("miner_reward", emission_at_height(F.col("height")))
+        .withColumn(
+            "miner_reward", miner_reward_at_height(F.col("height"), settings)
+        )
         .withColumn(
             "miner_revenue", F.col("miner_reward") + F.col("block_fee")
         )
@@ -78,7 +149,7 @@ def build_block_table(
         )
         .withColumn(
             "miner_address",
-            ergo_tree_to_address(F.concat(F.lit("0008cd"), F.col("miner_pk"))),
+            ergo_tree_to_address(miner_reward_tree(F.col("miner_pk"))),
         )
     )
     # prev timestamp for mining time; reference quirk preserved:
@@ -100,7 +171,7 @@ def build_block_table(
             F.col("prev_timestamp").isNotNull(),
             F.col("timestamp") - F.col("prev_timestamp"),
         ).otherwise(F.lit(0)),
-    ).withColumn("emission", emission_at_height(F.col("height")))
+    ).withColumn("emission", emission_at_height(F.col("height"), settings))
 
     cum = ordered_prefix(
         with_lag,

@@ -113,7 +113,117 @@ def test_block_cumulative_stats(tables):
     assert (pdf["total_mining_time"] == expected_tmt).all()
     # fees present on some blocks (fixture invariant 3)
     assert (pdf["block_fee"] > 0).any()
-    assert (pdf["miner_reward"] == 75 * 10**9).all()
+    # fixed-rate era reward is treasury-capped: min(67.5, 75) ERG
+    # (RewardCalculator.scala:40 — 7.5 ERG/block went to the foundation)
+    assert (pdf["miner_reward"] == 67_500_000_000).all()
+
+
+def test_miner_address_is_p2s_reward_contract(tables):
+    """T1: the miner address is a Pay2S of the reward-output script
+    embedding minerPk (RewardCalculator.scala:29-35) — not a bare
+    P2PK of the pk."""
+    from ergo_uexplorer_spark.functions.crypto import address_type
+
+    blk = tables["blocks"].select("miner_address").limit(50)
+    kinds = {
+        r["t"]
+        for r in blk.select(
+            address_type(F.col("miner_address")).alias("t")
+        ).collect()
+    }
+    assert kinds == {"P2S"}
+
+
+def test_reward_schedule_mainnet_eras(spark):
+    """Emission/reward closed forms at the mainnet constants, exercised
+    at every interesting boundary (strict < at the fixed-rate period,
+    treasury cap, EIP-27 activation, 15/3-ERG re-emission points,
+    emission floor)."""
+    from ergo_uexplorer_spark.operators.blockstats import (
+        emission_at_height,
+        miner_reward_at_height,
+    )
+
+    NANO = 10**9
+    cases = {
+        1: (75 * NANO, 67_500_000_000),
+        525599: (75 * NANO, 67_500_000_000),  # last fixed-rate block
+        525600: (72 * NANO, 67_500_000_000),  # strict <: epoch 1 already
+        590399: (72 * NANO, 67_500_000_000),
+        590400: (69 * NANO, 67_500_000_000),  # epoch 2
+        777216: (63 * NANO, 63 * NANO),  # pre-activation, under cap
+        777217: (63 * NANO, 51 * NANO),  # EIP-27: 63 − 12
+        1000000: (51 * NANO, 39 * NANO),  # epoch 8: 75−24 → −12
+        # emission 15 ERG: boundary of the upper point → 3 ERG residual
+        # epoch 20 ⇒ h in [525600+19*64800, ...): 75−60=15
+        525600 + 19 * 64800: (15 * NANO, 3 * NANO),
+        # emission 6 ERG (epoch 23): 3 < 6 < 15 → residual 3
+        525600 + 22 * 64800: (6 * NANO, 3 * NANO),
+        # emission 3 ERG (epoch 24): not > lower point → unchanged
+        525600 + 23 * 64800: (3 * NANO, 3 * NANO),
+        # emission exhausted (epoch 25+): floor at 0
+        525600 + 24 * 64800: (0, 0),
+        525600 + 50 * 64800: (0, 0),
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "height long")
+    got = {
+        r["height"]: (r["em"], r["rw"])
+        for r in df.select(
+            "height",
+            emission_at_height(F.col("height")).alias("em"),
+            miner_reward_at_height(F.col("height")).alias("rw"),
+        ).collect()
+    }
+    for h, (em, rw) in cases.items():
+        assert got[h] == (em, rw), f"height {h}: got {got[h]}, want {(em, rw)}"
+
+
+def test_build_block_table_covers_both_eras(spark, chain_dir):
+    """Running totals stay exact across an EIP-27 activation placed
+    inside the fixture chain (tiny MonetarySettings: fixed-rate ends at
+    50, activation at 150)."""
+    from ergo_uexplorer_spark.operators.blockstats import (
+        MonetarySettings,
+        build_block_table,
+        miner_reward_at_height,
+    )
+    from ergo_uexplorer_spark.pipeline import ingest_blocks
+
+    tiny = MonetarySettings(
+        fixed_rate_period=50,
+        epoch_length=40,
+        fixed_rate=75 * 10**9,
+        one_epoch_reduction=3 * 10**9,
+        eip27_activation_height=150,
+    )
+    t = ingest_blocks(spark, str(chain_dir / "blocks_main.jsonl.gz"))
+    blocks = build_block_table(
+        t["headers_main"], t["transactions_main"], t["boxes_main"],
+        settings=tiny,
+    )
+    pdf = blocks.orderBy("height").toPandas()
+
+    def py_emission(h):
+        if h < 50:
+            return 75 * 10**9
+        return max(75 * 10**9 - 3 * 10**9 * ((h - 50) // 40 + 1), 0)
+
+    def py_reward(h):
+        r = min(67_500_000_000, py_emission(h))
+        if h < 150:
+            return r
+        if r >= 15 * 10**9:
+            return r - 12 * 10**9
+        if r > 3 * 10**9:
+            return 3 * 10**9
+        return r
+
+    want = pdf["height"].map(py_reward)
+    assert (pdf["miner_reward"] == want).all()
+    assert (pdf["total_miners_reward"] == want.cumsum()).all()
+    # activation era actually reached and rewards differ across it
+    assert pdf["height"].max() >= 150
+    assert pdf["miner_reward"].nunique() > 2
 
 
 def test_top_addresses_planted_skew(tables):
