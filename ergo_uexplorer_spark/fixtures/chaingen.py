@@ -18,7 +18,10 @@ structural invariants the ingest logic depends on:
      one hot token appears in many boxes (SuperNodeCounter.scala:19);
   6. tree variety: ~90% P2PK (no T8), ~10% contract trees with an
      extractable template, a few malformed (ErgoTreeParser.scala:87-90);
-  7. registers: absent / Coll[Byte] / SInt / SigmaProp / undecodable.
+  7. registers: real sigma wire form — absent / Coll[Byte] / SInt /
+     SLong / Option[SInt] / Coll[Coll[Byte]] / (SInt,SInt) / SigmaProp /
+     undecodable; EIP-4 mints carry 0e+VLQ-prefixed Coll[Byte] props
+     with base-10 ASCII decimals.
 
 Fork variants share a prefix and diverge for the last K heights
 (shorter K=2, longer K=4 and one block taller), matching the
@@ -52,12 +55,78 @@ def p2pk_tree(pk: str) -> str:
     return "0008cd" + pk
 
 
+def sigma_vlq(n: int) -> str:
+    """Unsigned VLQ (7-bit little-endian groups), hex-encoded — sigma's
+    length/int wire format."""
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+    return out.hex()
+
+
+def sigma_coll_byte(data: bytes) -> str:
+    """Sigma-serialized Coll[Byte] constant: type code 0e + VLQ length +
+    payload — the actual register wire form (RegistersParser.parseAny
+    deserializes this; raw unprefixed payloads are NOT valid registers)."""
+    return "0e" + sigma_vlq(len(data)) + data.hex()
+
+
+def _zz(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def sigma_int(v: int) -> str:
+    """Sigma-serialized SInt constant: type code 04 + zigzag VLQ."""
+    return "04" + sigma_vlq(_zz(v))
+
+
+def sigma_long(v: int) -> str:
+    return "05" + sigma_vlq(_zz(v))
+
+
+def sigma_option_int(v: int | None) -> str:
+    """Option[SInt]: code 40 (=36+4) + presence byte + zigzag VLQ."""
+    return "28" + ("00" if v is None else "01" + sigma_vlq(_zz(v)))
+
+
+def sigma_coll_coll_byte(items: list[bytes]) -> str:
+    """Coll[Coll[Byte]]: code 26 (=24+2) + count + length-prefixed
+    blobs (inner colls carry no repeated type code)."""
+    return (
+        "1a"
+        + sigma_vlq(len(items))
+        + "".join(sigma_vlq(len(x)) + x.hex() for x in items)
+    )
+
+
+def sigma_pair_int(a: int, b: int) -> str:
+    """Symmetric pair (SInt, SInt): code 88 (=84+4) + two zigzag VLQs."""
+    return "58" + sigma_vlq(_zz(a)) + sigma_vlq(_zz(b))
+
+
+def sigma_sigmaprop(pk33_hex: str) -> str:
+    """SSigmaProp constant: code 08 + ProveDlog opcode cd + 33-byte pk."""
+    return "08cd" + pk33_hex
+
+
 def contract_tree(seed: str, n_consts: int = 2) -> str:
-    """Synthetic contract tree with an extractable template: header '19',
-    1-byte constant count, 4-byte constants, then the template body."""
-    consts = "".join(_hex(f"const-{seed}-{i}", 4) for i in range(n_consts))
+    """Contract tree in the REAL serialized layout (sigmastate
+    ErgoTreeSerializer): header 0x19 (v1 + size + constant segregation),
+    VLQ tree size, VLQ constant count, sigma-serialized SInt constants,
+    then the template body — `_tree_t8` extracts the body by actually
+    walking the constants, not by a fixed-width guess."""
+    consts = "".join(
+        sigma_int(int(_hex(f"const-{seed}-{i}", 4), 16)) for i in range(n_consts)
+    )
     body = _hex(f"body-{seed}", 16)
-    return "19" + f"{n_consts:02x}" + consts + body
+    payload = sigma_vlq(n_consts) + consts + body
+    return "19" + sigma_vlq(len(payload) // 2) + payload
 
 
 class ChainGen:
@@ -75,27 +144,51 @@ class ChainGen:
 
     # -- tree selection (FIXTURES §1 invariant 6) ---------------------------
     def _pick_tree(self) -> str:
+        from ..functions.crypto import p2sh_tree
+
         r = self.rng.random()
         if r < 0.30:
             return p2pk_tree(EXCHANGE_PK)  # skew: exchange hot address
-        if r < 0.88:
+        if r < 0.86:
             return p2pk_tree("02" + self.rng.choice(self.pks)[:64])
-        if r < 0.98:
+        if r < 0.94:
             return contract_tree(f"c{self.rng.randrange(20)}")
+        if r < 0.98:  # canonical P2SH script (IsPay2SHAddress branch)
+            return p2sh_tree(_hex(f"script-{self.rng.randrange(8)}", 24))
         return "zz-malformed-" + _hex("bad", 4)  # fallback-address path
 
     def _registers(self, mint_props: dict | None = None) -> dict:
+        """Registers in their real sigma-serialized wire form (EIP-4
+        mints carry Coll[Byte] name/description and the base-10 decimals
+        STRING — TokenPropsParser.scala:14-19 parses the rendered value,
+        not a binary int)."""
         regs = {}
         if mint_props:
-            regs["R4"] = mint_props["name"].encode().hex()
-            regs["R5"] = mint_props["desc"].encode().hex()
-            regs["R6"] = f"{mint_props['decimals']:02x}"
+            regs["R4"] = sigma_coll_byte(mint_props["name"].encode())
+            regs["R5"] = sigma_coll_byte(mint_props["desc"].encode())
+            regs["R6"] = sigma_coll_byte(str(mint_props["decimals"]).encode())
         else:
             r = self.rng.random()
-            if r < 0.3:
+            if r < 0.20:
                 regs["R4"] = "0e20" + _hex(f"r4-{self.rng.random()}")  # Coll[Byte]
-            elif r < 0.4:
-                regs["R5"] = "04" + f"{self.rng.randrange(256):02x}"  # SInt-ish
+            elif r < 0.28:
+                regs["R5"] = sigma_int(self.rng.randrange(-500, 500))
+            elif r < 0.32:
+                regs["R6"] = sigma_long(self.rng.randrange(10**12))
+            elif r < 0.35:
+                regs["R7"] = sigma_option_int(
+                    None if self.rng.random() < 0.3 else self.rng.randrange(99)
+                )
+            elif r < 0.38:
+                regs["R8"] = sigma_coll_coll_byte(
+                    [b"ab", bytes.fromhex(_hex("nested", 4))]
+                )
+            elif r < 0.41:
+                regs["R9"] = sigma_pair_int(
+                    self.rng.randrange(99), self.rng.randrange(99)
+                )
+            elif r < 0.43:
+                regs["R5"] = sigma_sigmaprop("02" + self.rng.choice(self.pks)[:64])
             elif r < 0.45:
                 regs["R7"] = "xx" + _hex("undecodable", 3)  # undecodable blob
         return regs

@@ -53,6 +53,21 @@ def _b58decode(s: str) -> bytes | None:
         return None
 
 
+def decode_address(addr: str) -> tuple[int, bytes] | None:
+    """Base58 address → (type_prefix, content) with the blake2b256
+    checksum VALIDATED (ErgoTreeParser.scala:93-99 encode path inverted;
+    Const.scala:123-132 head byte). None on bad base58, short payload,
+    or checksum mismatch — callers must error, not silently match
+    nothing."""
+    raw = _b58decode(addr)
+    if raw is None or len(raw) < 5:
+        return None
+    body, checksum = raw[:-4], raw[-4:]
+    if hashlib.blake2b(body, digest_size=32).digest()[:4] != checksum:
+        return None
+    return body[0], body[1:]
+
+
 def _address_from_content(prefix: int, content: bytes) -> str:
     """base58(prefix ++ content ++ blake2b256-checksum[:4]) — Ergo's
     address encoding shape (ErgoAddressEncoder semantics)."""
@@ -61,36 +76,112 @@ def _address_from_content(prefix: int, content: bytes) -> str:
     return _b58encode(body + checksum)
 
 
+# ErgoTree header bits (public sigmastate ErgoTreeSerializer):
+#   0-2 version, 0x08 = size field present, 0x10 = constant segregation.
+TREE_SIZE_FLAG = 0x08
+TREE_SEGREGATION_FLAG = 0x10
+
+# Canonical Pay2SH template marker (synthetic serialized stand-in for
+# ErgoAddressEncoder.IsPay2SHAddress's script shape: the template that
+# checks blake2b(script) against the 24-byte hash constant). Any tree of
+# form header|size|1-const(Coll[Byte] of 24 bytes)|this-template IS the
+# P2SH script for that hash.
+P2SH_TEMPLATE_HEX = "ea02d193b4cbe4e3"
+P2SH_HASH_LEN = 24
+
+
+def _vlq_hex(n: int) -> str:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+    return out.hex()
+
+
+def p2sh_tree(script_hash24_hex: str) -> str:
+    """The canonical P2SH script for a 24-byte script hash: v1 segregated
+    tree (header 0x19) whose single constant is Coll[Byte](hash) and
+    whose template is the fixed P2SH marker — `address_to_ergo_tree`
+    inverse of the P2SH address branch (base58Address2ErgoTree for
+    Pay2SHAddress)."""
+    payload = "01" + "0e" + _vlq_hex(P2SH_HASH_LEN) + script_hash24_hex
+    payload += P2SH_TEMPLATE_HEX
+    return "19" + _vlq_hex(len(payload) // 2) + payload
+
+
+def _parse_tree(raw: bytes):
+    """deserializeHeaderWithTreeBytes (ErgoTreeParser.scala:25-28 /
+    sigmastate ErgoTreeSerializer): header byte → optional VLQ tree size
+    (validated against the actual remainder) → VLQ constant count →
+    serialized constants → template bytes. Returns
+    (n_consts, consts: [(type, rendered)], template_bytes) or raises."""
+    if not raw:
+        raise ValueError("empty tree")
+    header = raw[0]
+    i = 1
+    if header & TREE_SIZE_FLAG:
+        size, i = _read_vlq(raw, i)
+        if size != len(raw) - i:
+            raise ValueError("tree size mismatch")
+    if not header & TREE_SEGREGATION_FLAG:
+        return 0, [], raw[i:]
+    n, i = _read_vlq(raw, i)
+    consts = []
+    for _ in range(n):
+        c, i = _decode_constant(raw, i)
+        consts.append(c)
+    return n, consts, raw[i:]
+
+
 def _tree_to_address(tree_hex: str) -> str:
-    """ErgoTree hex → address. P2PK trees (0008cd + 33-byte point) encode
-    the point; other valid trees encode the whole script as P2S; invalid
-    hex falls back to a sentinel P2S of the utf-8 bytes (the reference's
-    fallback-address path)."""
+    """ErgoTree hex → address (ergoTreeHex2ErgoAddress semantics):
+    P2PK trees (0008cd + 33-byte point) encode the point; trees matching
+    the canonical P2SH shape encode the 24-byte script hash as P2SH;
+    other valid trees encode the whole script as P2S; invalid hex falls
+    back to a sentinel P2S of the utf-8 bytes (the reference falls back
+    to Pay2S of FalseLeaf — ours keeps the offending bytes visible)."""
     try:
         raw = bytes.fromhex(tree_hex)
         if tree_hex.startswith("0008cd") and len(tree_hex) == 6 + 66:
             return _address_from_content(P2PK_PREFIX, raw[3:])
+        try:
+            n, consts, template = _parse_tree(raw)
+            if (
+                n == 1
+                and template.hex() == P2SH_TEMPLATE_HEX
+                and consts[0][0] == "Coll[SByte]"
+                and len(consts[0][1]) == P2SH_HASH_LEN * 2
+            ):
+                return _address_from_content(
+                    P2SH_PREFIX, bytes.fromhex(consts[0][1])
+                )
+        except ValueError:
+            pass  # unparseable script: still addressable as raw P2S
         return _address_from_content(P2S_PREFIX, raw)
     except ValueError:
         return _address_from_content(P2S_PREFIX, tree_hex.encode())
 
 
 def _tree_t8(tree_hex: str) -> str | None:
-    """Template (T8) extraction. P2PK trees have no stored template (the
-    reference stores T8 only for 'contract' trees); the synthetic contract
-    form is header '19' + 1-byte n_consts + 4-byte constants + body, the
-    template being the body. Unknown/malformed → None (fallback)."""
+    """Template (T8) extraction, real segmentation (ErgoTreeParser
+    .scala:25-28,36-55): T8 exists iff the tree has segregated constants
+    (isErgoTreeT8 = constants.nonEmpty); the template is everything
+    after them. Non-segregated P2PK trees and malformed/unsupported
+    trees → None (the reference's fallback)."""
     if not tree_hex or tree_hex.startswith("0008cd"):
         return None
-    if tree_hex.startswith("19") and len(tree_hex) >= 4:
-        try:
-            n_consts = int(tree_hex[2:4], 16)
-            body_start = 4 + n_consts * 8
-            body = tree_hex[body_start:]
-            return body or None
-        except ValueError:
-            return None
-    return None
+    try:
+        n, _consts, template = _parse_tree(bytes.fromhex(tree_hex))
+    except (ValueError, IndexError):
+        return None
+    if n == 0 or not template:
+        return None
+    return template.hex()
 
 
 def _fallback_hash(tree_hex: str) -> str:
@@ -156,19 +247,145 @@ def ergo_tree_t8_hash(t8_hex_col: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+# Sigma type/value decoding (RegistersParser.scala:20-89 + the public
+# sigmastate TypeSerializer scheme for embeddable types):
+#   typeCode = constrId * 12 + primId
+#   constrId 0 = primitive, 1 = Coll[T], 2 = Coll[Coll[T]],
+#            3 = Option[T], 4 = Option[Coll[T]], 7 = (T, T) pair
+# Rendering mirrors renderEvaluatedValue: Coll[Byte] → hex, numbers →
+# decimal string, nested colls/tuples → "[a,b]", Option None → "null",
+# SigmaProp/GroupElement → pk hex.
+_PRIM_NAMES = {
+    1: "SBoolean",
+    2: "SByte",
+    3: "SShort",
+    4: "SInt",
+    5: "SLong",
+    6: "SBigInt",
+    7: "SGroupElement",
+    8: "SSigmaProp",
+}
+_PROVE_DLOG_OP = 0xCD
+
+
+def _read_vlq(b: bytes, i: int) -> tuple[int, int]:
+    """Unsigned VLQ (7-bit little-endian groups) → (value, next_index)."""
+    shift = value = 0
+    while True:
+        if i >= len(b) or shift > 63:
+            raise ValueError("truncated vlq")
+        byte = b[i]
+        i += 1
+        value |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return value, i
+        shift += 7
+
+
+def _zigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def _decode_prim(b: bytes, i: int, prim: int) -> tuple[str, int]:
+    if prim == 1:  # SBoolean
+        v, i = b[i], i + 1
+        return ("true" if v else "false"), i
+    if prim == 2:  # SByte: one signed byte
+        v = b[i] - 256 if b[i] >= 128 else b[i]
+        return str(v), i + 1
+    if prim in (3, 4, 5):  # SShort/SInt/SLong: zigzag VLQ
+        u, i = _read_vlq(b, i)
+        return str(_zigzag(u)), i
+    if prim == 6:  # SBigInt: length-prefixed big-endian signed
+        n, i = _read_vlq(b, i)
+        if i + n > len(b):
+            raise ValueError("truncated bigint")
+        return str(int.from_bytes(b[i : i + n], "big", signed=True)), i + n
+    if prim == 7:  # SGroupElement: 33-byte point → hex
+        if i + 33 > len(b):
+            raise ValueError("truncated point")
+        return b[i : i + 33].hex(), i + 33
+    if prim == 8:  # SSigmaProp: ProveDlog(point) → pk hex
+        if i >= len(b) or b[i] != _PROVE_DLOG_OP or i + 34 > len(b):
+            raise ValueError("unsupported sigma prop")
+        return b[i + 1 : i + 34].hex(), i + 34
+    raise ValueError(f"unsupported prim {prim}")
+
+
+def _decode_coll(b: bytes, i: int, prim: int) -> tuple[str, int]:
+    n, i = _read_vlq(b, i)
+    if prim == 2:  # Coll[Byte] → hex blob (renderEvaluatedValue)
+        if i + n > len(b):
+            raise ValueError("truncated coll")
+        return b[i : i + n].hex(), i + n
+    parts = []
+    for _ in range(n):
+        r, i = _decode_prim(b, i, prim)
+        parts.append(r)
+    return "[" + ",".join(parts) + "]", i
+
+
+def _decode_constant(b: bytes, i: int) -> tuple[tuple[str, str], int]:
+    """One serialized constant at offset i → ((sigmaType, rendered),
+    next_index); raises on anything unsupported/truncated."""
+    if i >= len(b):
+        raise ValueError("empty constant")
+    code = b[i]
+    i += 1
+    constr, prim = divmod(code, 12)
+    name = _PRIM_NAMES.get(prim)
+    if name is None:
+        raise ValueError(f"unsupported type code {code}")
+    if constr == 0:
+        rendered, i = _decode_prim(b, i, prim)
+        tname = name
+    elif constr == 1:
+        rendered, i = _decode_coll(b, i, prim)
+        tname = f"Coll[{name}]"
+    elif constr == 2:  # Coll[Coll[T]]
+        n, i = _read_vlq(b, i)
+        parts = []
+        for _ in range(n):
+            r, i = _decode_coll(b, i, prim)
+            parts.append(r)
+        rendered, tname = "[" + ",".join(parts) + "]", f"Coll[Coll[{name}]]"
+    elif constr == 3 or constr == 4:  # Option[T] / Option[Coll[T]]
+        inner = name if constr == 3 else f"Coll[{name}]"
+        tname = f"Option[{inner}]"
+        if i >= len(b):
+            raise ValueError("truncated option")
+        some, i = b[i], i + 1
+        if some == 0:
+            rendered = "null"
+        elif constr == 3:
+            rendered, i = _decode_prim(b, i, prim)
+        else:
+            rendered, i = _decode_coll(b, i, prim)
+    elif constr == 7:  # symmetric pair (T, T)
+        a, i = _decode_prim(b, i, prim)
+        c, i = _decode_prim(b, i, prim)
+        rendered, tname = f"[{a},{c}]", f"({name}, {name})"
+    else:
+        raise ValueError(f"unsupported constructor {constr}")
+    return (tname, rendered), i
+
+
 def _decode_register(hex_val: str | None) -> tuple[str, str] | None:
-    """hex → (sigmaType, renderedValue); None when undecodable
-    (RegistersParser.scala:80-88 ExpandedRegister(raw, None))."""
+    """Sigma-serialized register hex → (sigmaType, renderedValue); None
+    when undecodable (ExpandedRegister(raw, None), RegistersParser
+    .scala:80-88). Strict: trailing bytes are a decode failure, exactly
+    like ValueSerializer.deserialize."""
     if not hex_val:
         return None
     try:
-        if hex_val.startswith("0e"):  # Coll[Byte]: 0e + len + bytes
-            return ("Coll[SByte]", hex_val[4:])
-        if hex_val.startswith("04") and len(hex_val) <= 6:  # small SInt
-            return ("SInt", str(int(hex_val[2:] or "0", 16)))
-        bytes.fromhex(hex_val)
-        return ("Coll[SByte]", hex_val)
-    except ValueError:
+        b = bytes.fromhex(hex_val)
+        if not b:
+            return None
+        (tname, rendered), i = _decode_constant(b, 0)
+        if i != len(b):  # trailing garbage = not a valid constant
+            return None
+        return (tname, rendered)
+    except (ValueError, IndexError):
         return None
 
 
@@ -188,11 +405,29 @@ def decode_register(hex_val: pd.Series) -> pd.DataFrame:
 
 
 def decode_utf8_register(hex_col: Column) -> Column:
-    """EIP-4 token props: R4/R5 are utf-8 payloads (TokenPropsParser.scala:
-    14-19). JVM-side, null-on-undecodable (the reference's props parser
-    returns None for malformed registers rather than failing ingest)."""
-    raw = F.unhex(hex_col)
-    return F.when(F.is_valid_utf8(raw), F.decode(raw, "UTF-8"))
+    """EIP-4 token props: R4/R5/R6 are SIGMA-SERIALIZED Coll[Byte]
+    constants — type code 0e, unsigned-VLQ length, payload
+    (RegistersParser.parseAny → renderEvaluatedValue; TokenPropsParser
+    .scala:14-19 consumes the rendered value). Strips the prefix
+    JVM-side (1- and 2-byte VLQ, i.e. payloads ≤ 16383 bytes — names are
+    capped at 1000 by the reference's toUtf8String), validates the
+    declared length against the actual hex, and UTF-8-decodes the
+    payload. Null on anything malformed — the reference's props parser
+    returns None rather than failing ingest."""
+    h = F.lower(hex_col)
+    b1 = F.conv(F.substring(h, 3, 2), 16, 10).cast("long")
+    b2 = F.conv(F.substring(h, 5, 2), 16, 10).cast("long")
+    one = b1 < 128
+    plen = F.when(one, b1).otherwise(b1 - 128 + b2 * 128)
+    start = F.when(one, F.lit(5)).otherwise(F.lit(7))
+    raw = F.unhex(F.substring(h, start, plen * 2))
+    well_formed = (
+        h.rlike("^0e([0-9a-f]{2})+$")
+        & (one | (b2 < 128))  # VLQ terminates within 2 bytes
+        & (F.length(h) == start - 1 + plen * 2)  # declared == actual
+        & (plen <= 1000)  # TokenPropsParser MaxStringLen
+    )
+    return F.when(well_formed & F.is_valid_utf8(raw), F.decode(raw, "UTF-8"))
 
 
 # Ship this module's UDFs by VALUE: Spark python workers don't share the

@@ -22,7 +22,12 @@ from typing import Iterable, Literal
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.crypto import P2PK_PREFIX, _b58decode
+from ..functions.crypto import (
+    P2PK_PREFIX,
+    P2SH_PREFIX,
+    decode_address,
+    p2sh_tree,
+)
 from .utxo import spent_inputs
 
 Liveness = Literal["unspent", "spent", "any"]
@@ -52,15 +57,21 @@ ALL_COLUMNS = (
 
 
 def address_to_ergo_tree(addr: str) -> str:
-    """Address → ErgoTree hex (inverse of the encoder in functions.crypto;
-    reference: base58Address2ErgoTreeHash, ErgoTreeParser.scala:105-108)."""
-    raw = _b58decode(addr)
-    if raw is None or len(raw) < 5:
-        raise ValueError(f"invalid address: {addr}")
-    body = raw[:-4]
-    if body[0] == P2PK_PREFIX:
-        return "0008cd" + body[1:].hex()
-    return body[1:].hex()
+    """Address → ErgoTree hex (base58Address2ErgoTree, ErgoTreeParser
+    .scala:105-118): checksum-validated — a malformed or corrupted
+    address RAISES (Address.fromStringUnsafe semantics) instead of
+    silently matching nothing. P2PK rebuilds the 0008cd tree, P2SH
+    rebuilds the canonical P2SH script around the 24-byte hash, P2S
+    content IS the serialized script."""
+    info = decode_address(addr)
+    if info is None:
+        raise ValueError(f"invalid address (base58/checksum): {addr}")
+    prefix, content = info
+    if prefix == P2PK_PREFIX:
+        return "0008cd" + content.hex()
+    if prefix == P2SH_PREFIX:
+        return p2sh_tree(content.hex())
+    return content.hex()
 
 
 def tree_sha256(hex_or_text: str) -> str:

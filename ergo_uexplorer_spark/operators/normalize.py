@@ -181,22 +181,31 @@ def assets(outputs_df: DataFrame) -> DataFrame:
 
 
 def tokens(assets_df: DataFrame) -> DataFrame:
-    """Minted tokens with EIP-4 props from R4/R5/R6
-    (TokenPropsParser.scala:14-19). try-decoded: undecodable → null."""
+    """Minted tokens with EIP-4 props from sigma-serialized R4/R5/R6
+    (TokenPropsParser.scala:14-19): props exist only when R4 decodes
+    (name); description defaults to '' and decimals parses BASE-10 from
+    the rendered string (`_.toIntOption.getOrElse(0)`) — EIP-4 stores
+    the decimal count as an ASCII string, not a binary int."""
     minted = assets_df.filter(F.col("is_mint"))
+    name = decode_utf8_register(F.col("r4"))
+    dec_str = decode_utf8_register(F.col("r6"))
+    dec_int = F.when(
+        dec_str.rlike("^[0-9]{1,9}$"), dec_str.cast("int")
+    )
+    has_props = name.isNotNull()
     return minted.select(
         F.col("token_id"),
         F.col("box_id"),
         F.col("block_id"),
         F.col("height"),
         F.col("amount"),
-        decode_utf8_register(F.col("r4")).alias("name"),
-        decode_utf8_register(F.col("r5")).alias("description"),
+        name.alias("name"),
         F.when(
-            F.col("r6").rlike("^[0-9a-fA-F]{1,4}$"),
-            F.conv(F.col("r6"), 16, 10).cast("int"),
-        ).alias("decimals"),
-        F.lit("EIP-004").alias("token_type"),
+            has_props,
+            F.coalesce(decode_utf8_register(F.col("r5")), F.lit("")),
+        ).alias("description"),
+        F.when(has_props, F.coalesce(dec_int, F.lit(0))).alias("decimals"),
+        F.when(has_props, F.lit("EIP-004")).alias("token_type"),
     )
 
 

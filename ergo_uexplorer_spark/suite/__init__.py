@@ -9,3 +9,4 @@ from . import textops  # noqa: F401
 from . import olap  # noqa: F401
 from . import temporal  # noqa: F401
 from . import grouped  # noqa: F401
+from . import registers  # noqa: F401

@@ -49,12 +49,68 @@ def test_top_tokens_route(tables):
 def test_registers_table(tables):
     regs = tables["registers"].toPandas()
     assert set(regs["register_id"]) >= {"R4", "R5", "R6"}
-    # Coll[Byte] and SInt decodes present; undecodable R7 blobs → null
-    assert "Coll[SByte]" in set(regs["sigma_type"].dropna())
-    assert "SInt" in set(regs["sigma_type"].dropna())
-    r7 = regs[regs["register_id"] == "R7"]
-    assert len(r7) > 0 and r7["sigma_type"].isna().all()
-    assert r7["raw"].notna().all()  # raw kept (ExpandedRegister(raw, None))
+    # the full rendered-type surface (RegistersParser.scala:20-89):
+    # simple, nested Coll, Option, symmetric tuple, SigmaProp→pk
+    types = set(regs["sigma_type"].dropna())
+    assert {
+        "Coll[SByte]",
+        "SInt",
+        "SLong",
+        "Option[SInt]",
+        "Coll[Coll[SByte]]",
+        "(SInt, SInt)",
+        "SSigmaProp",
+    } <= types
+    # undecodable blobs keep raw with null decode (ExpandedRegister(raw, None))
+    bad = regs[regs["raw"].str.startswith("xx")]
+    assert len(bad) > 0
+    assert bad["sigma_type"].isna().all() and bad["rendered"].isna().all()
+    nested = regs[regs["sigma_type"] == "Coll[Coll[SByte]]"]["rendered"]
+    assert nested.str.match(r"^\[[0-9a-f]+(,[0-9a-f]+)*\]$").all()
+    opts = regs[regs["sigma_type"] == "Option[SInt]"]["rendered"]
+    assert opts.isin(["null"]).any() or opts.str.isnumeric().any()
+
+
+def test_sigma_register_roundtrip():
+    """_decode_register inverts the fixture serializers exactly,
+    rendering per renderEvaluatedValue (hex for Coll[Byte], decimal
+    strings, [..] for nested/tuple, null for None, pk hex for
+    SigmaProp); trailing bytes and garbage are decode failures."""
+    from ergo_uexplorer_spark.fixtures.chaingen import (
+        sigma_coll_byte,
+        sigma_coll_coll_byte,
+        sigma_int,
+        sigma_long,
+        sigma_option_int,
+        sigma_pair_int,
+        sigma_sigmaprop,
+    )
+    from ergo_uexplorer_spark.functions.crypto import _decode_register
+
+    assert _decode_register(sigma_int(-250)) == ("SInt", "-250")
+    assert _decode_register(sigma_int(0)) == ("SInt", "0")
+    assert _decode_register(sigma_long(10**12)) == ("SLong", str(10**12))
+    assert _decode_register(sigma_coll_byte(b"hello")) == (
+        "Coll[SByte]",
+        b"hello".hex(),
+    )
+    # 2-byte VLQ length (>127-byte payload)
+    big = b"x" * 300
+    assert _decode_register(sigma_coll_byte(big)) == ("Coll[SByte]", big.hex())
+    assert _decode_register(sigma_option_int(None)) == ("Option[SInt]", "null")
+    assert _decode_register(sigma_option_int(7)) == ("Option[SInt]", "7")
+    assert _decode_register(sigma_coll_coll_byte([b"\xde\xad", b"\xbe\xef"])) == (
+        "Coll[Coll[SByte]]",
+        "[dead,beef]",
+    )
+    assert _decode_register(sigma_pair_int(3, 4)) == ("(SInt, SInt)", "[3,4]")
+    pk = "02" + "ab" * 32
+    assert _decode_register(sigma_sigmaprop(pk)) == ("SSigmaProp", pk)
+    assert _decode_register("0e03aabbccdd") is None  # trailing byte
+    assert _decode_register("0e05aabb") is None  # truncated payload
+    assert _decode_register("xx00") is None  # not hex
+    # EIP-4 decimals register: base-10 ASCII string, not a binary int
+    assert _decode_register(sigma_coll_byte(b"2")) == ("Coll[SByte]", "32")
 
 
 def test_every_box_route_resolves(tables):

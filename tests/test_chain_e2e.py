@@ -259,6 +259,40 @@ def test_tree_dimension(tables):
     assert len(contract) > 0
     assert contract["ergo_tree_t8"].notna().all()
     assert contract["ergo_tree_t8_hash"].notna().all()
+    # P2SH scripts address as P2SH and share the canonical template
+    assert (trees["address_type"] == "P2SH").any()
+    p2sh = trees[trees["address_type"] == "P2SH"]
+    from ergo_uexplorer_spark.functions.crypto import P2SH_TEMPLATE_HEX
+
+    assert (p2sh["ergo_tree_t8"] == P2SH_TEMPLATE_HEX).all()
+
+
+def test_address_tree_roundtrip_and_checksum():
+    """address_to_ergo_tree inverts _tree_to_address for all three
+    address kinds (base58Address2ErgoTree), and corrupted addresses
+    RAISE on the checksum instead of silently matching nothing."""
+    import pytest as _pytest
+
+    from ergo_uexplorer_spark.fixtures.chaingen import _hex
+    from ergo_uexplorer_spark.functions.crypto import (
+        _tree_to_address,
+        p2sh_tree,
+    )
+    from ergo_uexplorer_spark.operators.boxes import address_to_ergo_tree
+
+    p2pk = p2pk_tree("02" + "cd" * 32)
+    p2sh = p2sh_tree(_hex("some-script", 24))
+    from ergo_uexplorer_spark.fixtures.chaingen import contract_tree
+
+    p2s = contract_tree("roundtrip")
+    for tree in (p2pk, p2sh, p2s):
+        assert address_to_ergo_tree(_tree_to_address(tree)) == tree
+    good = _tree_to_address(p2pk)
+    corrupted = good[:-1] + ("1" if good[-1] != "1" else "2")
+    with _pytest.raises(ValueError, match="checksum|invalid"):
+        address_to_ergo_tree(corrupted)
+    with _pytest.raises(ValueError):
+        address_to_ergo_tree("not-base58-0OIl")
 
 
 def test_malformed_lines_dropped(spark, tmp_path):
