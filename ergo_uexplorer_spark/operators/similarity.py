@@ -24,11 +24,28 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 # hyperplane-LSH constants (seeded ±1 planes, shared with the SQL oracle)
 # ---------------------------------------------------------------------------
-LSH_PLANES = 4
+# 9 planes → 512 buckets; with the default 8-bucket multi-probe each
+# query touches 8/512 = 1/64 of the corpus (the round-2 review flagged
+# 4 planes/16 buckets as a selectivity cliff at scale).
+LSH_PLANES = 9
+LSH_PROBES = 8
 EMB_DIM = 64
 _rng = random.Random(7)
 PLANES: tuple[tuple[int, ...], ...] = tuple(
     tuple(_rng.choice((-1, 1)) for _ in range(EMB_DIM)) for _ in range(LSH_PLANES)
+)
+
+# IVF fixed coarse quantizer (seeded, shared verbatim with the SQL
+# oracle): 128 cells, 2 probes → 1/64 of the corpus per query. The
+# data-adaptive k-means quantizer (`ivf_build_centroids`) remains the
+# production path; the fixed one exists so the IVF search plan is
+# oracle-checkable end to end (a k-means oracle would have to replicate
+# the iteration in SQL).
+IVF_CELLS = 128
+_ivf_rng = random.Random(4242)
+FIXED_CENTROIDS: tuple[tuple[float, ...], ...] = tuple(
+    tuple(_ivf_rng.uniform(-1.0, 1.0) for _ in range(EMB_DIM))
+    for _ in range(IVF_CELLS)
 )
 
 # banded near-dup LSH: ND_BANDS independent 8-plane bucketings. A pair is
@@ -247,27 +264,42 @@ def ivf_build_centroids(
     return cents
 
 
+def _cents_lit(centroids: list[list[float]]) -> Column:
+    """Literal array<struct<cell:int, cv:array<double>>> of the coarse
+    quantizer. Scoring happens through a SINGLE `transform` lambda over
+    this array — one expression tree evaluated n_centroids times at
+    runtime — instead of n_centroids inlined cosine folds, which at 128
+    cells made analysis + codegen the dominant cost (~40 s per query).
+    Built as ONE parsed SQL expression — per-element `F.lit` calls cost
+    a py4j round trip each (~6 s for 128×64 literals); a single parse of
+    the generated text is milliseconds. `D`-suffixed literals parse via
+    Double.parseDouble, the same nearest-double as the Python repr."""
+    parts = ", ".join(
+        "named_struct('cell', {}, 'cv', array({}))".format(
+            ci, ", ".join(f"{float(v)!r}D" for v in cent)
+        )
+        for ci, cent in enumerate(centroids)
+    )
+    return F.expr(f"array({parts})")
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Nearest-centroid assignment by cosine. One struct per centroid,
-    argmax via `array_max` (struct ordering: cosine first, then -cell so
-    ties go to the smaller cell id). Linear expression size — a chained
-    when/otherwise would nest each comparison inside the next and blow
-    the analyzer up exponentially."""
-    structs = []
-    for ci, cent in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(v)) for v in cent])
-        structs.append(
-            F.struct(
-                cosine(F.col(vec_col), lit_c).alias("c"),
-                F.lit(-ci).alias("negcell"),
-            )
-        )
-    best = F.array_max(F.array(*structs))
+    """Nearest-centroid assignment by cosine: transform over the literal
+    centroid array, argmax via `array_max` (struct ordering: cosine
+    first, then -cell so ties go to the smaller cell id)."""
+    scored = F.transform(
+        _cents_lit(centroids),
+        lambda c: F.struct(
+            cosine(F.col(vec_col), c["cv"]).alias("c"),
+            (-c["cell"]).alias("negcell"),
+        ),
+    )
+    best = F.array_max(scored)
     return emb.withColumn("centroid_id", (-best["negcell"]).cast("int"))
 
 
@@ -291,19 +323,15 @@ def ivf_topk(
         F.col("centroid_id").alias("cell"),
     )
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
-    probe_rows = []
-    for ci, cent in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(v)) for v in cent])
-        probe_rows.append(
-            F.struct(F.lit(ci).alias("cell"), cosine(F.col("qv"), lit_c).alias("c"))
-        )
+    scored_cells = F.transform(
+        _cents_lit(centroids),
+        lambda c: F.struct(
+            cosine(F.col("qv"), c["cv"]).alias("c"), c["cell"].alias("cell")
+        ),
+    )
     probes = q.withColumn(
         "cells",
-        F.slice(
-            F.reverse(F.array_sort(F.array(*probe_rows), _cos_then_cell)),
-            1,
-            n_probes,
-        ),
+        F.slice(F.array_sort(scored_cells, _best_cell_first), 1, n_probes),
     ).select("q_id", "qv", F.explode("cells.cell").alias("cell"))
     scored = (
         F.broadcast(probes)
@@ -319,10 +347,11 @@ def ivf_topk(
     )
 
 
-def _cos_then_cell(a: Column, b: Column) -> Column:
-    """array_sort comparator: ascending by cosine then cell id (reversed
-    afterwards → best cells first, deterministic ties)."""
-    return F.when(a["c"] < b["c"], -1).when(a["c"] > b["c"], 1).otherwise(
+def _best_cell_first(a: Column, b: Column) -> Column:
+    """array_sort comparator: cosine DESC, cell id ASC — best cells
+    first with the same deterministic tie order (`ORDER BY cos DESC,
+    cell ASC`) the SQL oracle uses, so probe sets match exactly."""
+    return F.when(a["c"] > b["c"], -1).when(a["c"] < b["c"], 1).otherwise(
         F.when(a["cell"] < b["cell"], -1).when(a["cell"] > b["cell"], 1).otherwise(0)
     )
 
@@ -331,16 +360,66 @@ def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
+    n_probes: int = LSH_PROBES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket,
-    exact cosine inside the bucket. Join on bucket ⇒ corpus partitioned by
-    bucket, each query scans ~1/2^PLANES of the data."""
-    q = queries.select(
+    """Approximate top-k with margin-based multi-probe LSH.
+
+    The corpus gets ONE bucket per vector (sign bits of the 9 hyperplane
+    margins); each query probes its own bucket plus the `n_probes - 1`
+    neighbor buckets reached by flipping the sign bits with the smallest
+    |margin| — the planes the query sits closest to, i.e. the flips most
+    likely to hold true neighbors (classic multi-probe LSH). Join key is
+    the bucket id, so the corpus is hash-partitioned by bucket and never
+    replicated; only the tiny broadcast query side fans out ×n_probes.
+    Selectivity ≈ n_probes / 2^LSH_PLANES (default 8/512 = 1/64) vs the
+    recall of single-probe at 2^LSH_PLANES/n_probes× more buckets.
+    Deterministic: margin ties break by plane index on both engines."""
+    qm = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qv"),
-        _bucket(F.col(vec_col)).alias("bucket"),
+        *[
+            dot(F.col(vec_col), _plane_array(plane)).alias(f"_d{p}")
+            for p, plane in enumerate(PLANES)
+        ],
+    )
+    base = sum(
+        (
+            F.when(F.col(f"_d{p}") > 0, F.lit(1 << p)).otherwise(0)
+            for p in range(LSH_PLANES)
+        ),
+        F.lit(0),
+    )
+    # (|margin|, plane, bit) sorted ascending: nearest planes first; the
+    # bit rides along so the flip is a plain XOR inside the lambda.
+    margins = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(F.col(f"_d{p}")).alias("m"),
+                    F.lit(p).alias("p"),
+                    F.lit(1 << p).alias("b"),
+                )
+                for p in range(LSH_PLANES)
+            ]
+        )
+    )
+    q = (
+        qm.withColumn("_base", base)
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.concat(
+                    F.array(F.col("_base")),
+                    F.transform(
+                        F.slice(margins, 1, n_probes - 1),
+                        lambda s: F.col("_base").bitwiseXOR(s["b"]),
+                    ),
+                )
+            ),
+        )
+        .select("q_id", "qv", "bucket")
     )
     c = emb.select(
         F.col(id_col).alias("n_id"),

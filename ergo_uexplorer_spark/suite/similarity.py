@@ -118,27 +118,55 @@ def d05_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# hyperplane-LSH bucketed ANN (scale path)
+# hyperplane-LSH bucketed ANN with margin multi-probe (scale path):
+# 9 planes / 512 buckets, each query probes its bucket + the 7 nearest
+# sign flips → 8/512 = 1/64 of the corpus. The oracle mirrors the seeded
+# planes, the margin sort (|m| asc, plane asc) and the XOR flips, so the
+# probe sets — and therefore the candidate sets — are identical.
 # --------------------------------------------------------------------------
+def _sql_plane_dot(vec: str, plane: tuple[int, ...]) -> str:
+    lit = "[" + ", ".join(f"{float(v)}" for v in plane) + "]"
+    return _DOT.format(dim=S.EMB_DIM, a=vec, b=f"({lit}::DOUBLE[])")
+
+
 def _sql_bucket(vec: str) -> str:
-    terms = []
-    for p, plane in enumerate(S.PLANES):
-        lit = "[" + ", ".join(f"{float(v)}" for v in plane) + "]"
-        d = _DOT.format(dim=S.EMB_DIM, a=vec, b=f"({lit}::DOUBLE[])")
-        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)")
+    terms = [
+        f"(CASE WHEN {_sql_plane_dot(vec, plane)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(S.PLANES)
+    ]
     return "(" + " + ".join(terms) + ")"
 
 
-_LSH_SQL = f"""
-    WITH q AS (SELECT vec_id AS q_id, embedding AS qv,
-                      {_sql_bucket('embedding')} AS bucket
-               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+def _lsh_sql() -> str:
+    d_cols = ", ".join(
+        f"{_sql_plane_dot('embedding', plane)} AS d{p}"
+        for p, plane in enumerate(S.PLANES)
+    )
+    base = " + ".join(
+        f"(CASE WHEN d{p} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(S.LSH_PLANES)
+    )
+    margin_structs = ", ".join(
+        f"{{'m': abs(d{p}), 'p': {p}, 'b': {1 << p}}}" for p in range(S.LSH_PLANES)
+    )
+    return f"""
+    WITH qm AS (SELECT vec_id AS q_id, embedding AS qv, {d_cols}
+                FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    qb AS (SELECT q_id, qv, ({base}) AS base,
+                  list_sort([{margin_structs}]) AS ms
+           FROM qm),
+    probes AS (
+      SELECT q_id, qv,
+             unnest(list_concat([base],
+                    list_transform(list_slice(ms, 1, {S.LSH_PROBES - 1}),
+                                   s -> xor(base, s.b)))) AS bucket
+      FROM qb),
     c AS (SELECT vec_id AS n_id, embedding AS nv,
                  {_sql_bucket('embedding')} AS bucket
           FROM embeddings),
     scored AS (
       SELECT q_id, n_id, {_sql_cos('qv', 'nv')} AS cos
-      FROM q JOIN c USING (bucket) WHERE q_id <> n_id
+      FROM probes JOIN c USING (bucket) WHERE q_id <> n_id
     ),
     ranked AS (
       SELECT q_id, n_id, cos,
@@ -146,16 +174,76 @@ _LSH_SQL = f"""
       FROM scored
     )
     SELECT q_id, n_id, round(cos, 3) AS cos_sim FROM ranked WHERE rn <= 5
-"""
+    """
 
 
 @register(
     "s02_ann_lsh_bucketed",
-    sql=_LSH_SQL,
-    survey_ref="LLM-pipeline: hyperplane-LSH ANN (scale path)",
+    sql=_lsh_sql(),
+    survey_ref="LLM-pipeline: hyperplane multi-probe LSH ANN (scale path)",
     tags=("similarity", "sketch", "topk"),
 )
 def s02_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
     out = S.lsh_topk(emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=5)
+    return out.select("q_id", "n_id", F.round("cos_sim", 3).alias("cos_sim"))
+
+
+# --------------------------------------------------------------------------
+# IVF ANN with the fixed seeded coarse quantizer (oracle-checkable): the
+# oracle re-derives cell assignment (argmax cosine, tie → smaller cell)
+# and the 2-cell probe set from the same 128 centroid literals, then
+# ranks exactly inside the probed cells — 2/128 = 1/64 of the corpus.
+# The k-means quantizer stays the production path (pytest recall gate);
+# SQL cannot replicate its iterations.
+# --------------------------------------------------------------------------
+_IVF_PROBES = 2
+
+
+def _ivf_sql() -> str:
+    values = ",\n      ".join(
+        "({}, [{}]::DOUBLE[])".format(ci, ", ".join(repr(v) for v in cent))
+        for ci, cent in enumerate(S.FIXED_CENTROIDS)
+    )
+    return f"""
+    WITH cents(cell, cv) AS (VALUES
+      {values}),
+    e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    ranked_cells AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {_sql_cos('v', 'cv')} DESC, cell ASC) AS rn
+      FROM e CROSS JOIN cents
+    ),
+    corpus AS (SELECT vec_id AS n_id, v AS nv, cell FROM ranked_cells WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, v AS qv, cell
+               FROM ranked_cells WHERE rn <= {_IVF_PROBES} AND vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q_id, n_id, {_sql_cos('qv', 'nv')} AS cos
+      FROM probes JOIN corpus USING (cell) WHERE q_id <> n_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn
+      FROM scored
+    )
+    SELECT q_id, n_id, round(cos, 3) AS cos_sim FROM ranked WHERE rn <= 5
+    """
+
+
+@register(
+    "s03_ann_ivf_fixed",
+    sql=_ivf_sql(),
+    survey_ref="LLM-pipeline: IVF ANN (fixed coarse quantizer)",
+    tags=("similarity", "topk"),
+)
+def s03_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load(spark, sf_dir, "embeddings")
+    out = S.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        list(S.FIXED_CENTROIDS),
+        k=5,
+        n_probes=_IVF_PROBES,
+    )
     return out.select("q_id", "n_id", F.round("cos_sim", 3).alias("cos_sim"))

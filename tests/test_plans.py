@@ -50,6 +50,19 @@ def test_ann_no_unbounded_cartesian(spark):
     assert_no_cartesian(df)
 
 
+@pytest.mark.parametrize("name", ["s02_ann_lsh_bucketed", "s03_ann_ivf_fixed"])
+def test_bucketed_ann_plans_are_equijoins(spark, name):
+    """The bucketed ANN paths must candidate-join on the bucket/cell key
+    — no cartesian and no nested-loop join; the corpus side is hash-
+    partitioned by the key and never replicated."""
+    from ergo_uexplorer_spark.plans.explain import formatted_plan
+
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
+
+
 @pytest.mark.parametrize(
     "name",
     [
