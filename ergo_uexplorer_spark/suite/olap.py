@@ -234,17 +234,21 @@ _A02_RSD = 0.02
 def a02_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ estimates are engine-specific, so the deterministic contract
     is: exact distinct count + `within_tol` asserting the sketch landed
-    inside 3·rsd of exact (with an absolute-1 floor for tiny groups).
+    inside 5·rsd of exact (with an absolute-1 floor for tiny groups).
     The oracle computes the exact count and literal TRUE — the entry
     still exercises the sketch because a drifting estimate flips the
-    boolean and hash-fails."""
+    boolean and hash-fails. The band is 5σ (not 3σ) because rsd is a
+    probabilistic standard-deviation bound: across thousands of groups
+    at an untested sf, a hash-unlucky group outside 3σ is plausible and
+    would read as an engine bug when it's tolerance tuning; a failure
+    here means re-tune the band, not a Spark regression."""
     (lineitem,) = load(spark, sf_dir, "lineitem")
     agg = lineitem.groupBy("l_suppkey").agg(
         F.count_distinct("l_partkey").alias("n_parts_exact"),
         F.approx_count_distinct("l_partkey", rsd=_A02_RSD).alias("__approx"),
     )
     tol = F.greatest(
-        F.lit(1.0), F.lit(3 * _A02_RSD) * F.col("n_parts_exact").cast("double")
+        F.lit(1.0), F.lit(5 * _A02_RSD) * F.col("n_parts_exact").cast("double")
     )
     return agg.select(
         "l_suppkey",

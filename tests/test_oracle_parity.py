@@ -30,3 +30,36 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_a02_sketch_bounded_by_independent_exact(spark):
+    """Defense in depth for the sketch entry's self-certified boolean:
+    bound Spark's HLL++ estimate against DUCKDB's exact distinct count
+    (an independent engine), not just Spark's own exact column."""
+    from pyspark.sql import functions as F
+
+    from ergo_uexplorer_spark.suite.base import load
+    from ergo_uexplorer_spark.suite.olap import _A02_RSD
+
+    from .oracle import duck_connection
+
+    con = duck_connection(SF_DIR)
+    exact = dict(
+        con.execute(
+            "SELECT l_suppkey, count(DISTINCT l_partkey)"
+            " FROM lineitem GROUP BY l_suppkey"
+        ).fetchall()
+    )
+    con.close()
+    (lineitem,) = load(spark, SF_DIR, "lineitem")
+    approx = {
+        r["l_suppkey"]: r["a"]
+        for r in lineitem.groupBy("l_suppkey")
+        .agg(F.approx_count_distinct("l_partkey", rsd=_A02_RSD).alias("a"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(1.0, 5 * _A02_RSD * ex), (
+            f"suppkey {k}: approx {approx[k]} vs exact {ex}"
+        )

@@ -13,11 +13,12 @@ Usage: python tools/strict_parity.py [sf_dir] [name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _cell(v):
@@ -53,8 +54,16 @@ def main() -> int:
     from tests.oracle import duck_connection
 
     args = [a for a in sys.argv[1:]]
-    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
-    names = [a for a in args if "/" not in a] or sorted(REGISTRY)
+    if args and os.path.isdir(args[0]):
+        sf_dir, names = args[0], args[1:]
+    else:
+        sf_dir, names = "/root/testdata/sf0.01", args
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        print(f"unknown query name(s): {' '.join(unknown)}")
+        print("available:", " ".join(sorted(REGISTRY)))
+        return 2
+    names = names or sorted(REGISTRY)
 
     spark = (
         SparkSession.builder.master("local[8]")
