@@ -70,6 +70,76 @@ def graph_vertices(edges: DataFrame) -> DataFrame:
     )
 
 
+def k_hop_neighbors(
+    edges: DataFrame,
+    start_ids: list,
+    k: int,
+    directed: bool = True,
+) -> DataFrame:
+    """General bounded traversal (the Gremlin `repeat(out()).times(k)`
+    family behind Q19's endpoint — StreamExecutor.scala:37-41): BFS
+    min-hop labels from `start_ids` out to `k` hops.
+
+    Distributed shape: the driver loop runs exactly `k` times (O(k),
+    never O(data)); each level is one hash equi-join frontier⋈edges on
+    `src` plus one anti-join against the visited set — no collect, no
+    cartesian. Frontiers are persisted so level n doesn't recompute the
+    whole prefix; at cluster scale pre-partition `edges` by `src` so
+    every level reuses the same shuffle-free join layout. Returns
+    (id, hops) with hops = BFS level = minimum hop distance."""
+    spark = edges.sparkSession
+    from pyspark.sql import types as T
+
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    schema = T.StructType(
+        [
+            T.StructField("id", edges.schema["src"].dataType),
+            T.StructField("hops", T.IntegerType()),
+        ]
+    )
+    visited = spark.createDataFrame([(s, 0) for s in start_ids], schema)
+    frontier = visited.persist()
+    for level in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier.id == e.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("hops", F.lit(level))
+            .persist()
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
+def co_spend_pairs(edges: DataFrame) -> DataFrame:
+    """Wedge motif a→tx←b: pairs of addresses funding the SAME
+    transaction (the tx-graph co-spend heuristic used for wallet
+    clustering). Bucketed self-join on the shared tx id — candidate
+    volume is Σ|inputs per tx|², never an all-pairs product. Returns
+    (addr_a, addr_b, n_txs) with addr_a < addr_b."""
+    ins = edges.filter(F.col("direction") == "in").select(
+        F.col("src").alias("addr"), F.col("dst").alias("tx_id")
+    )
+    a, b = ins.alias("a"), ins.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tx_id") == F.col("b.tx_id"))
+            & (F.col("a.addr") < F.col("b.addr")),
+        )
+        .groupBy(
+            F.col("a.addr").alias("addr_a"), F.col("b.addr").alias("addr_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_txs"))
+    )
+
+
 def two_hop_neighbors(edges: DataFrame, address_hash: str) -> DataFrame:
     """Q19-style traversal without a graph engine: addresses reachable
     through one transaction hop (addr → tx → addr)."""

@@ -96,6 +96,63 @@ def q19_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# g02: GENERAL k-hop traversal (the Gremlin repeat().times(k) family) —
+# BFS min-hop labels over the undirected customer↔order↔supplier graph
+# from customer c1, 4 hops: c1 → its orders → their suppliers → the
+# suppliers' other orders → those orders' customers. The Spark side is
+# the iterative-join BFS in operators/graph.py; the oracle is a bounded
+# recursive CTE with min(hops) — path-explosion-safe at suite SFs.
+# --------------------------------------------------------------------------
+_G02_K = 4
+
+_G02_SQL = f"""
+    WITH RECURSIVE edges AS (
+      SELECT 'c' || o_custkey AS src, 'o' || o_orderkey AS dst FROM orders
+      UNION ALL
+      SELECT 'o' || o_orderkey, 'c' || o_custkey FROM orders
+      UNION ALL
+      SELECT DISTINCT 'o' || l_orderkey, 's' || l_suppkey FROM lineitem
+      UNION ALL
+      SELECT DISTINCT 's' || l_suppkey, 'o' || l_orderkey FROM lineitem
+    ),
+    walk(id, hops) AS (
+      SELECT 'c1', 0
+      UNION ALL
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN edges e ON e.src = w.id
+      WHERE w.hops < {_G02_K}
+    )
+    SELECT id AS node_id, CAST(min(hops) AS INT) AS hops
+    FROM walk GROUP BY id
+"""
+
+
+@register(
+    "g02_graph_k_hop",
+    sql=_G02_SQL,
+    survey_ref="Q19 general traversal — StreamExecutor.scala:37-41 (Gremlin)",
+    tags=("graph", "iterative"),
+)
+def g02_graph_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import k_hop_neighbors
+
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    c_o = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    o_s = lineitem.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    edges = c_o.unionByName(o_s)
+    out = k_hop_neighbors(edges, ["c1"], k=_G02_K, directed=False)
+    return out.select(
+        F.col("id").alias("node_id"), F.col("hops").cast("int").alias("hops")
+    )
+
+
+# --------------------------------------------------------------------------
 # rollup: free Spark built-in the reference lacks (SURVEY §2.6)
 # --------------------------------------------------------------------------
 @register(

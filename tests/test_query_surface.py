@@ -148,3 +148,46 @@ def test_high_value_alerts(tables):
     for r in rows[:5]:
         assert r["moved_value"] >= 10**9
         assert len(r["out_addresses"]) >= 1
+
+
+def test_k_hop_traversal(tables):
+    from ergo_uexplorer_spark.operators.graph import k_hop_neighbors
+
+    edges = graph_edges(tables["boxes_main"], tables["inputs_main"])
+    some_src = edges.filter("direction = 'in'").first()["src"]
+    # 2 directed hops (addr -> tx -> addr) must cover two_hop_neighbors
+    k2 = k_hop_neighbors(edges, [some_src], k=2)
+    k2_ids = {r["id"] for r in k2.collect()}
+    legacy = {r["neighbor"] for r in two_hop_neighbors(edges, some_src).collect()}
+    assert legacy <= k2_ids
+    # hops are BFS levels: start at 0, monotone, bounded by k
+    by_hop = {r["id"]: r["hops"] for r in k2.collect()}
+    assert by_hop[some_src] == 0
+    assert all(0 <= h <= 2 for h in by_hop.values())
+    # growing k never loses nodes and never raises a node's level
+    k4 = {r["id"]: r["hops"] for r in
+          k_hop_neighbors(edges, [some_src], k=4).collect()}
+    assert set(by_hop) <= set(k4)
+    assert all(k4[n] == h for n, h in by_hop.items())
+
+
+def test_co_spend_wedge_motif(tables):
+    from ergo_uexplorer_spark.operators.graph import co_spend_pairs
+
+    edges = graph_edges(tables["boxes_main"], tables["inputs_main"])
+    pairs = co_spend_pairs(edges)
+    rows = pairs.collect()
+    # cross-check against a driver-side recompute on the small fixture
+    ins = edges.filter("direction = 'in'").select("src", "dst").collect()
+    by_tx = {}
+    for r in ins:
+        by_tx.setdefault(r["dst"], set()).add(r["src"])
+    expect = {}
+    for addrs in by_tx.values():
+        for a in addrs:
+            for b in addrs:
+                if a < b:
+                    expect[(a, b)] = expect.get((a, b), 0) + 1
+    got = {(r["addr_a"], r["addr_b"]): r["n_txs"] for r in rows}
+    assert got == expect
+    assert all(a < b for a, b in got)
