@@ -65,6 +65,7 @@ _EN_STOP = list(T.STOPWORDS["en"])
     """,
     survey_ref="LLM-pipeline: quality scoring",
     tags=("text",),
+    bench=True,
 )
 def x02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
@@ -104,6 +105,7 @@ def x02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_ref="LLM-pipeline: language ID heuristic",
     tags=("text",),
+    bench=True,
 )
 def x03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
@@ -130,6 +132,7 @@ def x03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_ref="LLM-pipeline: corpus n-gram statistics",
     tags=("text", "agg", "topk"),
+    bench=True,
 )
 def x05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
@@ -162,6 +165,7 @@ def x05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_ref="LLM-pipeline: document fingerprinting",
     tags=("text",),
+    bench=True,
 )
 def x04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
