@@ -152,6 +152,46 @@ def chain_tip(headers: DataFrame, n: int = 100) -> DataFrame:
     return headers.filter(F.col("height") > max_h - n)
 
 
+class ChainIntegrityError(RuntimeError):
+    """C9: persisted stores disagree about whether a chain exists."""
+
+
+def initialize(blocks: DataFrame | None, utxo: DataFrame | None) -> dict:
+    """C9 consistency initializer (indexer/chain/Initializer.scala:15-36).
+
+    The reference compares its two persisted stores at startup — the
+    block backend (H2/Cassandra) and the MVStore UTXO cache — and picks
+    a sync mode:
+
+      * both empty          → full sync from genesis
+      * exactly one empty   → FAIL (ChainIntegrityError — a half-written
+                              deployment; resuming would corrupt)
+      * both nonempty       → resume above the lower of the two tips
+                              (heights above the slower store are
+                              re-applied idempotently)
+
+    Here `blocks` is the persisted Block table and `utxo` the persisted
+    UTXO snapshot (either may be None for "store absent"). Returns
+    ``{"mode": "full_sync"|"resume", "from_height": int}``. The emptiness
+    probes are `LIMIT 1` scans, not counts — O(1) at any scale.
+    """
+    blocks_empty = blocks is None or blocks.isEmpty()
+    utxo_empty = utxo is None or utxo.isEmpty()
+    if blocks_empty != utxo_empty:
+        full, empty = (
+            ("utxo", "blocks") if blocks_empty else ("blocks", "utxo")
+        )
+        raise ChainIntegrityError(
+            f"{full} store is non-empty while {empty} store is empty — "
+            "refusing to sync over an inconsistent deployment"
+        )
+    if blocks_empty:
+        return {"mode": "full_sync", "from_height": 1}
+    block_tip = blocks.agg(F.max("height")).collect()[0][0] or 0
+    utxo_tip = utxo.agg(F.max("height")).collect()[0][0] or 0
+    return {"mode": "resume", "from_height": min(block_tip, utxo_tip) + 1}
+
+
 def assert_chained(headers_main: DataFrame) -> None:
     """hasParentAndIsChained (BlockWriter.scala:61-66): every main-chain
     block's parent is the main-chain block one height below."""

@@ -37,11 +37,16 @@ def clean_corpus(
         .select(F.col("doc_b").alias(id_col))
         .distinct()
     )
-    tok = T.tokens(F.col(text_col))
+    # token array materialized before the score expressions (the CASE
+    # chain references it ~20x; keep the regex split to one evaluation)
     signals = docs.select(
+        F.col(id_col), T.tokens(F.col(text_col)).alias("t")
+    ).select(
         F.col(id_col),
-        F.size(tok).alias("n_tokens"),
-        T.lang_pred(T.lang_scores(F.array_distinct(tok))).alias("lang_pred"),
+        F.size(F.col("t")).alias("n_tokens"),
+        T.lang_pred(T.lang_scores(F.array_distinct(F.col("t")))).alias(
+            "lang_pred"
+        ),
     )
     return (
         signals.join(canonical, id_col, "left_semi")

@@ -89,10 +89,16 @@ def shingle_sets(
 ) -> DataFrame:
     """(doc_id, s) distinct word-n-gram shingles (string form — the exact
     baseline)."""
-    return _ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(tokens(F.col(text_col)), n)).alias("s"),
-    ).distinct()
+    return (
+        _ensure_parallelism(docs)
+        # materialize the token array BEFORE the shingle lambda: Spark's
+        # subexpression elimination does not cross higher-order-function
+        # lambda boundaries, so an inlined tokens() expression would be
+        # re-split per shingle element (~10x slower at sf0.1)
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
+        .select("doc_id", F.explode(shingles(F.col("t"), n)).alias("s"))
+        .distinct()
+    )
 
 
 def hashed_shingle_sets(
@@ -104,9 +110,11 @@ def hashed_shingle_sets(
     (signatures, verification) is a long-key join. Collisions (~2^-60
     per pair) merge shingles on BOTH engines identically, so the oracle
     stays exact."""
-    sh = _ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(tokens(F.col(text_col)), n)).alias("s"),
+    sh = (
+        _ensure_parallelism(docs)
+        # token array materialized first — see shingle_sets
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
+        .select("doc_id", F.explode(shingles(F.col("t"), n)).alias("s"))
     )
     return sh.select("doc_id", portable_hash(F.col("s")).alias("h")).distinct()
 

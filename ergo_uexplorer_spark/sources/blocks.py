@@ -126,6 +126,79 @@ BLOCK_SCHEMA = StructType(
 )
 
 
+def block_id_pages(fetch_page, from_height: int = 0, page_size: int = 100):
+    """S1 (BlockReader.blockIdSource, chain/BlockReader.scala:42-53):
+    unfold over the node's paginated id endpoint
+    (`/blocks?offset=N&limit=100`) → stream of block-id pages.
+
+    `fetch_page(offset, limit) -> list[str]` is injectable (the REST call
+    in production, a fake in tests). Pagination is inherently sequential
+    and id-sized, so it runs on the driver — the heavy per-block fetch +
+    decode is what fans out across executors (`fetch_blocks`). Stops on
+    a short or empty page, exactly like the reference's unfold.
+    """
+    offset = from_height
+    while True:
+        ids = list(fetch_page(offset, page_size))
+        if not ids:
+            return
+        yield ids
+        if len(ids) < page_size:
+            return
+        offset += len(ids)
+
+
+def fetch_blocks(
+    spark: SparkSession,
+    block_ids: list[str],
+    fetch_block,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """S2 (BlockHttpClient.getBlockForId → ApiFullBlock decode): fetch
+    and decode one page of full blocks, **distributed across executors**.
+
+    `fetch_block(block_id) -> str` returns the block's JSON text (the
+    node REST body in production; injectable in tests). Ids are tiny and
+    parallelize from the driver; each executor fetches its slice inside
+    an Arrow-batched `mapInPandas`, and the JSON decode itself stays
+    JVM-side via `from_json(BLOCK_SCHEMA)` — Python only shuttles the
+    raw response bytes. At cluster scale this is the network-bound fan-out
+    the reference does with ZIO parallelism (fetcher fibers), expressed
+    as a Spark stage so back-pressure/retry land on the task scheduler.
+    """
+    n = num_partitions or min(len(block_ids), 32) or 1
+    ids_df = spark.createDataFrame(
+        [(b,) for b in block_ids], "block_id string"
+    ).repartition(n)
+
+    def _fetch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"json": [fetch_block(b) for b in pdf["block_id"]]}
+            )
+
+    raw = ids_df.mapInPandas(_fetch, "json string")
+    return raw.select(
+        F.from_json("json", BLOCK_SCHEMA).alias("b")
+    ).select("b.*")
+
+
+def paginated_block_batches(
+    spark: SparkSession,
+    fetch_page,
+    fetch_block,
+    from_height: int = 0,
+    page_size: int = 100,
+):
+    """S1+S2 composed: the driver loop the reference runs as a ZStream —
+    one DataFrame micro-batch per id page, ready for
+    `incremental.apply_block_batch` (per-page UTXO delta commit)."""
+    for ids in block_id_pages(fetch_page, from_height, page_size):
+        yield fetch_blocks(spark, ids, fetch_block)
+
+
 def read_blocks(
     spark: SparkSession,
     path: str | list[str],

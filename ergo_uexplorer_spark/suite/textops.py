@@ -69,14 +69,18 @@ _EN_STOP = list(T.STOPWORDS["en"])
 )
 def x02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
-    tok = T.tokens(F.col("text"))
+    # materialize the token array before the aggregate/filter lambdas —
+    # CSE does not cross HOF lambda boundaries (re-split per element)
+    tok = F.col("t")
     stop_arr = F.array(*[F.lit(w) for w in _EN_STOP])
     base = docs.select(
+        "doc_id", "text", T.tokens(F.col("text")).alias("t")
+    ).select(
         "doc_id",
         F.size(tok).alias("n_tokens"),
         F.coalesce(
             F.aggregate(
-                T.tokens(F.col("text")),
+                tok,
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + F.length(x),
             ),
@@ -109,9 +113,10 @@ def x02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
-    td = F.array_distinct(T.tokens(F.col("text")))
-    scores = T.lang_scores(td)
-    return docs.select("doc_id", T.lang_pred(scores).alias("lang_pred"))
+    scores = T.lang_scores(F.col("td"))
+    return docs.select(
+        "doc_id", F.array_distinct(T.tokens(F.col("text"))).alias("td")
+    ).select("doc_id", T.lang_pred(scores).alias("lang_pred"))
 
 
 # --------------------------------------------------------------------------
@@ -136,7 +141,9 @@ def x03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
-    tok = T.tokens(F.col("text"))
+    # token array materialized first: inlining tokens() into the
+    # transform lambda re-splits the text per bigram element (~11x cost)
+    tok = F.col("t")
     bigrams = F.when(
         F.size(tok) >= 2,
         F.transform(
@@ -145,7 +152,8 @@ def x05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        docs.select(T.tokens(F.col("text")).alias("t"))
+        .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))

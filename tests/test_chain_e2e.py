@@ -390,3 +390,81 @@ def test_fork_resolution_equivalence(spark, chain_dir):
     # the losing branches' blocks are present but flagged off-main
     forks = detect_forks(merged["headers"])
     assert forks.count() >= 2
+
+
+def test_paginated_block_source(spark):
+    """S1/S2 (BlockReader.blockIdSource + block fetch,
+    chain/BlockReader.scala:42-53): the driver unfolds id pages, the
+    executors fetch+decode the blocks; the result must equal the file
+    source bit-for-bit."""
+    import json as _json
+
+    from ergo_uexplorer_spark.sources.blocks import (
+        block_id_pages,
+        fetch_blocks,
+        paginated_block_batches,
+    )
+
+    gen = ChainGen(seed=7)
+    gen.generate(25)
+    by_id = {b["header"]["id"]: _json.dumps(b) for b in gen.blocks}
+    ordered = [b["header"]["id"] for b in gen.blocks]
+
+    calls = []
+
+    def fake_page(offset, limit):
+        calls.append(offset)
+        return ordered[offset : offset + limit]
+
+    # driver-side unfold: page boundaries + short-page termination
+    pages = list(block_id_pages(fake_page, from_height=0, page_size=10))
+    assert [len(p) for p in pages] == [10, 10, 5]
+    assert calls == [0, 10, 20]
+
+    # executor-side fetch + JVM-side JSON decode
+    df = fetch_blocks(spark, pages[0], by_id.__getitem__, num_partitions=4)
+    assert df.schema == spark.read.schema(
+        df.schema
+    ).json(spark.sparkContext.emptyRDD()).schema
+    got = {r["header"]["id"] for r in df.select("header").collect()}
+    assert got == set(pages[0])
+
+    # composed micro-batches cover the whole chain exactly once
+    seen = []
+    for batch in paginated_block_batches(
+        spark, fake_page, by_id.__getitem__, page_size=10
+    ):
+        seen += [r["header"]["id"] for r in batch.select("header").collect()]
+    assert sorted(seen) == sorted(ordered)
+
+    # resume: from_height offsets the unfold like dropUntil
+    resumed = list(block_id_pages(fake_page, from_height=20, page_size=10))
+    assert resumed == [ordered[20:]]
+
+
+def test_initializer_modes(spark):
+    """C9 (indexer/chain/Initializer.scala:15-36): both-empty → full
+    sync, XOR-empty → ChainIntegrityError, both-nonempty → resume above
+    the lower tip."""
+    from ergo_uexplorer_spark.operators.chain import (
+        ChainIntegrityError,
+        initialize,
+    )
+
+    empty = spark.createDataFrame([], "block_id string, height int")
+    blocks = spark.createDataFrame(
+        [("b1", 1), ("b2", 2), ("b3", 3)], "block_id string, height int"
+    )
+    utxo = spark.createDataFrame(
+        [("x1", 1), ("x2", 2)], "box_id string, height int"
+    )
+
+    assert initialize(empty, empty) == {"mode": "full_sync", "from_height": 1}
+    assert initialize(None, None) == {"mode": "full_sync", "from_height": 1}
+
+    for pair in [(blocks, empty), (empty, utxo), (blocks, None)]:
+        with pytest.raises(ChainIntegrityError):
+            initialize(*pair)
+
+    # resume above the SLOWER store: utxo tip 2 < block tip 3
+    assert initialize(blocks, utxo) == {"mode": "resume", "from_height": 3}
