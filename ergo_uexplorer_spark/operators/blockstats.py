@@ -132,6 +132,16 @@ def build_block_table(
             "block_fee_raw"
         ),
     )
+    # the Python address render runs over the DISTINCT miner_pk dimension
+    # (a few thousand miners for millions of blocks), never per block row
+    pk_dim = (
+        headers_main.select("miner_pk")
+        .distinct()
+        .withColumn(
+            "miner_address",
+            ergo_tree_to_address(miner_reward_tree(F.col("miner_pk"))),
+        )
+    )
     base = (
         headers_main.drop("txs_count")
         .join(per_tx, "block_id", "left")
@@ -147,39 +157,22 @@ def build_block_table(
             "block_coins",
             F.coalesce("all_outputs_value", F.lit(0)) - F.col("miner_revenue"),
         )
-        .withColumn(
-            "miner_address",
-            ergo_tree_to_address(miner_reward_tree(F.col("miner_pk"))),
-        )
+        .join(F.broadcast(pk_dim), "miner_pk")
+        .withColumn("emission", emission_at_height(F.col("height"), settings))
     )
-    # prev timestamp for mining time; reference quirk preserved:
-    # totalMiningTime's increment for the FIRST block is its raw timestamp
-    # (prev.getOrElse(0L)), while the blockMiningTime COLUMN is 0
-    # (BlockBuilder.scala:22-25, 44).
-    with_lag = ordered_prefix(
+    # ONE prefix pass: the lag (prev timestamp) and every running sum are
+    # independent of each other, and totalMiningTime needs no second pass —
+    # the reference folds increments of (ts − prev.getOrElse(0L))
+    # (BlockBuilder.scala:22-25, 44), which telescope to the block's own
+    # timestamp, so the running total IS `timestamp`. The blockMiningTime
+    # COLUMN still uses the quirk's other half: 0 for the first block.
+    cum = ordered_prefix(
         base,
         order_cols=["height"],
         lag_cols={"prev_timestamp": "timestamp"},
-        num_partitions=num_partitions,
-    )
-    with_lag = with_lag.withColumn(
-        "mining_time_increment",
-        F.col("timestamp") - F.coalesce(F.col("prev_timestamp"), F.lit(0)),
-    ).withColumn(
-        "block_mining_time",
-        F.when(
-            F.col("prev_timestamp").isNotNull(),
-            F.col("timestamp") - F.col("prev_timestamp"),
-        ).otherwise(F.lit(0)),
-    ).withColumn("emission", emission_at_height(F.col("height"), settings))
-
-    cum = ordered_prefix(
-        with_lag,
-        order_cols=["height"],
         sum_cols={
             "block_chain_total_size": "block_size",
             "total_txs_count": "txs_count",
-            "total_mining_time": "mining_time_increment",
             "total_fees": "block_fee",
             "total_miners_reward": "miner_reward",
             "total_coins_in_txs": "block_coins",
@@ -189,6 +182,13 @@ def build_block_table(
         },
         num_partitions=num_partitions,
     )
+    cum = cum.withColumn(
+        "block_mining_time",
+        F.when(
+            F.col("prev_timestamp").isNotNull(),
+            F.col("timestamp") - F.col("prev_timestamp"),
+        ).otherwise(F.lit(0)),
+    ).withColumn("total_mining_time", F.col("timestamp").cast("long"))
     return cum.select(
         "block_id",
         "parent_id",

@@ -48,10 +48,28 @@ def _fork_regions(headers: DataFrame):
     unique block just above it (or, for a segment containing the tip,
     by the best-tip tie-break). Nothing else needs to leave the
     executors."""
-    by_height = (
-        headers.groupBy("height").agg(F.count(F.lit(1)).alias("n")).filter("n > 1")
+    contested_h = (
+        headers.groupBy("height")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter("n > 1")
+        .select("height")
     )
-    contested = sorted(r["height"] for r in by_height.collect())
+    # ONE driver round trip: pull the contested headers AND their anchors
+    # (height+1) together; a height is contested iff ≥2 rows came back —
+    # anchors are uncontested by construction (segments are maximal runs),
+    # so the split is recoverable from the collected rows alone.
+    needed_h = contested_h.unionByName(
+        contested_h.select((F.col("height") + 1).alias("height"))
+    ).distinct()
+    rows = (
+        headers.join(F.broadcast(needed_h), "height", "left_semi")
+        .select("block_id", "parent_id", "height")
+        .collect()
+    )
+    per_h: dict[int, int] = {}
+    for r in rows:
+        per_h[r["height"]] = per_h.get(r["height"], 0) + 1
+    contested = sorted(h for h, n in per_h.items() if n > 1)
     if not contested:
         return [], []
     segments = []
@@ -63,12 +81,6 @@ def _fork_regions(headers: DataFrame):
             segments.append((start, prev))
             start = prev = h
     segments.append((start, prev))
-    needed = set(contested) | {hi + 1 for _, hi in segments}
-    rows = (
-        headers.filter(F.col("height").isin(sorted(needed)))
-        .select("block_id", "parent_id", "height")
-        .collect()
-    )
     return segments, rows
 
 
