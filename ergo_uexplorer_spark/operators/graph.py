@@ -10,6 +10,8 @@ kind)`, `edges(src, dst, value)`), and traversals are iterative joins
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -138,6 +140,109 @@ def co_spend_pairs(edges: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_txs"))
     )
+
+
+_MOTIF_TERM = re.compile(
+    r"^(?P<neg>!)?\((?P<a>\w*)\)-\[(?P<e>\w*)\]->\((?P<b>\w*)\)$"
+)
+
+
+def motif_find(edges: DataFrame, pattern: str) -> DataFrame:
+    """GraphFrames-style motif search (the general form of Q19's Gremlin
+    traversals, StreamExecutor.scala:37-41): a pattern of edge terms
+    `(a)-[e]->(b)` separated by `;`, with anonymous vertices `()` /
+    edges `-[]->` and negated terms `!(a)-[]->(b)`.
+
+        motif_find(edges, "(a)-[e1]->(t); (t)-[e2]->(b); !(b)-[]->(a)")
+
+    Returns one row per binding: a column per NAMED vertex (its id) and
+    per NAMED edge (struct of the full edge row). Semantics follow
+    GraphFrames `find`: vertices are not required to be distinct (add
+    `a != b` filters yourself), anonymous elements are not returned,
+    and negated terms may not name an edge.
+
+    Plan shape: each positive term is one aliased scan of `edges`,
+    chained with hash equi-joins on the shared vertex columns — never a
+    cartesian (disconnected patterns are rejected rather than silently
+    exploding); each negated term is one anti-join on its two bound
+    vertices. At cluster scale every join key is a vertex id, so AQE
+    skew-split handles supernodes and the edge table's partitioning is
+    reused across terms.
+    """
+    terms = [t.strip() for t in pattern.split(";") if t.strip()]
+    pos: list[tuple[str, str, str]] = []
+    neg: list[tuple[str, str]] = []
+    for t in terms:
+        m = _MOTIF_TERM.match(t.replace(" ", ""))
+        if not m:
+            raise ValueError(f"bad motif term: {t!r}")
+        if m["neg"]:
+            if m["e"]:
+                raise ValueError(f"negated term cannot name an edge: {t!r}")
+            if not (m["a"] and m["b"]):
+                raise ValueError(
+                    f"negated term needs both vertices named: {t!r}"
+                )
+            neg.append((m["a"], m["b"]))
+        else:
+            pos.append((m["a"], m["e"], m["b"]))
+    if not pos:
+        raise ValueError("motif needs at least one positive term")
+
+    all_vertices = {n for a, _, b in pos for n in (a, b) if n}
+    edge_names = [e for _, e, _ in pos if e]
+    if len(edge_names) != len(set(edge_names)):
+        raise ValueError("edge names must be unique across the pattern")
+    if set(edge_names) & all_vertices:
+        raise ValueError("edge names must not collide with vertex names")
+
+    edge_struct = F.struct(*[F.col(c) for c in edges.columns])
+
+    def term_df(i: int, a: str, e: str, b: str) -> DataFrame:
+        src = edges
+        if a and a == b:  # self-loop term: one column, equality filter
+            src = src.filter(F.col("src") == F.col("dst"))
+        cols = []
+        if a:
+            cols.append(F.col("src").alias(a))
+        if b and b != a:
+            cols.append(F.col("dst").alias(b))
+        if e:
+            cols.append(edge_struct.alias(e))
+        if not cols:  # fully anonymous term still constrains existence
+            cols.append(F.lit(1).alias(f"__any{i}"))
+        return src.select(*cols)
+
+    out = term_df(0, *pos[0])
+    bound = {n for n in (pos[0][0], pos[0][2]) if n}
+    pending = list(enumerate(pos))[1:]
+    while pending:
+        for idx, (i, (a, e, b)) in enumerate(pending):
+            names = {n for n in (a, b) if n}
+            shared = sorted(names & bound)
+            if shared:
+                out = out.join(term_df(i, a, e, b), shared)
+                bound |= names
+                pending.pop(idx)
+                break
+        else:
+            i, _ = pending[0]
+            raise ValueError(
+                "disconnected motif pattern (would be a cross join): "
+                f"term {i} shares no vertex with the rest"
+            )
+    for a, b in neg:
+        if not {a, b} <= bound:
+            raise ValueError(
+                f"negated term !({a})-[]->({b}) uses unbound vertices"
+            )
+        out = out.join(
+            edges.select(F.col("src").alias(a), F.col("dst").alias(b)),
+            [a, b],
+            "left_anti",
+        )
+    drop = [c for c in out.columns if c.startswith("__any")]
+    return out.drop(*drop) if drop else out
 
 
 def two_hop_neighbors(edges: DataFrame, address_hash: str) -> DataFrame:

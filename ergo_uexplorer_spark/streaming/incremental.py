@@ -109,17 +109,47 @@ class UtxoState:
         spent = self.spark.read.parquet(*spent_dirs).select("box_id")
         return merged.join(spent, "box_id", "left_anti")
 
-    def commit(self, created: DataFrame, spent: DataFrame) -> int:
+    def batch_version(self, batch_id: int) -> int | None:
+        """Version already published for a streaming batch id, if any."""
+        for v in self.versions():
+            marker = os.path.join(self._vdir(v), "_batch_id")
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    if f.read().strip() == str(batch_id):
+                        return v
+        return None
+
+    def commit(
+        self,
+        created: DataFrame,
+        spent: DataFrame,
+        batch_id: int | None = None,
+    ) -> int:
         """O(batch) delta commit: write the batch's created rows and
         spent box-ids, atomically publish the version, then (on the
         compaction cadence) materialize the full snapshot and prune
-        deltas the retained window no longer needs."""
+        deltas the retained window no longer needs.
+
+        `batch_id` makes the commit EXACTLY-ONCE under foreachBatch
+        redelivery: Structured Streaming re-runs the last micro-batch
+        after a crash between the sink write and the checkpoint commit,
+        so the batch id is recorded inside the version dir (same atomic
+        rename) and a replay returns the already-published version
+        instead of double-applying (the reference gets this from
+        MVStore's transactional per-block commit)."""
+        if batch_id is not None:
+            existing = self.batch_version(batch_id)
+            if existing is not None:
+                return existing
         v = self.current_version() + 1
         tmp = os.path.join(self.dir, f".tmp_v{v}")
         created.write.mode("overwrite").parquet(os.path.join(tmp, "created"))
         spent.select("box_id").write.mode("overwrite").parquet(
             os.path.join(tmp, "spent")
         )
+        if batch_id is not None:
+            with open(os.path.join(tmp, "_batch_id"), "w") as f:
+                f.write(str(batch_id))
         os.rename(tmp, self._vdir(v))
         if self.compact_every and v % self.compact_every == 0:
             tmp_base = os.path.join(self._vdir(v), ".tmp_base")
@@ -163,17 +193,21 @@ UTXO_COLS = (
 )
 
 
-def apply_block_batch(state: UtxoState, raw_batch: DataFrame) -> int:
+def apply_block_batch(
+    state: UtxoState, raw_batch: DataFrame, batch_id: int | None = None
+) -> int:
     """C4/C5 per-batch UTXO application as a pure DELTA: the commit
     writes only this batch's outputs and spent ids (O(batch) I/O —
     MvStorage's per-block commit contract, never a full-state rewrite).
-    Idempotence: re-applying the same batch re-writes the same delta and
-    reconstruction union-dedups by box_id."""
+    Idempotence: re-applying the same content re-writes the same delta
+    and reconstruction union-dedups by box_id; passing the streaming
+    `batch_id` upgrades that to exactly-once (no duplicate version on
+    foreachBatch redelivery)."""
     out = N.outputs(raw_batch)
     trees = N.ergo_trees(out)
     new_boxes = N.boxes(out, trees).select(*UTXO_COLS)
     spent = spent_inputs(N.inputs(raw_batch)).select("box_id")
-    return state.commit(new_boxes, spent)
+    return state.commit(new_boxes, spent, batch_id=batch_id)
 
 
 def incremental_sync(
@@ -193,7 +227,7 @@ def incremental_sync(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        apply_block_batch(state, batch_df)
+        apply_block_batch(state, batch_df, batch_id=batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(_apply)

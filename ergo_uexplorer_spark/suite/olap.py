@@ -153,6 +153,92 @@ def g02_graph_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# z01: GraphFrames-style motif DSL (the declarative face of Q19's Gremlin
+# traversals). Typed-id graph: customer→order (placed), order→supplier
+# (sourced), customer→supplier (returned goods, flag 'R'). The motif
+#   (c)-[]->(o); (o)-[]->(s); !(c)-[]->(s)
+# finds supply paths where the customer has NEVER returned anything from
+# that supplier — the negated term is a real anti-join, not decoration.
+# (z-prefix keeps the name after x05 in sorted order: the driver records
+# the first 50 entries, and this must not displace a recorded one.)
+# --------------------------------------------------------------------------
+_Z01_SQL = """
+    WITH e AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 'o' || o_orderkey AS dst
+      FROM orders WHERE o_custkey < 100
+      UNION ALL
+      SELECT DISTINCT 'o' || l_orderkey, 's' || l_suppkey FROM lineitem
+      UNION ALL
+      SELECT DISTINCT 'c' || o_custkey, 's' || l_suppkey
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_returnflag = 'R'
+    )
+    SELECT co.src AS c_id, co.dst AS o_id, os.dst AS s_id
+    FROM e co
+    JOIN e os ON os.src = co.dst
+    WHERE co.src LIKE 'c%' AND os.dst LIKE 's%'
+      AND NOT EXISTS (
+        SELECT 1 FROM e r WHERE r.src = co.src AND r.dst = os.dst
+      )
+"""
+
+
+@register(
+    "z01_motif_find",
+    sql=_Z01_SQL,
+    survey_ref="Q19 motif DSL — StreamExecutor.scala:37-41 (Gremlin find)",
+    tags=("graph", "motif", "anti-join"),
+    bench=True,
+)
+def z01_motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import motif_find
+
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    placed = (
+        orders.filter(F.col("o_custkey") < 100)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    sourced = lineitem.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    returned = (
+        orders.join(
+            lineitem.filter(F.col("l_returnflag") == "R"),
+            orders.o_orderkey == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = placed.unionByName(sourced).unionByName(returned)
+    out = motif_find(edges, "(c)-[]->(o); (o)-[]->(s); !(c)-[]->(s)")
+    # type guards: the union mixes the three relations in one edge table
+    return (
+        out.filter(F.col("c").startswith("c") & F.col("s").startswith("s"))
+        .select(
+            F.col("c").alias("c_id"),
+            F.col("o").alias("o_id"),
+            F.col("s").alias("s_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # rollup: free Spark built-in the reference lacks (SURVEY §2.6)
 # --------------------------------------------------------------------------
 @register(

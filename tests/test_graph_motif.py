@@ -1,0 +1,100 @@
+"""motif_find (GraphFrames-style `find`, the declarative general form of
+Q19's Gremlin traversals — StreamExecutor.scala:37-41): binding
+semantics, negation, self-loops, and the no-cartesian plan contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ergo_uexplorer_spark.operators.graph import co_spend_pairs, motif_find
+from ergo_uexplorer_spark.plans.explain import assert_no_cartesian
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    rows = [
+        # (src, dst, value, direction)
+        ("a1", "t1", 5, "in"),
+        ("a2", "t1", 7, "in"),
+        ("t1", "a3", 11, "out"),
+        ("t1", "a4", 2, "out"),
+        ("a3", "t2", 3, "in"),
+        ("t2", "a1", 9, "out"),
+        ("x", "x", 1, "out"),  # self-loop
+    ]
+    return spark.createDataFrame(
+        rows, "src string, dst string, value long, direction string"
+    )
+
+
+def test_path_bindings(spark, edges):
+    out = motif_find(edges, "(a)-[e1]->(t); (t)-[e2]->(b)")
+    assert set(out.columns) == {"a", "t", "b", "e1", "e2"}
+    got = {
+        (r["a"], r["t"], r["b"]) for r in out.collect()
+    }
+    # every 2-path, including through the self-loop vertex
+    assert ("a1", "t1", "a3") in got
+    assert ("a2", "t1", "a4") in got
+    assert ("a3", "t2", "a1") in got
+    assert ("x", "x", "x") in got
+    # edge structs carry the full edge row
+    r = out.filter((F.col("a") == "a1") & (F.col("b") == "a3")).first()
+    assert r["e1"]["value"] == 5 and r["e2"]["value"] == 11
+
+
+def test_wedge_matches_co_spend(spark, edges):
+    """(a)-[]->(t); (b)-[]->(t) with direction filters reproduces the
+    hand-written co-spend wedge operator."""
+    ins = edges.filter(F.col("direction") == "in")
+    wedge = (
+        motif_find(ins, "(a)-[]->(t); (b)-[]->(t)")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy(
+            F.col("a").alias("addr_a"), F.col("b").alias("addr_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_txs"))
+    )
+    expected = co_spend_pairs(edges)
+    assert sorted(map(tuple, wedge.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+
+def test_negation(spark, edges):
+    """!(b)-[]->(a) keeps only non-reciprocated 2-paths: t2→a1 exists but
+    a1's path lands back at t2's source a3 via t1? — check directly."""
+    out = motif_find(edges, "(a)-[]->(t); (t)-[]->(b); !(b)-[]->(t)")
+    got = {(r["a"], r["t"], r["b"]) for r in out.collect()}
+    # a3→t2 exists, so any path ending (… t2 → …) with b→t2?  b=a1: a1→t2
+    # does not exist → kept; but path (a3,t2,a1) has b=a1, a1→t2 absent.
+    assert ("a3", "t2", "a1") in got
+    # (x,x,x): x→x exists, so the negation removes it
+    assert ("x", "x", "x") not in got
+
+
+def test_self_loop_term(spark, edges):
+    out = motif_find(edges, "(v)-[]->(v)")
+    assert [r["v"] for r in out.collect()] == ["x"]
+
+
+def test_anonymous_and_errors(spark, edges):
+    # fully anonymous terms constrain existence without binding columns
+    out = motif_find(edges, "(a)-[]->(t); (t)-[]->()")
+    assert set(out.columns) == {"a", "t"}
+    with pytest.raises(ValueError, match="disconnected"):
+        motif_find(edges, "(a)-[]->(b); (c)-[]->(d)")
+    with pytest.raises(ValueError, match="unique"):
+        motif_find(edges, "(a)-[e]->(b); (b)-[e]->(c)")
+    with pytest.raises(ValueError, match="negated term cannot name"):
+        motif_find(edges, "(a)-[]->(b); !(a)-[e]->(b)")
+    with pytest.raises(ValueError, match="at least one positive"):
+        motif_find(edges, "!(a)-[]->(b)")
+    with pytest.raises(ValueError, match="bad motif term"):
+        motif_find(edges, "(a)->(b)")
+
+
+def test_no_cartesian_plan(spark, edges):
+    out = motif_find(edges, "(a)-[]->(t); (t)-[]->(b); !(b)-[]->(a)")
+    assert_no_cartesian(out)

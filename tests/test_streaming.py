@@ -222,3 +222,27 @@ def test_utxo_state_rollback(spark, gen, tmp_path):
     state.rollback_to(v1)
     assert state.current_version() == v1
     assert state.read().count() == count_v1
+
+
+def test_commit_exactly_once_on_batch_redelivery(spark, gen, tmp_path):
+    """foreachBatch redelivers the last micro-batch after a crash between
+    sink write and checkpoint commit; a batch_id-keyed commit must
+    return the already-published version, not double-apply."""
+    from ergo_uexplorer_spark.sources.blocks import read_blocks
+
+    state = UtxoState(spark, str(tmp_path / "eo_state"))
+    p1 = write_jsonl_gz(gen.blocks[:30], str(tmp_path / "eo1.jsonl.gz"))
+    p2 = write_jsonl_gz(gen.blocks[30:60], str(tmp_path / "eo2.jsonl.gz"))
+
+    v1 = apply_block_batch(state, read_blocks(spark, p1), batch_id=0)
+    n1 = state.read().count()
+    # redelivery of batch 0 (same id): no new version, same state
+    assert apply_block_batch(state, read_blocks(spark, p1), batch_id=0) == v1
+    assert state.current_version() == v1
+    assert state.read().count() == n1
+    # a NEW instance over the same dir (restart) still dedups by marker
+    state2 = UtxoState(spark, str(tmp_path / "eo_state"))
+    assert apply_block_batch(state2, read_blocks(spark, p1), batch_id=0) == v1
+    # the next batch advances normally
+    v2 = apply_block_batch(state2, read_blocks(spark, p2), batch_id=1)
+    assert v2 == v1 + 1
