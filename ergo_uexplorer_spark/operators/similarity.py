@@ -68,6 +68,26 @@ ND_PLANES: tuple[tuple[tuple[int, ...], ...], ...] = tuple(
 )
 
 
+# Product-quantization codebooks (Jégou et al., PQ for nearest-neighbor
+# search): EMB_DIM split into PQ_M orthogonal subspaces of PQ_SUBDIM
+# dims, each quantized to PQ_K seeded sub-centroids → a corpus vector
+# compresses to PQ_M small ints (8 bytes instead of 256 — the reason PQ
+# exists at 100 TB: the cell-scan side of IVF carries codes, vectors are
+# fetched only for the refined candidates). Seeded + shared with the SQL
+# oracle like FIXED_CENTROIDS.
+PQ_M = 8
+PQ_SUBDIM = EMB_DIM // PQ_M
+PQ_K = 16
+_pq_rng = random.Random(909)
+PQ_CODEBOOKS: tuple[tuple[tuple[float, ...], ...], ...] = tuple(
+    tuple(
+        tuple(_pq_rng.uniform(-1.0, 1.0) for _ in range(PQ_SUBDIM))
+        for _ in range(PQ_K)
+    )
+    for _ in range(PQ_M)
+)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold double dot product (portable across engines)."""
     return F.aggregate(
@@ -342,6 +362,145 @@ def ivf_topk(
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "cos_sim")
+    )
+
+
+def _pq_cb_lit(m: int) -> Column:
+    """Literal array<struct<k:int, cv:array<double>>> for subspace m —
+    one parsed SQL expression (see _cents_lit for why not per-F.lit)."""
+    parts = ", ".join(
+        "named_struct('k', {}, 'cv', array({}))".format(
+            k, ", ".join(f"{float(v)!r}D" for v in cv)
+        )
+        for k, cv in enumerate(PQ_CODEBOOKS[m])
+    )
+    return F.expr(f"array({parts})")
+
+
+def _subvec(vec: Column, m: int) -> Column:
+    """1-based slice of subspace m (PQ_SUBDIM dims)."""
+    return F.slice(vec, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+
+def _subdist(sv: Column, cv: Column) -> Column:
+    """Squared L2 between a subvector and a sub-centroid — sequential
+    double fold with (x−c)*(x−c), mirrored verbatim in the oracle."""
+    return F.aggregate(
+        F.zip_with(
+            sv, cv, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _score_lambda(sv: Column):
+    """Single-arg HOF lambda factory (a 2-arg lambda would be read by
+    PySpark as (element, index) — closures must capture, not default-arg)."""
+    return lambda c: F.struct(
+        _subdist(sv, c["cv"]).alias("d"), c["k"].alias("k")
+    )
+
+
+def _lut_lambda(sv: Column):
+    return lambda c: _subdist(sv, c["cv"])
+
+
+def pq_codes_col(vec: Column) -> Column:
+    """array<int> of PQ_M codes: per subspace, the argmin-distance code
+    (tie → smaller code id, via struct-ordered array_min)."""
+    codes = []
+    for m in range(PQ_M):
+        scored = F.transform(_pq_cb_lit(m), _score_lambda(_subvec(vec, m)))
+        codes.append(F.array_min(scored)["k"])
+    return F.array(*codes)
+
+
+def pq_lut_col(vec: Column) -> Column:
+    """Flattened query lookup table: PQ_M × PQ_K subspace distances,
+    laid out [m*PQ_K + k] (0-based), so the ADC fold is a pure
+    element_at per subspace."""
+    luts = [
+        F.transform(_pq_cb_lit(m), _lut_lambda(_subvec(vec, m)))
+        for m in range(PQ_M)
+    ]
+    return F.flatten(F.array(*luts))
+
+
+def _adc_dist(lut: Column, codes: Column) -> Column:
+    """Asymmetric distance: Σ_m lut[m·K + codes[m]] — a sequential fold
+    over the M subspaces (codes/lut both 1-based via element_at)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(PQ_M)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            lut, ((m - 1) * PQ_K + F.element_at(codes, m) + 1).cast("int")
+        ),
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probes: int = 4,
+    refine: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFPQ architecture, Spark-shaped): the
+    cell-scanned corpus side carries ONLY (id, cell, 8 codes) — 8 bytes
+    of payload per vector instead of 256 — ranked by asymmetric distance
+    inside the probed cells; full vectors are fetched by id for just the
+    `refine` best ADC candidates per query, then re-ranked by exact
+    cosine. At 100 TB this is the difference between scanning a code
+    table that fits in memory and shuffling raw vectors: the equi-joins
+    are (cell) for the scan and (id) for the refine fetch — never a
+    product, and the big table crosses the wire as codes."""
+    corpus = ivf_assign(emb, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("n_id"),
+        F.col("centroid_id").alias("cell"),
+        pq_codes_col(F.col(vec_col)).alias("codes"),
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    scored_cells = F.transform(
+        _cents_lit(centroids),
+        lambda c: F.struct(
+            cosine(F.col("qv"), c["cv"]).alias("c"), c["cell"].alias("cell")
+        ),
+    )
+    probes = q.withColumn(
+        "cells",
+        F.slice(F.array_sort(scored_cells, _best_cell_first), 1, n_probes),
+    ).select(
+        "q_id",
+        "qv",
+        pq_lut_col(F.col("qv")).alias("lut"),
+        F.explode("cells.cell").alias("cell"),
+    )
+    adc = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("adc", _adc_dist(F.col("lut"), F.col("codes")))
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("n_id"))
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= refine)
+        .select("q_id", "qv", "n_id")
+    )
+    vecs = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
+    rescored = cand.join(vecs, "n_id").withColumn(
+        "cos_sim", cosine(F.col("qv"), F.col("nv"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("q_id", "n_id", "cos_sim")
     )

@@ -247,3 +247,113 @@ def s03_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probes=_IVF_PROBES,
     )
     return out.select("q_id", "n_id", F.round("cos_sim", 3).alias("cos_sim"))
+
+
+# --------------------------------------------------------------------------
+# z02: IVF-PQ (FAISS IVFPQ architecture) — the cell scan ranks 8-byte PQ
+# codes by asymmetric distance, exact cosine re-ranks only the `refine`
+# fetched candidates. The oracle re-derives cells, per-subspace argmin
+# codes, the ADC sum (list_sum over an ORDER BY m list — the same
+# sequential m-ascending double fold as the Spark side), the refine cut
+# and the exact re-rank from the same seeded literals, so both engines
+# return the identical top-k. (z-name: must not displace a recorded
+# entry from the driver's first-50 window; see z01.)
+# --------------------------------------------------------------------------
+_PQ_REFINE = 20
+
+
+def _ivfpq_sql() -> str:
+    cent_values = ",\n      ".join(
+        "({}, [{}]::DOUBLE[])".format(ci, ", ".join(repr(v) for v in cent))
+        for ci, cent in enumerate(S.FIXED_CENTROIDS)
+    )
+    cb_values = ",\n      ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            m, k, ", ".join(repr(v) for v in cv)
+        )
+        for m in range(S.PQ_M)
+        for k, cv in enumerate(S.PQ_CODEBOOKS[m])
+    )
+    sd = S.PQ_SUBDIM
+
+    def subdist(vec: str) -> str:
+        x = f"CAST({vec}[cb.m * {sd} + i] AS DOUBLE)"
+        return (
+            f"list_sum(list_transform(range(1, {sd} + 1),"
+            f" i -> ({x} - cb.cv[i]) * ({x} - cb.cv[i])))"
+        )
+
+    return f"""
+    WITH cents(cell, cv) AS (VALUES
+      {cent_values}),
+    cb(m, k, cv) AS (VALUES
+      {cb_values}),
+    e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    ranked_cells AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {_sql_cos('v', 'cv')} DESC, cell ASC) AS rn
+      FROM e CROSS JOIN cents
+    ),
+    corpus AS (SELECT vec_id AS n_id, v AS nv, cell FROM ranked_cells WHERE rn = 1),
+    codes AS (
+      SELECT vec_id, m, k FROM (
+        SELECT e.vec_id, cb.m, cb.k,
+               row_number() OVER (PARTITION BY e.vec_id, cb.m
+                                  ORDER BY {subdist('e.v')} ASC, cb.k ASC) AS crn
+        FROM e CROSS JOIN cb
+      ) WHERE crn = 1
+    ),
+    probes AS (SELECT vec_id AS q_id, v AS qv, cell
+               FROM ranked_cells WHERE rn <= {_IVF_PROBES} AND vec_id < {_N_QUERIES}),
+    adc_parts AS (
+      SELECT p.q_id, p.qv, c.n_id, cb.m, {subdist('p.qv')} AS d
+      FROM probes p
+      JOIN corpus c USING (cell)
+      JOIN codes cd ON cd.vec_id = c.n_id
+      JOIN cb ON cb.m = cd.m AND cb.k = cd.k
+      WHERE p.q_id <> c.n_id
+    ),
+    adc AS (
+      SELECT q_id, any_value(qv) AS qv, n_id,
+             list_sum(list(d ORDER BY m)) AS adc
+      FROM adc_parts GROUP BY q_id, n_id
+    ),
+    refined AS (
+      SELECT q_id, qv, n_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY adc ASC, n_id ASC) AS rn
+      FROM adc
+    ),
+    rescored AS (
+      SELECT r.q_id, r.n_id, {_sql_cos('r.qv', 'c.nv')} AS cos
+      FROM refined r JOIN corpus c USING (n_id)
+      WHERE r.rn <= {_PQ_REFINE}
+    ),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn
+      FROM rescored
+    )
+    SELECT q_id, n_id, round(cos, 3) AS cos_sim FROM ranked WHERE rn <= 5
+    """
+
+
+@register(
+    "z02_ann_ivfpq",
+    sql=_ivfpq_sql(),
+    survey_ref="LLM-pipeline: IVF-PQ ANN (codes scan + ADC + exact re-rank)",
+    tags=("similarity", "topk", "sketch"),
+    bench=True,
+)
+def z02_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load(spark, sf_dir, "embeddings")
+    out = S.ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        list(S.FIXED_CENTROIDS),
+        k=5,
+        n_probes=_IVF_PROBES,
+        refine=_PQ_REFINE,
+    )
+    return out.select("q_id", "n_id", F.round("cos_sim", 3).alias("cos_sim"))
