@@ -145,6 +145,34 @@ def overwrite_buckets(df: DataFrame, path: str) -> None:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int = 64,
+    keys: tuple[str, ...] = ("box_id",),
+    sink: SinkConfig | None = None,
+) -> None:
+    """Hash-bucketed managed table (the co-located-join layout): writing
+    BOTH sides of a hot equi-join — boxes and inputs on `box_id` for the
+    UTXO spend anti-join, the reference's MVStore point-lookup loop —
+    with the same bucket spec lets Spark plan the join with NO exchange
+    on either side: each task reads matching bucket files directly
+    (bucket pruning also serves point lookups). This is the persistent
+    form of a co-partitioned shuffle, paid once at write time; at 100 TB
+    it removes the largest shuffle in the spend-application path.
+    Requires a table catalog (`saveAsTable`); file `path` sinks cannot
+    carry bucket metadata."""
+    sink = sink or SinkConfig()
+    (
+        df.repartition(buckets, *[F.col(k) for k in keys])
+        .write.format(sink.format if sink.path_based else "parquet")
+        .mode("overwrite")
+        .bucketBy(buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(table)
+    )
+
+
 def write_dimension(
     df: DataFrame, path: str, files: int = 1, sink: SinkConfig | None = None
 ) -> None:

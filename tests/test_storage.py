@@ -112,3 +112,51 @@ def test_cassandra_sink_resolution(lake):
         assert "cassandra" in msg.lower() or "DATA_SOURCE_NOT_FOUND" in msg
     else:
         pytest.skip("spark-cassandra-connector present; write succeeded")
+
+
+def test_bucketed_join_has_no_exchange(spark, lake, tmp_path_factory):
+    """write_bucketed: boxes and inputs bucketed by box_id with the same
+    spec join WITHOUT a shuffle on either side — the persistent
+    co-partitioning that removes the spend-join exchange at scale."""
+    from ergo_uexplorer_spark.storage import write_bucketed
+
+    wh = str(tmp_path_factory.mktemp("bucketed_wh"))
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktest LOCATION '{wh}'")
+    try:
+        _, _, _, tables = lake
+        write_bucketed(
+            tables["boxes_main"].select("box_id", "value", "height"),
+            "bktest.b_boxes", buckets=8,
+        )
+        write_bucketed(
+            tables["inputs_main"].select("box_id", "tx_id"),
+            "bktest.b_inputs", buckets=8,
+        )
+        # At test scale Spark would broadcast the small side; force the
+        # sort-merge path the layout targets (at 100 TB neither side of
+        # the spend join is broadcastable).
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bktest.b_boxes").join(
+                spark.table("bktest.b_inputs"), "box_id"
+            )
+            n = joined.count()
+            assert n > 0
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "Bucketed: true" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        # bucket pruning serves point lookups too
+        one = spark.table("bktest.b_boxes").limit(1).collect()[0]["box_id"]
+        assert (
+            spark.table("bktest.b_boxes")
+            .filter(F.col("box_id") == one)
+            .count()
+            == 1
+        )
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
