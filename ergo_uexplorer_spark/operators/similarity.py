@@ -284,23 +284,75 @@ def ivf_build_centroids(
     return cents
 
 
+def _seq_norm(vec: list[float]) -> float:
+    """Python twin of sqrt(dot(v, v)): the identical left-to-right IEEE
+    double fold the engine-side `dot` performs, so a norm computed here
+    is bit-equal to one computed in a Spark expression (both engines'
+    cosines therefore stay hash-identical when it is factored out)."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+_LIT_CACHE: dict = {}
+
+
+def _memo_expr(key: tuple, text_fn) -> Column:
+    """Parse-once cache for the big literal arrays: `F.expr` over a
+    ~170 KB centroid string costs ~1 s of driver time per call, and one
+    ANN query builds several (corpus + probe sides, 8 PQ codebooks × 2).
+    Columns wrap immutable unresolved JVM expressions, so they are safe
+    to reuse across queries; the cache key includes the JVM's identity
+    (via the active SparkContext) so a restarted gateway re-parses
+    instead of dereferencing stale py4j handles."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    full_key = (id(sc._jsc) if sc is not None else None, *key)
+    col = _LIT_CACHE.get(full_key)
+    if col is None:
+        col = F.expr(text_fn())
+        _LIT_CACHE[full_key] = col
+    return col
+
+
 def _cents_lit(centroids: list[list[float]]) -> Column:
-    """Literal array<struct<cell:int, cv:array<double>>> of the coarse
-    quantizer. Scoring happens through a SINGLE `transform` lambda over
-    this array — one expression tree evaluated n_centroids times at
+    """Literal array<struct<cell:int, cv:array<double>, cn:double>> of
+    the coarse quantizer (cn = centroid norm, precomputed — see
+    `_seq_norm`). Scoring happens through a SINGLE `transform` lambda
+    over this array — one expression tree evaluated n_centroids times at
     runtime — instead of n_centroids inlined cosine folds, which at 128
     cells made analysis + codegen the dominant cost (~40 s per query).
     Built as ONE parsed SQL expression — per-element `F.lit` calls cost
     a py4j round trip each (~6 s for 128×64 literals); a single parse of
     the generated text is milliseconds. `D`-suffixed literals parse via
     Double.parseDouble, the same nearest-double as the Python repr."""
-    parts = ", ".join(
-        "named_struct('cell', {}, 'cv', array({}))".format(
-            ci, ", ".join(f"{float(v)!r}D" for v in cent)
+    def build() -> str:
+        parts = ", ".join(
+            "named_struct('cell', {}, 'cv', array({}), 'cn', {!r}D)".format(
+                ci,
+                ", ".join(f"{float(v)!r}D" for v in cent),
+                _seq_norm(cent),
+            )
+            for ci, cent in enumerate(centroids)
         )
-        for ci, cent in enumerate(centroids)
+        return f"array({parts})"
+
+    return _memo_expr(
+        ("cents", tuple(tuple(c) for c in centroids)), build
     )
-    return F.expr(f"array({parts})")
+
+
+def _cell_cosine(vec: Column, vnorm: Column, c: Column) -> Column:
+    """cosine(vec, c.cv) with both norms factored out of the per-cell
+    lambda: ONE 64-dim fold per cell instead of three (the redundant
+    dot(v,v)/dot(cv,cv) folds dominated the interpreted-HOF runtime).
+    Bit-identical to `cosine`: same dot fold, same div(dot, mul(a, b))
+    op order, norms computed by the same sequential fold."""
+    return dot(vec, c["cv"]) / (vnorm * c["cn"])
 
 
 def ivf_assign(
@@ -311,16 +363,42 @@ def ivf_assign(
 ) -> DataFrame:
     """Nearest-centroid assignment by cosine: transform over the literal
     centroid array, argmax via `array_max` (struct ordering: cosine
-    first, then -cell so ties go to the smaller cell id)."""
+    first, then -cell so ties go to the smaller cell id).
+
+    The row norm is materialized as a COLUMN before the lambda — an
+    inlined expression would be re-evaluated per array element (Spark's
+    subexpression elimination does not cross HOF lambda boundaries; same
+    pitfall as tokens() in dedup.shingle_sets)."""
     scored = F.transform(
         _cents_lit(centroids),
         lambda c: F.struct(
-            cosine(F.col(vec_col), c["cv"]).alias("c"),
+            _cell_cosine(F.col(vec_col), F.col("__vnorm"), c).alias("c"),
             (-c["cell"]).alias("negcell"),
         ),
     )
     best = F.array_max(scored)
-    return emb.withColumn("centroid_id", (-best["negcell"]).cast("int"))
+    return (
+        emb.withColumn(
+            "__vnorm", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+        )
+        .withColumn("centroid_id", (-best["negcell"]).cast("int"))
+        .drop("__vnorm")
+    )
+
+
+def ivf_index(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index build: (n_id, nv, cell) — the cell-partitioned corpus
+    `ivf_topk` scans. Build once, persist/write, search many times."""
+    return ivf_assign(emb, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("nv"),
+        F.col("centroid_id").alias("cell"),
+    )
 
 
 def ivf_topk(
@@ -331,17 +409,16 @@ def ivf_topk(
     n_probes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: corpus partitioned by nearest centroid; each query
     probes its `n_probes` closest centroid cells and ranks exactly inside
     them. The join key is the cell id, so at scale each query touches
     ~n_probes/n_centroids of the corpus (same shape as lsh_topk, but the
-    cells are data-adaptive)."""
-    corpus = ivf_assign(emb, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("nv"),
-        F.col("centroid_id").alias("cell"),
-    )
+    cells are data-adaptive). Pass `corpus=` (a prebuilt/persisted
+    `ivf_index` result) to search an existing index."""
+    if corpus is None:
+        corpus = ivf_index(emb, centroids, id_col, vec_col)
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
     scored_cells = F.transform(
         _cents_lit(centroids),
@@ -369,14 +446,19 @@ def ivf_topk(
 
 def _pq_cb_lit(m: int) -> Column:
     """Literal array<struct<k:int, cv:array<double>>> for subspace m —
-    one parsed SQL expression (see _cents_lit for why not per-F.lit)."""
-    parts = ", ".join(
-        "named_struct('k', {}, 'cv', array({}))".format(
-            k, ", ".join(f"{float(v)!r}D" for v in cv)
+    one parsed SQL expression (see _cents_lit for why not per-F.lit),
+    parse-once cached like the centroid array."""
+
+    def build() -> str:
+        parts = ", ".join(
+            "named_struct('k', {}, 'cv', array({}))".format(
+                k, ", ".join(f"{float(v)!r}D" for v in cv)
+            )
+            for k, cv in enumerate(PQ_CODEBOOKS[m])
         )
-        for k, cv in enumerate(PQ_CODEBOOKS[m])
-    )
-    return F.expr(f"array({parts})")
+        return f"array({parts})"
+
+    return _memo_expr(("pqcb", m), build)
 
 
 def _subvec(vec: Column, m: int) -> Column:
@@ -442,6 +524,26 @@ def _adc_dist(lut: Column, codes: Column) -> Column:
     )
 
 
+def ivf_pq_index(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF-PQ *index build* (FAISS `index.add`, Spark-shaped): one
+    pass over the corpus producing (n_id, cell, codes) — the 8-byte code
+    table the cell scan reads. Build it once and persist/write it (it is
+    an index: in production it lives in the lakehouse next to the
+    vectors and is rebuilt only when the corpus changes); `ivf_pq_topk`
+    takes it via `corpus=` so per-query cost never includes re-encoding
+    the corpus."""
+    return ivf_assign(emb, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("n_id"),
+        F.col("centroid_id").alias("cell"),
+        pq_codes_col(F.col(vec_col)).alias("codes"),
+    )
+
+
 def ivf_pq_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -451,6 +553,7 @@ def ivf_pq_topk(
     refine: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS IVFPQ architecture, Spark-shaped): the
     cell-scanned corpus side carries ONLY (id, cell, 8 codes) — 8 bytes
@@ -460,12 +563,13 @@ def ivf_pq_topk(
     cosine. At 100 TB this is the difference between scanning a code
     table that fits in memory and shuffling raw vectors: the equi-joins
     are (cell) for the scan and (id) for the refine fetch — never a
-    product, and the big table crosses the wire as codes."""
-    corpus = ivf_assign(emb, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("n_id"),
-        F.col("centroid_id").alias("cell"),
-        pq_codes_col(F.col(vec_col)).alias("codes"),
-    )
+    product, and the big table crosses the wire as codes.
+
+    Pass `corpus=` (a prebuilt `ivf_pq_index` result, typically
+    persisted) to search an existing index; omitting it builds the index
+    inline, which is only sensible for one-shot jobs."""
+    if corpus is None:
+        corpus = ivf_pq_index(emb, centroids, id_col, vec_col)
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
     scored_cells = F.transform(
         _cents_lit(centroids),
