@@ -54,41 +54,59 @@ def main() -> None:
     spark = get_spark("uexplorer-bench")
 
     names = [n for n, qd in sorted(REGISTRY.items()) if qd.bench]
-    # warm the JVM/codegen path once with the cheapest query
-    REGISTRY[names[0]].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warm the JVM/codegen path once with the cheapest query; a failure
+    # here must not kill the run (we still want the other timings)
+    try:
+        REGISTRY[names[0]].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as exc:  # noqa: BLE001 — record, keep benching
+        print(f"warmup {names[0]} failed: {exc!r}", file=sys.stderr)
 
     # best-of-2: the box is shared with other workloads, and per-query
     # times at this scale are JVM-warmup/load dominated — min of two runs
-    # is a far better estimate of the plan's cost
+    # is a far better estimate of the plan's cost. One failing query must
+    # never null the whole round's bench: it gets an "err" entry instead
+    # of a timing and everything else still reports.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _ in range(2):
         for name in names:
-            t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            if name in errors:
+                continue
+            try:
+                t0 = time.perf_counter()
+                REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.perf_counter() - t0, 3)
+                timings[name] = min(timings.get(name, dt), dt)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = repr(exc)[:300]
+                timings.pop(name, None)
 
-    timings[f"chain_ingest_{CHAIN_BLOCKS}"] = round(
-        min(_bench_chain_ingest(spark) for _ in range(2)), 3
-    )
+    try:
+        ingest = round(min(_bench_chain_ingest(spark) for _ in range(2)), 3)
+        timings[f"chain_ingest_{CHAIN_BLOCKS}"] = ingest
+    except Exception as exc:  # noqa: BLE001
+        errors[f"chain_ingest_{CHAIN_BLOCKS}"] = repr(exc)[:300]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
-    spark.stop()
+    out: dict = {
+        "metric": "suite_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pyspark": __import__("pyspark").__version__,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001 — JSON already emitted
+        pass
 
 
 if __name__ == "__main__":

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .textops import portable_hash, shingles, tokens
+from .util import materialize_and_release
 
 # ---------------------------------------------------------------------------
 # MinHash constants (seeded, shared with the SQL oracle)
@@ -165,6 +166,7 @@ def jaccard_prefix_pairs(
     n: int = 3,
     num: int = 4,
     den: int = 5,
+    release: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ num/den via LOSSLESS prefix filtering
     (AllPairs / PPJoin candidate generation, Bayardo et al.): sort each
@@ -223,7 +225,8 @@ def jaccard_prefix_pairs(
         den,
         elem_col="h",
     )
-    return verified.join(cand, ["doc_a", "doc_b"], "left_semi")
+    out = verified.join(cand, ["doc_a", "doc_b"], "left_semi")
+    return materialize_and_release(out, sh, cand) if release else out
 
 
 def minhash_signatures(sh_hashed: DataFrame) -> DataFrame:
@@ -275,6 +278,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     num: int = 4,
     den: int = 5,
+    release: bool = True,
 ) -> DataFrame:
     """MinHash→LSH→exact-verify near-dup pairs ≥ num/den Jaccard.
 
@@ -300,7 +304,8 @@ def minhash_lsh_pairs(
         den,
         elem_col="h",
     )
-    return verified.join(cand, ["doc_a", "doc_b"], "left_semi")
+    out = verified.join(cand, ["doc_a", "doc_b"], "left_semi")
+    return materialize_and_release(out, sh, cand) if release else out
 
 
 # ---------------------------------------------------------------------------

@@ -86,9 +86,13 @@ def k_hop_neighbors(
     never O(data)); each level is one hash equi-join frontier⋈edges on
     `src` plus one anti-join against the visited set — no collect, no
     cartesian. Frontiers are persisted so level n doesn't recompute the
-    whole prefix; at cluster scale pre-partition `edges` by `src` so
-    every level reuses the same shuffle-free join layout. Returns
-    (id, hops) with hops = BFS level = minimum hop distance."""
+    whole prefix, superseded frontiers are unpersisted, and the unioned
+    `visited` lineage is truncated with an eager-free ``localCheckpoint``
+    every few levels — without it the k-fold union's plan depth (and the
+    anti-join's re-analysis cost) grows linearly with k. At cluster
+    scale pre-partition `edges` by `src` so every level reuses the same
+    shuffle-free join layout. Returns (id, hops) with
+    hops = BFS level = minimum hop distance."""
     spark = edges.sparkSession
     from pyspark.sql import types as T
 
@@ -105,6 +109,7 @@ def k_hop_neighbors(
     )
     visited = spark.createDataFrame([(s, 0) for s in start_ids], schema)
     frontier = visited.persist()
+    retired: list[DataFrame] = []
     for level in range(1, k + 1):
         nxt = (
             frontier.join(e, frontier.id == e.src)
@@ -115,6 +120,19 @@ def k_hop_neighbors(
             .persist()
         )
         visited = visited.unionByName(nxt)
+        if level % 4 == 0 and level < k:
+            # truncate lineage of BOTH accumulators (the next level joins
+            # frontier AND anti-joins visited, so an untruncated frontier
+            # chain alone regrows the plan); non-eager so an already-
+            # converged BFS (empty frontier) doesn't pay a materialization
+            visited = visited.localCheckpoint(eager=False)
+            nxt = nxt.localCheckpoint(eager=False)
+        # frontier feeds `nxt` lazily — retire it only after the next
+        # level (or the caller) has materialized the dependent plan;
+        # blocking=False makes this a cheap async bookkeeping call
+        retired.append(frontier)
+        if len(retired) > 2:
+            retired.pop(0).unpersist(blocking=False)
         frontier = nxt
     return visited
 

@@ -150,6 +150,7 @@ def near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    release: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cos ≥ threshold) via
     banded hyperplane-LSH bucketing + exact verify — same composition as
@@ -201,7 +202,7 @@ def near_dup_pairs(
     vb = e.select(
         F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
     )
-    return (
+    out = (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
         .withColumn(
@@ -210,6 +211,11 @@ def near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
+    if not release:
+        return out
+    from .util import materialize_and_release
+
+    return materialize_and_release(out, e)
 
 
 def near_dup_pairs_allpairs(

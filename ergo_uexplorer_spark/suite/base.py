@@ -38,12 +38,48 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     """Load parquet tables. Plain `spark.read.parquet` so Catalyst keeps
     full pushdown/pruning freedom (scans show PushedFilters/ReadSchema).
 
-    events.parquet carries TIMESTAMP(NANOS) which Spark only reads as a
-    long (nanos since epoch) under the legacy flag — set it defensively
-    here since the driver owns the session. Queries treat `ts` as nanos.
+    `events.ts` is normalized to BIGINT nanos-since-epoch regardless of
+    how the engine surfaces it: the parquet annotation is
+    TIMESTAMP(MICROS, isAdjustedToUTC=false), which PySpark 4.x reads as
+    `timestamp_ntz` (older environments delivered a long). All suite
+    queries treat `ts` as nanos, so when the column arrives as a
+    timestamp type we rebuild it as `unix_micros(ts) * 1000` — loss-free
+    (µs-precision source) and engine/timezone-proof. The DuckDB oracle
+    side uses `epoch_ns(ts)`, which needs no change.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+    out = []
+    for n in names:
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        df = normalize_ts(df)
+        out.append(df)
+    return out
+
+
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """If `col` is a timestamp/timestamp_ntz, replace it with BIGINT
+    nanos-since-epoch (`unix_micros × 1000`, loss-free for µs data).
+    No-op when the column is absent or already a long.
+
+    timestamp_ntz carries a wall-clock value the oracle (DuckDB
+    ``epoch_ns``) interprets as UTC, while ``cast('timestamp')``
+    interprets it in the SESSION timezone — so when the session isn't
+    UTC we first shift the wall clock with ``convert_timezone`` to keep
+    the epoch value session-tz-independent.
+    """
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    if dtypes.get(col) not in ("timestamp", "timestamp_ntz"):
+        return df
+
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    src = F.col(col)
+    if dtypes[col] == "timestamp_ntz" and tz not in ("UTC", "Etc/UTC", "GMT"):
+        # wall clock is UTC; re-express it in the session tz so the
+        # subsequent session-tz cast lands on the same instant
+        src = F.convert_timezone(F.lit("UTC"), F.lit(tz), src)
+    ns = (F.unix_micros(src.cast("timestamp")) * F.lit(1000)).alias(col)
+    return df.select(*[ns if c == col else F.col(c) for c in df.columns])
 
 
 @dataclass

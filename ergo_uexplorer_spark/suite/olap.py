@@ -20,7 +20,7 @@ def _cents(col):
 # (BoxService.scala:13-26); one joined DataFrame answers all keys at once.
 # --------------------------------------------------------------------------
 @register(
-    "q10_multi_key_fanout",
+    "zz_q10_multi_key_fanout",
     sql="""
     SELECT o_custkey, count(*) AS n_orders,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -51,7 +51,7 @@ _EVENT_IDS = (0, 7, 42, 99, 123, 456)
 
 
 @register(
-    "q12_event_inlist",
+    "zz_q12_event_inlist",
     sql=f"""
     SELECT event_id, user_id, event_type
     FROM events WHERE event_id IN {_EVENT_IDS}
@@ -286,7 +286,7 @@ def a01_distinct_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q14b_topk_salted",
+    "zz_q14b_topk_salted",
     sql="""
     SELECT o_custkey, count(*) AS n_orders
     FROM orders GROUP BY o_custkey
@@ -337,7 +337,7 @@ def a04_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "g01_degree_distribution",
+    "zz_g01_degree_distribution",
     sql="""
     WITH deg AS (
       SELECT o_custkey, count(DISTINCT l_suppkey) AS degree
@@ -407,7 +407,7 @@ def a02_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a03_approx_percentile",
+    "zz_a03_approx_percentile",
     sql="""
     SELECT l_returnflag,
            CAST(round(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT)

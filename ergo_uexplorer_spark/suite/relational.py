@@ -274,7 +274,7 @@ def q11_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q13 emptiness probe (take(1).isEmpty — PersistentBlockRepo.scala:64-71)
 # --------------------------------------------------------------------------
 @register(
-    "q13_emptiness_probe",
+    "zz_q13_emptiness_probe",
     sql="SELECT (count(*) = 0) AS is_empty FROM lineitem WHERE l_quantity < 0",
     survey_ref="Q13 PersistentBlockRepo.scala:64-71",
     tags=("agg",),
@@ -346,7 +346,7 @@ def q15_topk_by_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q16 info endpoint: max height (BlockTapirRoutes.scala:16-36)
 # --------------------------------------------------------------------------
 @register(
-    "q16_max_key",
+    "zz_q16_max_key",
     sql="SELECT max(o_orderkey) AS max_key, count(*) AS n_rows FROM orders",
     survey_ref="Q16 BlockTapirRoutes.scala:16-36",
     tags=("agg",),

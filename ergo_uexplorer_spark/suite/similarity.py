@@ -47,7 +47,7 @@ _BRUTE_SQL = f"""
 
 
 @register(
-    "s01_ann_bruteforce_cosine",
+    "zz_s01_ann_bruteforce_cosine",
     sql=_BRUTE_SQL,
     survey_ref="LLM-pipeline: exact cosine top-k",
     tags=("similarity", "topk"),

@@ -49,7 +49,7 @@ def t03_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # T4 coinbase flag: last element per group (FullBlockBuilder.scala:86-88)
 # --------------------------------------------------------------------------
 @register(
-    "t04_last_in_group",
+    "zz_t04_last_in_group",
     sql="""
     SELECT l_orderkey, l_linenumber
     FROM (

@@ -168,8 +168,9 @@ def test_sql_views_q20(spark, tables):
 def test_stateful_sessionizer_matches_batch(spark, tmp_path):
     """Stream events in 3 time-ordered file batches; session ids must
     equal the batch window computation over the full set."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from ergo_uexplorer_spark.suite.base import load
+
+    (events,) = load(spark, "/root/testdata/sf0.001", "events")
     pdf = events.select("user_id", "event_id", "ts").toPandas().sort_values("ts")
     in_dir = tmp_path / "ev"
     in_dir.mkdir()

@@ -98,3 +98,46 @@ def test_anonymous_and_errors(spark, edges):
 def test_no_cartesian_plan(spark, edges):
     out = motif_find(edges, "(a)-[]->(t); (t)-[]->(b); !(b)-[]->(a)")
     assert_no_cartesian(out)
+
+
+def test_k_hop_deep_lineage_bounded(spark):
+    """k=10 BFS over a 12-node ring: correct min-hop labels AND a plan
+    whose depth is truncated by the periodic localCheckpoint — without
+    it the k-fold union's analyzed-plan string grows linearly with k."""
+    from ergo_uexplorer_spark.operators.graph import k_hop_neighbors
+
+    ring = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 12}") for i in range(12)],
+        "src string, dst string",
+    )
+    out = k_hop_neighbors(ring, ["n0"], k=10)
+    got = {r["id"]: r["hops"] for r in out.collect()}
+    assert got == {f"n{i}": i for i in range(11)}
+    # lineage gate: the checkpoint at level 8 replaces the union prefix
+    # with a LogicalRDD scan, so depth-10 analysis stays shallow
+    plan10 = out._jdf.queryExecution().analyzed().toString()
+    plan4 = (
+        k_hop_neighbors(ring, ["n0"], k=4)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert len(plan10) < 3 * len(plan4), (len(plan10), len(plan4))
+
+
+def test_near_dup_operators_release_caches(spark):
+    """The registered candidate/verify dedup entries must not pin
+    CacheManager entries for the life of the session (the driver runs
+    ~50 queries in ONE session — verdict r3 item 5)."""
+    from ergo_uexplorer_spark.suite import REGISTRY
+
+    spark.catalog.clearCache()
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "d02_dedup_ngram_jaccard",
+        "d03_dedup_minhash_lsh",
+        "d05_dedup_embedding_cosine",
+    ):
+        REGISTRY[name].fn(spark, sf).count()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "near-dup operators leaked persisted intermediates"

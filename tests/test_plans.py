@@ -46,7 +46,7 @@ def test_dim_joins_broadcast(spark):
 def test_ann_no_unbounded_cartesian(spark):
     # brute-force ANN is a *broadcast* nested loop (bounded query side),
     # never a shuffled cartesian
-    df = REGISTRY["s01_ann_bruteforce_cosine"].fn(spark, SF_DIR)
+    df = REGISTRY["zz_s01_ann_bruteforce_cosine"].fn(spark, SF_DIR)
     assert_no_cartesian(df)
 
 
@@ -61,6 +61,34 @@ def test_bucketed_ann_plans_are_equijoins(spark, name):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
+
+
+def _near_dup_raw_plans(spark):
+    """The three candidate/verify operators eagerly checkpoint their
+    (small) output by default so session-lifetime caches get released —
+    which also hides the join plan. Build them with release=False here
+    so the gate still sees the real candidate-generation plan."""
+    from ergo_uexplorer_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        minhash_lsh_pairs,
+    )
+    from ergo_uexplorer_spark.operators.similarity import near_dup_pairs
+    from ergo_uexplorer_spark.suite.base import load
+    from ergo_uexplorer_spark.suite.similarity import _NEAR_DUP_T
+
+    docs, emb = load(spark, SF_DIR, "documents", "embeddings")
+    return {
+        "d02_dedup_ngram_jaccard": jaccard_prefix_pairs(
+            docs, num=4, den=5, release=False
+        ),
+        "d03_dedup_minhash_lsh": minhash_lsh_pairs(
+            docs, num=4, den=5, release=False
+        ),
+        "d04_dedup_simhash": REGISTRY["d04_dedup_simhash"].fn(spark, SF_DIR),
+        "d05_dedup_embedding_cosine": near_dup_pairs(
+            emb, threshold=_NEAR_DUP_T, release=False
+        ),
+    }
 
 
 @pytest.mark.parametrize(
@@ -78,7 +106,7 @@ def test_near_dup_plans_are_bucketed(spark, name):
     generation must be an equi-join on a bucket/block/prefix key."""
     from ergo_uexplorer_spark.plans.explain import formatted_plan
 
-    df = REGISTRY[name].fn(spark, SF_DIR)
+    df = _near_dup_raw_plans(spark)[name]
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
