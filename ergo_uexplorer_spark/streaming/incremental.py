@@ -216,12 +216,14 @@ def incremental_sync(
     state_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    state: "UtxoState | None" = None,
 ):
     """C10: Structured Streaming over arriving block files; one UTXO
     version per micro-batch. `Trigger.AvailableNow` drains the backlog
     then stops (the batch-catchup mode); leave it False for continuous
-    tailing of a node dump directory."""
-    state = UtxoState(spark, state_dir)
+    tailing of a node dump directory. Pass `state` to run against a
+    different versioned backend (e.g. `delta_state.DeltaUtxoState`)."""
+    state = state or UtxoState(spark, state_dir)
     stream = spark.readStream.schema(BLOCK_SCHEMA).json(blocks_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:

@@ -206,10 +206,48 @@ def test_delta_compaction_and_pruning(spark, gen, tmp_path):
     assert state.read(3) is not None
 
 
-def test_utxo_state_rollback(spark, gen, tmp_path):
+def _make_state(spark, path, backend):
+    """Build a versioned-state backend; skip when its storage layer is
+    absent in this environment (delta-spark is not bundled)."""
+    if backend == "delta":
+        pytest.importorskip("delta")
+        from ergo_uexplorer_spark.streaming.delta_state import (
+            DeltaUtxoState,
+            delta_available,
+        )
+
+        if not delta_available(spark):
+            pytest.skip("delta data source not on this session")
+        return DeltaUtxoState(spark, path)
+    return UtxoState(spark, path)
+
+
+def test_utxo_state_backend_factory(spark, tmp_path):
+    """`utxo_state_for` picks parquet when delta is absent and honors an
+    explicit backend choice."""
+    from ergo_uexplorer_spark.streaming.delta_state import (
+        delta_available,
+        utxo_state_for,
+    )
+
+    auto = utxo_state_for(spark, str(tmp_path / "f_state"))
+    if delta_available(spark):
+        from ergo_uexplorer_spark.streaming.delta_state import DeltaUtxoState
+
+        assert isinstance(auto, DeltaUtxoState)
+    else:
+        assert isinstance(auto, UtxoState)
+    assert isinstance(
+        utxo_state_for(spark, str(tmp_path / "f_state2"), backend="parquet"),
+        UtxoState,
+    )
+
+
+@pytest.mark.parametrize("backend", ["parquet", "delta"])
+def test_utxo_state_rollback_backends(spark, gen, tmp_path, backend):
     """S10: rollbackTo(version) restores an older snapshot (fork
-    recovery path)."""
-    state = UtxoState(spark, str(tmp_path / "rb_state"))
+    recovery path) — same contract on parquet deltas and Delta RESTORE."""
+    state = _make_state(spark, str(tmp_path / "rb_state"), backend)
     from ergo_uexplorer_spark.sources.blocks import read_blocks
 
     p1 = write_jsonl_gz(gen.blocks[:50], str(tmp_path / "c1.jsonl.gz"))
@@ -220,17 +258,21 @@ def test_utxo_state_rollback(spark, gen, tmp_path):
     assert state.current_version() == v2 == v1 + 1
     assert state.read().count() != count_v1
     state.rollback_to(v1)
-    assert state.current_version() == v1
+    if backend == "parquet":
+        # delta RESTORE appends a restore commit instead of truncating
+        assert state.current_version() == v1
     assert state.read().count() == count_v1
 
 
-def test_commit_exactly_once_on_batch_redelivery(spark, gen, tmp_path):
+@pytest.mark.parametrize("backend", ["parquet", "delta"])
+def test_commit_exactly_once_on_batch_redelivery(spark, gen, tmp_path, backend):
     """foreachBatch redelivers the last micro-batch after a crash between
     sink write and checkpoint commit; a batch_id-keyed commit must
-    return the already-published version, not double-apply."""
+    return the already-published version, not double-apply (parquet:
+    _batch_id marker; delta: commit userMetadata)."""
     from ergo_uexplorer_spark.sources.blocks import read_blocks
 
-    state = UtxoState(spark, str(tmp_path / "eo_state"))
+    state = _make_state(spark, str(tmp_path / "eo_state"), backend)
     p1 = write_jsonl_gz(gen.blocks[:30], str(tmp_path / "eo1.jsonl.gz"))
     p2 = write_jsonl_gz(gen.blocks[30:60], str(tmp_path / "eo2.jsonl.gz"))
 
@@ -241,7 +283,7 @@ def test_commit_exactly_once_on_batch_redelivery(spark, gen, tmp_path):
     assert state.current_version() == v1
     assert state.read().count() == n1
     # a NEW instance over the same dir (restart) still dedups by marker
-    state2 = UtxoState(spark, str(tmp_path / "eo_state"))
+    state2 = _make_state(spark, str(tmp_path / "eo_state"), backend)
     assert apply_block_batch(state2, read_blocks(spark, p1), batch_id=0) == v1
     # the next batch advances normally
     v2 = apply_block_batch(state2, read_blocks(spark, p2), batch_id=1)
