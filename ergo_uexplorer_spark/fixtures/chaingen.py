@@ -115,6 +115,52 @@ def sigma_sigmaprop(pk33_hex: str) -> str:
     return "08cd" + pk33_hex
 
 
+def sigma_group_element(point33_hex: str) -> str:
+    """SGroupElement constant: code 07 + 33-byte compressed point."""
+    return "07" + point33_hex
+
+
+def sigma_pair_int_collbyte(a: int, data: bytes) -> str:
+    """Asymmetric pair (SInt, Coll[SByte]): Pair1 code 40 (=60+4 → hex
+    0x40), second component's type serialized after (0e), then the two
+    data payloads concatenated."""
+    return "400e" + sigma_vlq(_zz(a)) + sigma_vlq(len(data)) + data.hex()
+
+
+def sigma_pair_collbyte_int(data: bytes, b: int) -> str:
+    """Asymmetric pair (Coll[SByte], SInt): Pair2 code 4c (=72+4), first
+    component's type serialized after (0e)."""
+    return "4c0e" + sigma_vlq(len(data)) + data.hex() + sigma_vlq(_zz(b))
+
+
+def sigma_tuple_n(ints: list[int]) -> str:
+    """General n-tuple of SInt (n > 2): TupleTypeCode 60 (=96) + u8
+    arity + item type codes + concatenated data."""
+    assert len(ints) > 2
+    return (
+        "60"
+        + f"{len(ints):02x}"
+        + "04" * len(ints)
+        + "".join(sigma_vlq(_zz(v)) for v in ints)
+    )
+
+
+def sigma_coll_bool(bits: list[bool]) -> str:
+    """Coll[SBoolean]: code 0d (=12+1) + VLQ count + bit-packed bytes
+    (LSB first — sigmastate DataSerializer's getBits layout)."""
+    nbytes = (len(bits) + 7) // 8
+    packed = bytearray(nbytes)
+    for j, bit in enumerate(bits):
+        if bit:
+            packed[j >> 3] |= 1 << (j & 7)
+    return "0d" + sigma_vlq(len(bits)) + packed.hex()
+
+
+def sigma_coll_int(ints: list[int]) -> str:
+    """Coll[SInt]: code 10 (=12+4) + VLQ count + zigzag VLQs."""
+    return "10" + sigma_vlq(len(ints)) + "".join(sigma_vlq(_zz(v)) for v in ints)
+
+
 def contract_tree(seed: str, n_consts: int = 2) -> str:
     """Contract tree in the REAL serialized layout (sigmastate
     ErgoTreeSerializer): header 0x19 (v1 + size + constant segregation),

@@ -312,62 +312,149 @@ def _decode_prim(b: bytes, i: int, prim: int) -> tuple[str, int]:
     raise ValueError(f"unsupported prim {prim}")
 
 
-def _decode_coll(b: bytes, i: int, prim: int) -> tuple[str, int]:
-    n, i = _read_vlq(b, i)
-    if prim == 2:  # Coll[Byte] → hex blob (renderEvaluatedValue)
-        if i + n > len(b):
-            raise ValueError("truncated coll")
-        return b[i : i + n].hex(), i + n
+_TUPLE_TYPE_CODE = 96  # STuple.TupleTypeCode (general n-tuple)
+_MAX_TYPE_DEPTH = 32
+
+
+def _embeddable(prim: int):
+    if not 1 <= prim <= 8:
+        raise ValueError(f"non-embeddable prim {prim}")
+    return ("prim", prim)
+
+
+def _read_type(b: bytes, i: int, depth: int = 0):
+    """Recursive SigmaType reader (sigmastate TypeSerializer layout:
+    code = constrId*12 + primId; primId 0 ⇒ the argument type follows
+    recursively). Returns (type_tree, next_index) where type_tree is
+    ("prim", id) | ("Coll", t) | ("Option", t) | ("Tuple", [t, ...])."""
+    if depth > _MAX_TYPE_DEPTH or i >= len(b):
+        raise ValueError("bad type")
+    code = b[i]
+    i += 1
+    if code == 0:
+        raise ValueError("zero type code")
+    constr, prim = divmod(code, 12)
+    if constr == 0:
+        return _embeddable(prim), i
+
+    def arg(j: int):
+        return (
+            _read_type(b, j, depth + 1) if prim == 0 else (_embeddable(prim), j)
+        )
+
+    if constr == 1:  # Coll[T]
+        t, i = arg(i)
+        return ("Coll", t), i
+    if constr == 2:  # Coll[Coll[T]]
+        t, i = arg(i)
+        return ("Coll", ("Coll", t)), i
+    if constr == 3:  # Option[T]
+        t, i = arg(i)
+        return ("Option", t), i
+    if constr == 4:  # Option[Coll[T]]
+        t, i = arg(i)
+        return ("Option", ("Coll", t)), i
+    if constr == 5:  # (T, _); primId 0 ⇒ both components recursive
+        if prim == 0:
+            t1, i = _read_type(b, i, depth + 1)
+        else:
+            t1 = _embeddable(prim)
+        t2, i = _read_type(b, i, depth + 1)
+        return ("Tuple", [t1, t2]), i
+    if constr == 6:  # (_, T); primId 0 ⇒ symmetric recursive pair
+        if prim == 0:
+            t, i = _read_type(b, i, depth + 1)
+            return ("Tuple", [t, t]), i
+        t1, i = _read_type(b, i, depth + 1)
+        return ("Tuple", [t1, _embeddable(prim)]), i
+    if constr == 7:  # (T, T) symmetric embeddable pair
+        t = _embeddable(prim)
+        return ("Tuple", [t, t]), i
+    if code == _TUPLE_TYPE_CODE:  # general tuple: u8 arity + item types
+        if i >= len(b):
+            raise ValueError("truncated tuple type")
+        n, i = b[i], i + 1
+        if n < 2:
+            raise ValueError("tuple arity < 2")
+        ts = []
+        for _ in range(n):
+            t, i = _read_type(b, i, depth + 1)
+            ts.append(t)
+        return ("Tuple", ts), i
+    # SAny/SUnit/SBox/SAvlTree/SContext/...: valid types whose constant
+    # DATA we (like RegistersParser's `case _ => OptionT.none`) do not
+    # render — the register keeps its raw hex
+    raise ValueError(f"unsupported type code {code}")
+
+
+def _type_name(t) -> str:
+    """renderEvaluatedValue's type term (SigmaType.render: Coll[..],
+    Option[..], tuple as "(A, B)" with ", " separator)."""
+    kind = t[0]
+    if kind == "prim":
+        return _PRIM_NAMES[t[1]]
+    if kind == "Coll":
+        return f"Coll[{_type_name(t[1])}]"
+    if kind == "Option":
+        return f"Option[{_type_name(t[1])}]"
+    return "(" + ", ".join(_type_name(x) for x in t[1]) + ")"
+
+
+def _decode_data(b: bytes, i: int, t) -> tuple[str, int]:
+    """Recursive constant-data decoder for a parsed type tree, rendering
+    exactly like renderEvaluatedValue: hex for Coll[Byte]/GroupElement/
+    SigmaProp-pk, decimal strings for numbers, [..] joined with "," for
+    collections and tuples, null for None."""
+    kind = t[0]
+    if kind == "prim":
+        return _decode_prim(b, i, t[1])
+    if kind == "Coll":
+        elem = t[1]
+        n, i = _read_vlq(b, i)
+        if elem == ("prim", 2):  # Coll[Byte] → hex blob
+            if i + n > len(b):
+                raise ValueError("truncated coll")
+            return b[i : i + n].hex(), i + n
+        if elem == ("prim", 1):  # Coll[Boolean]: bit-packed, LSB first
+            nbytes = (n + 7) // 8
+            if i + nbytes > len(b):
+                raise ValueError("truncated bool coll")
+            bits = [
+                "true" if (b[i + (j >> 3)] >> (j & 7)) & 1 else "false"
+                for j in range(n)
+            ]
+            return "[" + ",".join(bits) + "]", i + nbytes
+        parts = []
+        for _ in range(n):
+            r, i = _decode_data(b, i, elem)
+            parts.append(r)
+        return "[" + ",".join(parts) + "]", i
+    if kind == "Option":
+        if i >= len(b):
+            raise ValueError("truncated option")
+        some, i = b[i], i + 1
+        if some == 0:
+            return "null", i
+        return _decode_data(b, i, t[1])
+    # Tuple: components concatenated in order
     parts = []
-    for _ in range(n):
-        r, i = _decode_prim(b, i, prim)
+    for sub in t[1]:
+        r, i = _decode_data(b, i, sub)
         parts.append(r)
     return "[" + ",".join(parts) + "]", i
 
 
 def _decode_constant(b: bytes, i: int) -> tuple[tuple[str, str], int]:
     """One serialized constant at offset i → ((sigmaType, rendered),
-    next_index); raises on anything unsupported/truncated."""
-    if i >= len(b):
-        raise ValueError("empty constant")
-    code = b[i]
-    i += 1
-    constr, prim = divmod(code, 12)
-    name = _PRIM_NAMES.get(prim)
-    if name is None:
-        raise ValueError(f"unsupported type code {code}")
-    if constr == 0:
-        rendered, i = _decode_prim(b, i, prim)
-        tname = name
-    elif constr == 1:
-        rendered, i = _decode_coll(b, i, prim)
-        tname = f"Coll[{name}]"
-    elif constr == 2:  # Coll[Coll[T]]
-        n, i = _read_vlq(b, i)
-        parts = []
-        for _ in range(n):
-            r, i = _decode_coll(b, i, prim)
-            parts.append(r)
-        rendered, tname = "[" + ",".join(parts) + "]", f"Coll[Coll[{name}]]"
-    elif constr == 3 or constr == 4:  # Option[T] / Option[Coll[T]]
-        inner = name if constr == 3 else f"Coll[{name}]"
-        tname = f"Option[{inner}]"
-        if i >= len(b):
-            raise ValueError("truncated option")
-        some, i = b[i], i + 1
-        if some == 0:
-            rendered = "null"
-        elif constr == 3:
-            rendered, i = _decode_prim(b, i, prim)
-        else:
-            rendered, i = _decode_coll(b, i, prim)
-    elif constr == 7:  # symmetric pair (T, T)
-        a, i = _decode_prim(b, i, prim)
-        c, i = _decode_prim(b, i, prim)
-        rendered, tname = f"[{a},{c}]", f"({name}, {name})"
-    else:
-        raise ValueError(f"unsupported constructor {constr}")
-    return (tname, rendered), i
+    next_index); raises on anything unsupported/truncated. Covers the
+    full embeddable algebra (RegistersParser.scala:20-79): primitives,
+    Coll/Option (nested, incl. recursive element types), asymmetric and
+    symmetric pairs, general n-tuples, GroupElement and ProveDlog
+    SigmaProp; SBox/SAvlTree-style constants fail here and keep their
+    raw hex — the reference's own fallback."""
+    t, i = _read_type(b, i)
+    rendered, i = _decode_data(b, i, t)
+    return (_type_name(t), rendered), i
 
 
 def _decode_register(hex_val: str | None) -> tuple[str, str] | None:

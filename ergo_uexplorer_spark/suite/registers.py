@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.crypto import decode_utf8_register
+from ..functions.crypto import decode_register, decode_utf8_register
 from .base import load, register
 
 
@@ -28,9 +28,10 @@ def _vlq_col(n: Column) -> Column:
 
 _R01_SQL = """
     WITH names AS (
-      SELECT p_partkey, unnest([p_name, repeat(p_name, 14)]) AS s FROM part
+      SELECT p_partkey, p_size, unnest([p_name, repeat(p_name, 14)]) AS s
+      FROM part
     ),
-    enc AS (SELECT p_partkey, s, strlen(s) AS n FROM names)
+    enc AS (SELECT p_partkey, p_size, s, strlen(s) AS n FROM names)
     SELECT p_partkey,
            CAST(n AS BIGINT) AS n_bytes,
            '0e' ||
@@ -38,9 +39,18 @@ _R01_SQL = """
                 ELSE lpad(lower(to_hex(n % 128 + 128)), 2, '0')
                      || lpad(lower(to_hex(n // 128)), 2, '0') END
            || lower(hex(s)) AS raw,
-           s AS decoded
+           s AS decoded,
+           '(SInt, SInt)' AS pair_type,
+           '[' || p_size || ',' || (p_partkey % 60) || ']' AS pair_rendered,
+           '(SInt, SInt, SInt)' AS tup_type,
+           '[' || p_size || ',' || (p_partkey % 60) || ',7]' AS tup_rendered
     FROM enc
 """
+
+
+def _zz1(v: Column) -> Column:
+    """Zigzag VLQ hex for 0 <= v <= 63 (single byte)."""
+    return _hx(v * 2)
 
 
 @register(
@@ -50,18 +60,33 @@ _R01_SQL = """
     tags=("registers", "crypto"),
 )
 def r01_register_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EIP-4 Coll[Byte] strip via the JVM path PLUS the full sigma
+    constant decoder over pair and general-tuple registers built from
+    the row's own numbers (symmetric pair code 0x58, TupleTypeCode 0x60)
+    — the oracle states the expected render directly, so a type- or
+    zigzag-decode bug hash-fails."""
     (part,) = load(spark, sf_dir, "part")
     names = part.select(
         "p_partkey",
+        "p_size",
         F.explode(
             F.array(F.col("p_name"), F.repeat(F.col("p_name"), 14))
         ).alias("s"),
     )
     n = F.octet_length(F.col("s"))
     raw = F.concat(F.lit("0e"), _vlq_col(n), F.lower(F.hex(F.col("s"))))
+    a, b = F.col("p_size").cast("long"), (F.col("p_partkey") % 60).cast("long")
+    pair_raw = F.concat(F.lit("58"), _zz1(a), _zz1(b))
+    tup_raw = F.concat(F.lit("6003040404"), _zz1(a), _zz1(b), F.lit("0e"))
+    pair = decode_register(pair_raw)
+    tup = decode_register(tup_raw)
     return names.select(
         "p_partkey",
         n.cast("bigint").alias("n_bytes"),
         raw.alias("raw"),
         decode_utf8_register(raw).alias("decoded"),
+        pair["sigma_type"].alias("pair_type"),
+        pair["rendered"].alias("pair_rendered"),
+        tup["sigma_type"].alias("tup_type"),
+        tup["rendered"].alias("tup_rendered"),
     )

@@ -106,6 +106,43 @@ def test_sigma_register_roundtrip():
     assert _decode_register(sigma_pair_int(3, 4)) == ("(SInt, SInt)", "[3,4]")
     pk = "02" + "ab" * 32
     assert _decode_register(sigma_sigmaprop(pk)) == ("SSigmaProp", pk)
+    # --- remaining SigmaType kinds (RegistersParser.scala:60-79) ---
+    from ergo_uexplorer_spark.fixtures.chaingen import (
+        sigma_coll_bool,
+        sigma_coll_int,
+        sigma_group_element,
+        sigma_pair_collbyte_int,
+        sigma_pair_int_collbyte,
+        sigma_tuple_n,
+    )
+
+    point = "03" + "cd" * 32
+    assert _decode_register(sigma_group_element(point)) == (
+        "SGroupElement",
+        point,
+    )
+    assert _decode_register(sigma_pair_int_collbyte(-7, b"\x01\x02")) == (
+        "(SInt, Coll[SByte])",
+        "[-7,0102]",
+    )
+    assert _decode_register(sigma_pair_collbyte_int(b"\xff", 9)) == (
+        "(Coll[SByte], SInt)",
+        "[ff,9]",
+    )
+    assert _decode_register(sigma_tuple_n([1, -2, 3, 400])) == (
+        "(SInt, SInt, SInt, SInt)",
+        "[1,-2,3,400]",
+    )
+    assert _decode_register(sigma_coll_bool([True, False, True] * 4)) == (
+        "Coll[SBoolean]",
+        "[" + ",".join(["true", "false", "true"] * 4) + "]",
+    )
+    assert _decode_register(sigma_coll_int([5, -6])) == (
+        "Coll[SInt]",
+        "[5,-6]",
+    )
+    # SBox constant (code 63): valid type, unrendered data → raw kept
+    assert _decode_register("63" + "ab" * 4) is None
     assert _decode_register("0e03aabbccdd") is None  # trailing byte
     assert _decode_register("0e05aabb") is None  # truncated payload
     assert _decode_register("xx00") is None  # not hex
