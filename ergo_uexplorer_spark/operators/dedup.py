@@ -414,3 +414,29 @@ def simhash_pairs_allpairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num: int = 4,
+    den: int = 5,
+) -> DataFrame:
+    """Near-dup CLUSTERS (the unit a pipeline actually drops documents
+    by): exact-threshold Jaccard pairs via lossless prefix filtering,
+    closed under transitivity with distributed connected components →
+    (doc_id, component, keep) where component = min member id and
+    keep marks the canonical representative. A corpus cleaner keeps
+    `keep` rows and drops the rest — pairwise output alone under-deletes
+    when A~B and B~C but A!~C."""
+    from .graph import connected_components
+
+    pairs = jaccard_prefix_pairs(docs, id_col, text_col, n, num, den)
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    return comps.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("id") == F.col("component")).alias("keep"),
+    )

@@ -278,3 +278,62 @@ def two_hop_neighbors(edges: DataFrame, address_hash: str) -> DataFrame:
         .select("neighbor")
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Distributed connected components over an undirected pair list →
+    (id, component) with component = the minimum member id.
+
+    Hash-min label propagation: every node starts as its own label; each
+    round takes the min over neighbor labels (one edges⋈labels hash join
+    + one groupBy-min, both shuffling on bounded node keys — never an
+    all-pairs product). Convergence is O(component diameter) rounds; for
+    near-dup clusters — dense blobs produced by candidate generation —
+    the diameter is tiny, so this beats the alternating large-star/
+    small-star scheme (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") in round count; swap that in for adversarial
+    long-path graphs. Each round eagerly localCheckpoints the label
+    table (bounded: one row per distinct node), so plan depth stays
+    O(1) and the monotone label-sum both detects convergence and proves
+    termination (labels are non-negative and strictly decrease in sum
+    until fixpoint)."""
+    u, v = F.col("u"), F.col("v")
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(u.alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.u, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels.unpersist(blocking=False)
+        labels = new_labels
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("label").alias("component"))

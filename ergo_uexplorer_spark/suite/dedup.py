@@ -232,3 +232,40 @@ def c01_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = load(spark, sf_dir, "documents")
     return clean_corpus(docs)
+
+
+# --------------------------------------------------------------------------
+# near-dup CLUSTERS: pairs closed under transitivity (connected
+# components, hash-min label propagation) → canonical representative per
+# component. Oracle: transitive closure by recursive CTE over the SAME
+# exact prefix-filtered pair set (lossless, so plain all-pairs Jaccard).
+# zz_ tail: pytest-oracle-checked, outside the driver's 50-row window.
+# --------------------------------------------------------------------------
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE pairs AS ({_HASHED_JACCARD_SQL}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+    )
+    SELECT id AS doc_id,
+           CAST(min(r) AS BIGINT) AS component,
+           id = min(r) AS keep
+    FROM reach GROUP BY id
+"""
+
+
+@register(
+    "zz_d06_dedup_clusters",
+    sql=_CLUSTERS_SQL,
+    survey_ref="LLM-pipeline: near-dup clusters (connected components)",
+    tags=("dedup", "graph"),
+)
+def zz_d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return D.dedup_clusters(docs, num=4, den=5)

@@ -141,3 +141,22 @@ def test_near_dup_operators_release_caches(spark):
         REGISTRY[name].fn(spark, sf).count()
     cm = spark._jsparkSession.sharedState().cacheManager()
     assert cm.isEmpty(), "near-dup operators leaked persisted intermediates"
+
+
+def test_connected_components_basic(spark):
+    """Path, triangle, and a long chain converge to min-id components
+    (hash-min propagation, O(diameter) rounds)."""
+    from ergo_uexplorer_spark.operators.graph import connected_components
+
+    pairs = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)] + [
+        (100 + i, 101 + i) for i in range(9)  # chain 100..109
+    ]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == (
+        {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+        | {100 + i: 100 for i in range(10)}
+    )
