@@ -211,8 +211,12 @@ def jaccard_prefix_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .persist()
     )
+    if release:
+        # staged execution (see minhash_lsh_pairs): the candidate pair
+        # list is tiny — checkpoint it so the verify job starts from a
+        # bounded RDD instead of re-walking the prefix-join DAG
+        cand = cand.localCheckpoint(eager=True)
     verified = jaccard_pairs(
         sh.join(
             cand.select(F.col("doc_a").alias("doc_id"))
@@ -226,7 +230,7 @@ def jaccard_prefix_pairs(
         elem_col="h",
     )
     out = verified.join(cand, ["doc_a", "doc_b"], "left_semi")
-    return materialize_and_release(out, sh, cand) if release else out
+    return materialize_and_release(out, sh) if release else out
 
 
 def minhash_signatures(sh_hashed: DataFrame) -> DataFrame:
@@ -290,8 +294,18 @@ def minhash_lsh_pairs(
     verification join: persist it once (it is the expensive scan), and
     every shuffle downstream carries longs, not strings.
     """
-    sh = hashed_shingle_sets(docs, id_col, text_col, n).persist()
-    cand = lsh_candidates(minhash_signatures(sh)).persist()
+    sh = hashed_shingle_sets(docs, id_col, text_col, n)
+    if not release:
+        cand = lsh_candidates(minhash_signatures(sh))
+    else:
+        # staged execution: signatures and candidates are TINY (one row
+        # per doc / per collided pair) — materializing each stage as a
+        # small eager checkpoint lets the verify job read bounded RDDs
+        # instead of re-analyzing one ~30-stage DAG (measured ~2× wall
+        # clock at sf0.1, ~4× cold)
+        sh = sh.persist()
+        sig = minhash_signatures(sh).localCheckpoint(eager=True)
+        cand = lsh_candidates(sig).localCheckpoint(eager=True)
     verified = jaccard_pairs(
         sh.join(
             cand.select(F.col("doc_a").alias("doc_id"))
@@ -305,7 +319,7 @@ def minhash_lsh_pairs(
         elem_col="h",
     )
     out = verified.join(cand, ["doc_a", "doc_b"], "left_semi")
-    return materialize_and_release(out, sh, cand) if release else out
+    return materialize_and_release(out, sh) if release else out
 
 
 # ---------------------------------------------------------------------------

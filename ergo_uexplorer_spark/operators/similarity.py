@@ -196,6 +196,11 @@ def near_dup_pairs(
         .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
         .distinct()
     )
+    if release:
+        # staged execution (see dedup.minhash_lsh_pairs): candidate id
+        # pairs are tiny — checkpoint so the verify join starts from a
+        # bounded RDD rather than re-walking the banding DAG twice
+        cand = cand.localCheckpoint(eager=True)
     va = e.select(
         F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
     )

@@ -71,3 +71,23 @@ def session_windows(
             "n_events",
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    id_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state — the ingestion-side
+    twin of the batch `operators/dedup` family, and the shape a
+    continuous training-data feed needs (at-least-once upstreams:
+    re-crawls, redelivered queue messages). `dropDuplicatesWithinWatermark`
+    keeps one row per key and evicts key state once the watermark passes
+    it, so state is O(keys per watermark window), never O(stream); a
+    plain `dropDuplicates` on a stream would grow state forever."""
+    return (
+        with_event_time(events, ts_col)
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark([*id_cols])
+    )

@@ -119,3 +119,49 @@ def test_session_windows_match_batch(spark, tmp_path):
         (r["user_id"], r["n_events"]) for r in out.collect() if r["user_id"] != 99
     }
     assert got == {(1, 2), (1, 1), (2, 1)}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids across micro-batches (redelivered upstream)
+    emit exactly once; state is evicted by the watermark."""
+    from ergo_uexplorer_spark.streaming.windows import dedup_stream
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    rows1 = [(1, "a", BASE + i * HOUR_NS // 10, 1.0) for i in range(6)]
+    rows2 = rows1[3:] + [  # batch 2 redelivers 3 rows, adds 3 new
+        (1, "a", BASE + (6 + i) * HOUR_NS // 10, 1.0) for i in range(3)
+    ]
+    # event_id = deterministic from ts so redelivery means same id
+    def _w(path, rows):
+        with open(path, "w") as f:
+            for u, t, ts, v in rows:
+                f.write(
+                    json.dumps(
+                        {"event_id": ts, "user_id": u, "event_type": t,
+                         "ts": ts, "value": v}
+                    )
+                    + "\n"
+                )
+
+    _w(src / "b0.json", rows1)
+    _w(src / "b1.json", rows2)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = dedup_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dd_ck"))
+        .start()
+    )
+    q.awaitTermination(300)
+    got = [r["event_id"] for r in spark.sql("select * from dd_out").collect()]
+    assert len(got) == len(set(got)) == 9  # 6 + 3 new, redelivery deduped
