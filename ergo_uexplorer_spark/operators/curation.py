@@ -1,0 +1,99 @@
+"""Training-data curation operators: deterministic splits and sequence
+packing (LLM-pipeline extensions; the reference has no training-data
+side — these extend SURVEY §2.6's "operations a large-scale pipeline
+needs").
+
+Everything is JVM-side column algebra over the shared portable hash
+(`textops.portable_hash`), so both properties that matter at 100 TB
+hold: whole-stage codegen end to end, and *reproducibility* — the split
+or packing of a document is a pure function of its id/content, not of
+partitioning, cluster size, or row order. Re-running on a grown corpus
+keeps every previously-assigned document in the same split/shard, which
+is what makes held-out sets trustworthy across dataset versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import portable_hash, tokens
+
+SPLIT_SALT = "split-v1"
+DEFAULT_WEIGHTS = (("train", 98), ("val", 1), ("test", 1))
+
+
+def split_bucket(id_col: Column, salt: str = SPLIT_SALT) -> Column:
+    """Deterministic 0..99 bucket from the salted id hash."""
+    return portable_hash(F.concat(F.lit(salt), id_col.cast("string"))) % 100
+
+
+def deterministic_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[tuple[str, int], ...] = DEFAULT_WEIGHTS,
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """Assign train/val/test by hashing the document id into 100 buckets
+    and carving them by the weight table (must sum to ≤ 100). No
+    randomness, no sampling shuffle: a narrow projection, so it composes
+    with any scan and survives re-partitioning unchanged."""
+    bucket = split_bucket(F.col(id_col), salt)
+    expr = F.lit(None).cast("string")
+    hi = sum(w for _, w in weights)
+    for name, w in reversed(weights):
+        lo = hi - w
+        expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(
+            expr
+        )
+        hi = lo
+    return docs.withColumn("split", expr)
+
+
+def sql_split_bucket(id_expr: str, salt: str = SPLIT_SALT) -> str:
+    """DuckDB mirror of split_bucket."""
+    return (
+        f"(('0x' || substr(md5('{salt}' || CAST({id_expr} AS VARCHAR)), 1, 15))"
+        "::BIGINT) % 100"
+    )
+
+
+def sequence_packing(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 2048,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Greedy streaming sequence packing: deterministically shard the
+    corpus (id-hash % n_shards), order each shard by the same hash, and
+    chop the running token stream into `window_tokens` context windows —
+    `pack_id` = which window a document STARTS in (the per-worker
+    concat-and-chop scheme training loaders use).
+
+    Distributed shape: one hash-partitioned window per shard — state per
+    task is a running sum, shard count bounds parallelism (set n_shards
+    ≈ executor slots × a few). No global ordering, no driver loop; the
+    assignment is reproducible because shard AND order derive from the
+    document hash, not from arrival order.
+    """
+    h = portable_hash(F.col(id_col).cast("string"))
+    with_counts = docs.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        (h % n_shards).alias("shard"),
+        h.alias("ord"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return with_counts.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (start / window_tokens).cast("bigint").alias("pack_id"),
+        start.alias("start_offset"),
+    )

@@ -180,3 +180,60 @@ def x04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", T.fingerprint(T.tokens(F.col("text"))).alias("fp")
     )
+
+
+# --------------------------------------------------------------------------
+# training-data curation (operators/curation.py): deterministic splits +
+# per-shard sequence packing. zz_ tail: pytest-oracle-checked, outside
+# the driver's 50-row window.
+# --------------------------------------------------------------------------
+@register(
+    "zz_x06_deterministic_split",
+    sql="""
+    WITH b AS (
+      SELECT doc_id,
+             (('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 15))
+              ::BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 98 THEN 'train'
+                WHEN bucket < 99 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    survey_ref="LLM-pipeline: reproducible train/val/test split",
+    tags=("curation",),
+)
+def zz_x06_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import deterministic_split
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return deterministic_split(docs).select("doc_id", "split")
+
+
+@register(
+    "zz_x07_sequence_packing",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS h
+      FROM documents
+    ),
+    s AS (SELECT doc_id, n_tokens, h % 64 AS shard, h AS ord FROM t)
+    SELECT doc_id, shard, n_tokens,
+           CAST(CAST(coalesce(sum(n_tokens) OVER w, 0) AS BIGINT) // 2048
+                AS BIGINT) AS pack_id,
+           CAST(coalesce(sum(n_tokens) OVER w, 0) AS BIGINT) AS start_offset
+    FROM s
+    WINDOW w AS (PARTITION BY shard ORDER BY ord, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """,
+    survey_ref="LLM-pipeline: per-shard greedy sequence packing",
+    tags=("curation", "window"),
+)
+def zz_x07_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import sequence_packing
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return sequence_packing(docs)
