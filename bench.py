@@ -37,15 +37,21 @@ def _chain_fixture(n_blocks: int = CHAIN_BLOCKS) -> str:
 
 def _bench_chain_ingest(spark) -> float:
     """Full ingest (normalize → main chain → Block table → UTXO → stats),
-    forced end-to-end; BASELINE.md target ≈258 blocks/s single-node."""
+    forced end-to-end; BASELINE.md target ≈258 blocks/s single-node.
+    `cache=True` persists the silver fact tables so the three gold
+    outputs don't re-parse (the posture any real pipeline run uses);
+    the caches are released before returning."""
     from ergo_uexplorer_spark.pipeline import ingest_blocks
 
     path = _chain_fixture()
     t0 = time.perf_counter()
-    tables = ingest_blocks(spark, path)
+    tables = ingest_blocks(spark, path, cache=True)
     for t in ("blocks", "utxo", "address_stats"):
         tables[t].write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    for t in ("headers_main", "transactions_main", "boxes_main", "inputs_main"):
+        tables[t].unpersist(blocking=False)
+    return dt
 
 
 def main() -> None:

