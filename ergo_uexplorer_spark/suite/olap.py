@@ -225,7 +225,15 @@ def z01_motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = placed.unionByName(sourced).unionByName(returned)
+    # the motif scans `edges` once per term (3 positive/negative scans):
+    # materialize the derived graph once instead of re-running the three
+    # distinct/join DAGs per scan — it is bounded (one row per distinct
+    # relation pair), and a production graph would be a silver table
+    edges = (
+        placed.unionByName(sourced)
+        .unionByName(returned)
+        .localCheckpoint(eager=True)
+    )
     out = motif_find(edges, "(c)-[]->(o); (o)-[]->(s); !(c)-[]->(s)")
     # type guards: the union mixes the three relations in one edge table
     return (
