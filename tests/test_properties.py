@@ -275,3 +275,125 @@ def test_simhash_identical_docs_zero_hamming(spark):
     assert sig[0] == sig[1]
     pairs = simhash_pairs(simhash(df), max_hamming=0).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# SigmaType decoder: random nested constants round-trip (pure Python, no
+# Spark) — a reference-side recursive serializer built HERE from the
+# TypeSerializer/DataSerializer wire rules generates arbitrary nested
+# values; functions/crypto._decode_register must invert them exactly.
+# ---------------------------------------------------------------------------
+def _ser_vlq(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _ser_zz(v: int) -> bytes:
+    return _ser_vlq(((v << 1) ^ (v >> 63)) & ((1 << 64) - 1))
+
+
+_PRIMS = {3: "SShort", 4: "SInt", 5: "SLong"}  # zigzag-vlq numerics
+
+
+def _type_strategy():
+    prim = st.sampled_from(list(_PRIMS))
+    return st.recursive(
+        prim.map(lambda p: ("prim", p)),
+        lambda inner: st.one_of(
+            inner.map(lambda t: ("Coll", t)),
+            inner.map(lambda t: ("Option", t)),
+            st.lists(inner, min_size=2, max_size=4).map(
+                lambda ts: ("Tuple", ts)
+            ),
+        ),
+        max_leaves=6,
+    )
+
+
+def _gen_value(draw, t):
+    kind = t[0]
+    if kind == "prim":
+        lo, hi = (-(2**31), 2**31 - 1) if t[1] == 4 else (
+            (-(2**15), 2**15 - 1) if t[1] == 3 else (-(2**62), 2**62 - 1)
+        )
+        return draw(st.integers(lo, hi))
+    if kind == "Coll":
+        return [
+            _gen_value(draw, t[1])
+            for _ in range(draw(st.integers(0, 3)))
+        ]
+    if kind == "Option":
+        return None if draw(st.booleans()) else _gen_value(draw, t[1])
+    return [_gen_value(draw, sub) for sub in t[1]]
+
+
+def _ser_type(t) -> bytes:
+    kind = t[0]
+    if kind == "prim":
+        return bytes([t[1]])
+    if kind == "Coll":
+        inner = t[1]
+        if inner[0] == "prim":
+            return bytes([12 + inner[1]])
+        return bytes([12]) + _ser_type(inner)
+    if kind == "Option":
+        inner = t[1]
+        if inner[0] == "prim":
+            return bytes([36 + inner[1]])
+        return bytes([36]) + _ser_type(inner)
+    ts = t[1]
+    if len(ts) == 2 and ts[0] == ts[1] and ts[0][0] == "prim":
+        return bytes([84 + ts[0][1]])  # symmetric embeddable pair
+    if len(ts) == 2 and ts[0][0] == "prim":
+        return bytes([60 + ts[0][1]]) + _ser_type(ts[1])  # Pair1
+    return bytes([96, len(ts)]) + b"".join(_ser_type(x) for x in ts)
+
+
+def _ser_data(t, v) -> bytes:
+    kind = t[0]
+    if kind == "prim":
+        return _ser_zz(v)
+    if kind == "Coll":
+        return _ser_vlq(len(v)) + b"".join(_ser_data(t[1], x) for x in v)
+    if kind == "Option":
+        return b"\x00" if v is None else b"\x01" + _ser_data(t[1], v)
+    return b"".join(_ser_data(sub, x) for sub, x in zip(t[1], v))
+
+
+def _render(t, v) -> str:
+    kind = t[0]
+    if kind == "prim":
+        return str(v)
+    if kind == "Coll":
+        return "[" + ",".join(_render(t[1], x) for x in v) + "]"
+    if kind == "Option":
+        return "null" if v is None else _render(t[1], v)
+    return "[" + ",".join(_render(s, x) for s, x in zip(t[1], v)) + "]"
+
+
+def _tname(t) -> str:
+    kind = t[0]
+    if kind == "prim":
+        return _PRIMS[t[1]]
+    if kind == "Coll":
+        return f"Coll[{_tname(t[1])}]"
+    if kind == "Option":
+        return f"Option[{_tname(t[1])}]"
+    return "(" + ", ".join(_tname(x) for x in t[1]) + ")"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_sigma_decoder_roundtrip_random_nested(data):
+    from ergo_uexplorer_spark.functions.crypto import _decode_register
+
+    t = data.draw(_type_strategy())
+    v = _gen_value(data.draw, t)
+    raw = (_ser_type(t) + _ser_data(t, v)).hex()
+    got = _decode_register(raw)
+    assert got == (_tname(t), _render(t, v)), (t, v, raw)
