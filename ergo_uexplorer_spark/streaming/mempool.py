@@ -59,10 +59,20 @@ def unconfirmed_overlay(
 
 
 def stream_new_txs(
-    spark: SparkSession, snapshot_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    state_horizon: str | None = "2 hours",
 ) -> DataFrame:
     """Streaming form: each snapshot file is an array of unconfirmed txs;
     emits every tx id exactly once (first snapshot that contains it).
+
+    Dedup state is BOUNDED by `state_horizon`: ids are watermarked on
+    arrival time and evicted once the horizon passes — correct for a
+    mempool because a tx either settles (then it leaves every snapshot)
+    or expires within the node's own eviction window, so an id can only
+    recur within a bounded interval. Pass ``state_horizon=None`` for the
+    unbounded form (exact across arbitrarily spaced snapshots).
 
     Returns a streaming DataFrame; callers attach their sink, e.g.
     `.writeStream.format("memory")` in tests or `foreachBatch(plugin)`
@@ -74,4 +84,11 @@ def stream_new_txs(
         .withColumnRenamed("id", "tx_id")
         .select("tx_id", "size", F.size("inputs").alias("n_inputs"))
     )
-    return stream.dropDuplicates(["tx_id"])
+    if state_horizon is None:
+        return stream.dropDuplicates(["tx_id"])
+    return (
+        stream.withColumn("arrival", F.current_timestamp())
+        .withWatermark("arrival", state_horizon)
+        .dropDuplicatesWithinWatermark(["tx_id"])
+        .drop("arrival")
+    )
