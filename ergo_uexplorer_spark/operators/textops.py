@@ -116,3 +116,23 @@ def fingerprint(tok: Column) -> Column:
     """Order/multiplicity-insensitive document fingerprint: md5 over the
     sorted distinct token set (classic near-dup canonicalization)."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tok))))
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish subword counting: a GPT-2-style pre-tokenizer regex (contraction
+# suffixes, letter runs, digit runs, punctuation runs, whitespace runs —
+# each a would-be-BPE segment). Counting these approximates LLM token
+# counts far better than word splits (the usual ~4 chars/token heuristic
+# falls out of the same segmentation). The alternation is leftmost-first
+# in both Java regex and RE2, so Spark and DuckDB segment identically.
+# ---------------------------------------------------------------------------
+BPE_ISH_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+SQL_BPE_COUNT = (
+    "len(regexp_extract_all({col}, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+"
+    "| ?[^A-Za-z0-9\\s]+|\\s+'))"
+)
+
+
+def bpe_ish_count(col: Column) -> Column:
+    """Number of BPE-ish segments (JVM-side regexp_extract_all)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_RE), F.lit(0)))

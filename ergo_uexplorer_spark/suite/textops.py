@@ -237,3 +237,30 @@ def zz_x07_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = load(spark, sf_dir, "documents")
     return sequence_packing(docs)
+
+
+# --------------------------------------------------------------------------
+# BPE-ish subword counting (the brief's "whitespace + BPE-ish regex"
+# pair: x01 counts word tokens, this counts pre-tokenizer segments).
+# --------------------------------------------------------------------------
+@register(
+    "zz_x08_bpe_token_count",
+    sql=f"""
+    SELECT doc_id,
+           CAST({T.SQL_BPE_COUNT.format(col='text')} AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len({_TOKS}) AS BIGINT) AS n_word_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+    survey_ref="LLM-pipeline: BPE-ish subword counting",
+    tags=("text", "curation"),
+)
+def zz_x08_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.bpe_ish_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+        F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_word_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
