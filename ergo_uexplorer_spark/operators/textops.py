@@ -136,3 +136,26 @@ SQL_BPE_COUNT = (
 def bpe_ish_count(col: Column) -> Column:
     """Number of BPE-ish segments (JVM-side regexp_extract_all)."""
     return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_RE), F.lit(0)))
+
+
+# ---------------------------------------------------------------------------
+# Pattern scrubbing (the PII-redaction stage of a training-data pipeline):
+# conservative email/URL patterns, replaced with typed sentinels. Both
+# patterns avoid Java/RE2 semantic differences (no backrefs, no lookaround),
+# so the DuckDB oracle applies the identical transformation.
+# ---------------------------------------------------------------------------
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def scrub_patterns(col: Column) -> Column:
+    """Replace emails then URLs with sentinels (order matters: an email
+    inside a URL query string is already consumed by the URL rule if URLs
+    ran first — emails first keeps both counts stable)."""
+    return F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+
+
+def pattern_count(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))

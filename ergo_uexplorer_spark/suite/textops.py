@@ -264,3 +264,40 @@ def zz_x08_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_word_tokens"),
         F.length("text").cast("bigint").alias("n_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII / pattern scrubbing
+# --------------------------------------------------------------------------
+_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_URL_SQL = "https?://[^\\s]+"
+
+
+@register(
+    "zz_x09_pattern_scrub",
+    sql=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_SQL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_URL_SQL}')) AS BIGINT)
+             AS n_urls,
+           md5(regexp_replace(
+                 regexp_replace(text, '{_EMAIL_SQL}', '<EMAIL>', 'g'),
+                 '{_URL_SQL}', '<URL>', 'g')) AS scrubbed_md5
+    FROM documents
+    """,
+    survey_ref="LLM-pipeline: PII/pattern scrubbing",
+    tags=("text", "curation"),
+)
+def zz_x09_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.pattern_count(F.col("text"), T.EMAIL_RE).cast("bigint").alias(
+            "n_emails"
+        ),
+        T.pattern_count(F.col("text"), T.URL_RE).cast("bigint").alias(
+            "n_urls"
+        ),
+        F.md5(T.scrub_patterns(F.col("text"))).alias("scrubbed_md5"),
+    )
