@@ -125,9 +125,13 @@ def j01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events, orders = load(spark, sf_dir, "events", "orders")
     right = orders.select(
         "o_custkey",
-        (F.unix_timestamp("o_orderdate").cast("long") * F.lit(1_000_000_000)).alias(
-            "order_ts_ns"
-        ),
+        # datediff-based epoch: session-timezone-proof (unix_timestamp on a
+        # DATE shifts with the session tz; the DuckDB oracle's epoch_ns is
+        # UTC-midnight based)
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
+            * F.lit(86_400_000_000_000)
+        ).alias("order_ts_ns"),
         "o_orderkey",
     )
     out = asof_join(
@@ -166,9 +170,13 @@ def j02_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events, orders = load(spark, sf_dir, "events", "orders")
     right = orders.select(
         "o_custkey",
-        (F.unix_timestamp("o_orderdate").cast("long") * F.lit(1_000_000_000)).alias(
-            "order_ts_ns"
-        ),
+        # datediff-based epoch: session-timezone-proof (unix_timestamp on a
+        # DATE shifts with the session tz; the DuckDB oracle's epoch_ns is
+        # UTC-midnight based)
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
+            * F.lit(86_400_000_000_000)
+        ).alias("order_ts_ns"),
         "o_orderkey",
     )
     out = range_join_count(

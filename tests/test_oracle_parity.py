@@ -63,3 +63,17 @@ def test_a02_sketch_bounded_by_independent_exact(spark):
         assert abs(approx[k] - ex) <= max(1.0, 5 * _A02_RSD * ex), (
             f"suppkey {k}: approx {approx[k]} vs exact {ex}"
         )
+
+
+def test_temporal_parity_non_utc_session(spark):
+    """The temporal surface must be session-timezone-proof: events.ts
+    normalization (convert_timezone branch) and the j01/j02 datediff
+    epoch both hold under a non-UTC session."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for name in ("e01_sessionization", "j01_asof_join"):
+            qd = REGISTRY[name]
+            assert_matches_oracle(qd.fn(spark, SF_DIR), qd.sql, SF_DIR, name)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
