@@ -10,3 +10,4 @@ from . import olap  # noqa: F401
 from . import temporal  # noqa: F401
 from . import grouped  # noqa: F401
 from . import registers  # noqa: F401
+from . import multimodal  # noqa: F401
