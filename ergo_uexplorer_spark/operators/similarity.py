@@ -712,3 +712,97 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select("q_id", "n_id", "cos_sim")
     )
+
+
+def near_dup_pairs_multiprobe(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_bits: int = 1,
+    release: bool = True,
+) -> DataFrame:
+    """Multi-probe variant of `near_dup_pairs` (Lv et al.,
+    "Multi-Probe LSH"): one side of the candidate self-join additionally
+    probes every bucket within `probe_bits` sign flips of its own, so a
+    true pair collides in a band when the bucket Hamming distance is
+    ≤ probe_bits — recall per band goes from p^8 to
+    Σ_{i≤probe_bits} C(8,i) p^(8-i)(1-p)^i at probe_bits× (+1) candidate
+    volume, a far better recall/cost trade than adding whole bands
+    (which re-scan the corpus).
+
+    Scale shape is unchanged: probing is a projection (explode of ≤ 9
+    bucket ids per row per band); candidates remain an equi-join on
+    (band, bucket); verification touches candidates only. Asymmetric
+    probing (A probes, B stays exact) covers both flip directions for an
+    (a < b) pair without double-probing."""
+    e = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+    ).persist()
+    if probe_bits not in (0, 1):
+        raise ValueError("probe_bits ∈ {0, 1} supported")
+    from functools import reduce
+
+    def banded(probe: bool) -> DataFrame:
+        frames = []
+        for band in range(ND_BANDS):
+            bkt = _nd_band_bucket(F.col("v"), band)
+            if probe:
+                buckets = F.array(
+                    bkt,
+                    *[
+                        bkt.bitwiseXOR(F.lit(1 << i))
+                        for i in range(ND_PLANES_PER_BAND)
+                    ],
+                )
+                frames.append(
+                    e.select(
+                        "vid",
+                        F.lit(band).alias("band"),
+                        F.explode(buckets).alias("bkt"),
+                    )
+                )
+            else:
+                frames.append(
+                    e.select(
+                        "vid", F.lit(band).alias("band"), bkt.alias("bkt")
+                    )
+                )
+        return reduce(DataFrame.unionByName, frames)
+
+    probing = banded(probe=probe_bits > 0).alias("a")
+    exact = banded(probe=False).alias("b")
+    cand = (
+        probing.join(
+            exact,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+        .distinct()
+    )
+    if release:
+        cand = cand.localCheckpoint(eager=True)
+    va = e.select(
+        F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    vb = e.select(
+        F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    out = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
+            "cos_sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+    if not release:
+        return out
+    from .util import materialize_and_release
+
+    return materialize_and_release(out, e)
