@@ -455,21 +455,24 @@ def ivf_topk(
     )
 
 
-def _pq_cb_lit(m: int) -> Column:
+def _pq_cb_lit(m: int, codebooks=None) -> Column:
     """Literal array<struct<k:int, cv:array<double>>> for subspace m —
     one parsed SQL expression (see _cents_lit for why not per-F.lit),
-    parse-once cached like the centroid array."""
+    parse-once cached like the centroid array. `codebooks` overrides the
+    fixed seeded books (e.g. k-means-trained / residual-trained)."""
+    books = PQ_CODEBOOKS if codebooks is None else codebooks
 
     def build() -> str:
         parts = ", ".join(
             "named_struct('k', {}, 'cv', array({}))".format(
                 k, ", ".join(f"{float(v)!r}D" for v in cv)
             )
-            for k, cv in enumerate(PQ_CODEBOOKS[m])
+            for k, cv in enumerate(books[m])
         )
         return f"array({parts})"
 
-    return _memo_expr(("pqcb", m), build)
+    key_books = tuple(tuple(tuple(cv) for cv in b) for b in books)
+    return _memo_expr(("pqcb", m, hash(key_books)), build)
 
 
 def _subvec(vec: Column, m: int) -> Column:
@@ -501,25 +504,106 @@ def _lut_lambda(sv: Column):
     return lambda c: _subdist(sv, c["cv"])
 
 
-def pq_codes_col(vec: Column) -> Column:
+def pq_codes_col(vec: Column, codebooks=None) -> Column:
     """array<int> of PQ_M codes: per subspace, the argmin-distance code
     (tie → smaller code id, via struct-ordered array_min)."""
     codes = []
     for m in range(PQ_M):
-        scored = F.transform(_pq_cb_lit(m), _score_lambda(_subvec(vec, m)))
+        scored = F.transform(
+            _pq_cb_lit(m, codebooks), _score_lambda(_subvec(vec, m))
+        )
         codes.append(F.array_min(scored)["k"])
     return F.array(*codes)
 
 
-def pq_lut_col(vec: Column) -> Column:
+def pq_lut_col(vec: Column, codebooks=None) -> Column:
     """Flattened query lookup table: PQ_M × PQ_K subspace distances,
     laid out [m*PQ_K + k] (0-based), so the ADC fold is a pure
     element_at per subspace."""
     luts = [
-        F.transform(_pq_cb_lit(m), _lut_lambda(_subvec(vec, m)))
+        F.transform(_pq_cb_lit(m, codebooks), _lut_lambda(_subvec(vec, m)))
         for m in range(PQ_M)
     ]
     return F.flatten(F.array(*luts))
+
+
+def pq_quantization_error(
+    emb: DataFrame,
+    codebooks=None,
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> float:
+    """Mean total squared quantization error Σ_m ||sv_m − cb_m[code_m]||²
+    over the corpus (residualized against `centroids` when given) — the
+    objective k-means training descends on."""
+    base = _residual_col(vec_col, centroids) if centroids else F.col(vec_col)
+    per_m = []
+    for m in range(PQ_M):
+        scored = F.transform(
+            _pq_cb_lit(m, codebooks), _score_lambda(_subvec(base, m))
+        )
+        per_m.append(F.array_min(scored)["d"])
+    total = sum(per_m[1:], per_m[0])
+    df = emb
+    if centroids:
+        df = ivf_assign(emb, centroids, vec_col=vec_col)
+    return df.select(F.avg(total).alias("e")).first()["e"]
+
+
+def _residual_col(
+    vec_col: str, centroids: list[list[float]]
+) -> Column:
+    """vec − centroid(assigned cell): requires a `centroid_id` column
+    (from `ivf_assign`) on the row."""
+    cent = F.element_at(
+        _cents_lit(centroids), F.col("centroid_id").cast("int") + 1
+    )["cv"]
+    return F.zip_with(
+        F.col(vec_col), cent, lambda x, c: x.cast("double") - c
+    )
+
+
+def pq_train_codebooks(
+    emb: DataFrame,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+):
+    """Train the PQ codebooks with per-subspace Lloyd's k-means,
+    initialized from the fixed seeded books (so the first assignment is
+    the fixed scheme and every iteration weakly DECREASES quantization
+    error — the test gate). With `centroids`, training runs over IVF
+    RESIDUALS (v − coarse centroid), the FAISS IVFPQ recipe: residual
+    magnitudes are what the code budget must cover, so codes spend
+    precision where the coarse quantizer left error.
+
+    Distributed shape: per iteration and subspace, one argmin projection
+    + one (code, dim) groupBy-avg whose result is PQ_K × PQ_SUBDIM rows —
+    driver traffic is codebook-sized, vectors never leave executors."""
+    df = emb
+    if centroids:
+        df = ivf_assign(emb, centroids, vec_col=vec_col)
+        base = _residual_col(vec_col, centroids)
+    else:
+        base = F.col(vec_col)
+    books = [
+        [list(cv) for cv in PQ_CODEBOOKS[m]] for m in range(PQ_M)
+    ]
+    for _ in range(iters):
+        key = tuple(tuple(tuple(cv) for cv in b) for b in books)
+        for m in range(PQ_M):
+            sv = _subvec(base, m)
+            scored = F.transform(_pq_cb_lit(m, key), _score_lambda(sv))
+            code = F.array_min(scored)["k"]
+            means = (
+                df.select(code.alias("code"), F.posexplode(sv).alias("dim", "x"))
+                .groupBy("code", "dim")
+                .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+                .collect()
+            )
+            for r in means:
+                books[m][r["code"]][r["dim"]] = r["mu"]
+    return tuple(tuple(tuple(cv) for cv in b) for b in books)
 
 
 def _adc_dist(lut: Column, codes: Column) -> Column:
@@ -540,6 +624,8 @@ def ivf_pq_index(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks=None,
+    residual: bool = False,
 ) -> DataFrame:
     """The IVF-PQ *index build* (FAISS `index.add`, Spark-shaped): one
     pass over the corpus producing (n_id, cell, codes) — the 8-byte code
@@ -548,10 +634,12 @@ def ivf_pq_index(
     vectors and is rebuilt only when the corpus changes); `ivf_pq_topk`
     takes it via `corpus=` so per-query cost never includes re-encoding
     the corpus."""
-    return ivf_assign(emb, centroids, id_col, vec_col).select(
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    enc = _residual_col(vec_col, centroids) if residual else F.col(vec_col)
+    return assigned.select(
         F.col(id_col).alias("n_id"),
         F.col("centroid_id").alias("cell"),
-        pq_codes_col(F.col(vec_col)).alias("codes"),
+        pq_codes_col(enc, codebooks).alias("codes"),
     )
 
 
@@ -565,6 +653,8 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus: DataFrame | None = None,
+    codebooks=None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS IVFPQ architecture, Spark-shaped): the
     cell-scanned corpus side carries ONLY (id, cell, 8 codes) — 8 bytes
@@ -580,7 +670,9 @@ def ivf_pq_topk(
     persisted) to search an existing index; omitting it builds the index
     inline, which is only sensible for one-shot jobs."""
     if corpus is None:
-        corpus = ivf_pq_index(emb, centroids, id_col, vec_col)
+        corpus = ivf_pq_index(
+            emb, centroids, id_col, vec_col, codebooks, residual
+        )
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
     scored_cells = F.transform(
         _cents_lit(centroids),
@@ -588,14 +680,26 @@ def ivf_pq_topk(
             cosine(F.col("qv"), c["cv"]).alias("c"), c["cell"].alias("cell")
         ),
     )
-    probes = q.withColumn(
+    probed = q.withColumn(
         "cells",
         F.slice(F.array_sort(scored_cells, _best_cell_first), 1, n_probes),
-    ).select(
+    ).select("q_id", "qv", F.explode("cells.cell").alias("cell"))
+    if residual:
+        # FAISS IVFPQ: codes quantize (v − cell centroid), so the query
+        # LUT is PER PROBED CELL over the query's residual in that cell
+        cell_cv = F.element_at(
+            _cents_lit(centroids), F.col("cell").cast("int") + 1
+        )["cv"]
+        q_enc = F.zip_with(
+            F.col("qv"), cell_cv, lambda x, c: x.cast("double") - c
+        )
+    else:
+        q_enc = F.col("qv")
+    probes = probed.select(
         "q_id",
         "qv",
-        pq_lut_col(F.col("qv")).alias("lut"),
-        F.explode("cells.cell").alias("cell"),
+        pq_lut_col(q_enc, codebooks).alias("lut"),
+        "cell",
     )
     adc = (
         F.broadcast(probes)

@@ -117,3 +117,44 @@ def test_ivfpq_codes_and_recall(emb, centroids):
     # real signal). Real embedding corpora cluster and do far better.
     recall_vs_ivf = len(i & p) / len(i)
     assert recall_vs_ivf >= 0.8, f"recall vs IVF {recall_vs_ivf:.2f}"
+
+
+def test_pq_training_descends_and_residual_recall(emb, centroids):
+    """Lloyd's invariant: k-means-trained codebooks (init = the fixed
+    seeded books) weakly decrease mean quantization error, raw AND
+    residualized; a residual-trained IVFPQ index still clears the same
+    recall bar as the fixed one in the same probed cells."""
+    from ergo_uexplorer_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_quantization_error,
+        pq_train_codebooks,
+    )
+
+    # raw-vector training descends
+    e_fixed = pq_quantization_error(emb)
+    trained = pq_train_codebooks(emb, iters=2)
+    e_trained = pq_quantization_error(emb, codebooks=trained)
+    assert e_trained <= e_fixed + 1e-9, (e_trained, e_fixed)
+
+    # residual training descends on the residual objective
+    e_fixed_res = pq_quantization_error(emb, centroids=centroids)
+    trained_res = pq_train_codebooks(emb, iters=2, centroids=centroids)
+    e_trained_res = pq_quantization_error(
+        emb, codebooks=trained_res, centroids=centroids
+    )
+    assert e_trained_res <= e_fixed_res + 1e-9, (e_trained_res, e_fixed_res)
+    # residuals are smaller than raw vectors, so the residual objective
+    # after training should beat raw-vector quantization error too
+    assert e_trained_res <= e_trained + 1e-9
+
+    # end-to-end: residual-trained index + per-cell residual LUT search
+    queries = emb.filter(F.col("vec_id") < 10)
+    ivf = ivf_topk(emb, queries, centroids, k=10, n_probes=6)
+    pq_res = ivf_pq_topk(
+        emb, queries, centroids, k=10, n_probes=6, refine=100,
+        codebooks=trained_res, residual=True,
+    )
+    i = {(r["q_id"], r["n_id"]) for r in ivf.collect()}
+    p = {(r["q_id"], r["n_id"]) for r in pq_res.collect()}
+    recall = len(i & p) / len(i)
+    assert recall >= 0.8, f"residual-PQ recall vs IVF {recall:.2f}"
