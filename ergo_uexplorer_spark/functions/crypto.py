@@ -361,13 +361,27 @@ def _read_type(b: bytes, i: int, depth: int = 0):
             t1 = _embeddable(prim)
         t2, i = _read_type(b, i, depth + 1)
         return ("Tuple", [t1, t2]), i
-    if constr == 6:  # (_, T); primId 0 ⇒ symmetric recursive pair
+    if constr == 6:  # (_, T); primId 0 ⇒ TripleTypeCode (0x48)
         if prim == 0:
-            t, i = _read_type(b, i, depth + 1)
-            return ("Tuple", [t, t]), i
+            # sigmastate TypeSerializer: constrId 6 with primId 0 is the
+            # Triple type code — three component types follow. (Symmetric
+            # non-embeddable pairs are never encoded this way; they
+            # serialize via Pair1 with both types explicit.)
+            ts = []
+            for _ in range(3):
+                t, i = _read_type(b, i, depth + 1)
+                ts.append(t)
+            return ("Tuple", ts), i
         t1, i = _read_type(b, i, depth + 1)
         return ("Tuple", [t1, _embeddable(prim)]), i
-    if constr == 7:  # (T, T) symmetric embeddable pair
+    if constr == 7:  # (T, T) symmetric embeddable; primId 0 ⇒ Quadruple
+        if prim == 0:
+            # QuadrupleTypeCode (0x54): four component types follow.
+            ts = []
+            for _ in range(4):
+                t, i = _read_type(b, i, depth + 1)
+                ts.append(t)
+            return ("Tuple", ts), i
         t = _embeddable(prim)
         return ("Tuple", [t, t]), i
     if code == _TUPLE_TYPE_CODE:  # general tuple: u8 arity + item types

@@ -314,6 +314,7 @@ def connected_components(
         edges.select(u.alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.v == labels.id)
@@ -334,6 +335,15 @@ def connected_components(
         labels = new_labels
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Returning un-converged labels would silently under-merge
+        # clusters (components whose diameter exceeds max_iter). That is
+        # a correctness failure, not a budget knob — fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (graph has components with larger diameter)"
+        )
     return labels.select("id", F.col("label").alias("component"))

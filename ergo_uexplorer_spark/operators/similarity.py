@@ -471,8 +471,11 @@ def _pq_cb_lit(m: int, codebooks=None) -> Column:
         )
         return f"array({parts})"
 
+    # Memo key is the full value tuple, not hash(key_books): a hash
+    # collision between two trained codebooks would silently reuse the
+    # wrong cached literal (wrong codes/LUTs).
     key_books = tuple(tuple(tuple(cv) for cv in b) for b in books)
-    return _memo_expr(("pqcb", m, hash(key_books)), build)
+    return _memo_expr(("pqcb", m, key_books), build)
 
 
 def _subvec(vec: Column, m: int) -> Column:

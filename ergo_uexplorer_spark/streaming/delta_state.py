@@ -82,17 +82,37 @@ class DeltaUtxoState:
 
         return DeltaTable.isDeltaTable(self.spark, self.path)
 
-    def versions(self) -> list[int]:
+    def _live_history(self) -> list[dict]:
+        """History rows that are still on the state lineage: a RESTORE
+        to version ``v`` kills every commit with ``v < version < restore
+        commit``. Without this, a redelivered batch id whose commit was
+        rolled back would be found in history and wrongly skipped
+        (exactly-once must re-apply it against the restored state)."""
         if not self._exists():
             return []
-        return [
-            r["version"]
-            for r in self._table()
+        rows = (
+            self._table()
             .history()
-            .select("version")
+            .select(
+                "version", "operation", "operationParameters", "userMetadata"
+            )
             .orderBy("version")
             .collect()
-        ]
+        )
+        live: list[dict] = []
+        for r in rows:
+            d = r.asDict()
+            if (d.get("operation") or "").upper() == "RESTORE":
+                params = d.get("operationParameters") or {}
+                target = params.get("version")
+                if target is not None:
+                    t = int(target)
+                    live = [x for x in live if x["version"] <= t]
+            live.append(d)
+        return live
+
+    def versions(self) -> list[int]:
+        return [r["version"] for r in self._live_history()]
 
     def current_version(self) -> int:
         vs = self.versions()
@@ -108,16 +128,12 @@ class DeltaUtxoState:
         return reader.load(self.path)
 
     def batch_version(self, batch_id: int) -> int | None:
-        if not self._exists():
-            return None
-        row = (
-            self._table()
-            .history()
-            .filter(F.col("userMetadata") == str(batch_id))
-            .agg(F.max("version").alias("v"))
-            .first()
-        )
-        return None if row is None or row["v"] is None else row["v"]
+        hits = [
+            r["version"]
+            for r in self._live_history()
+            if r.get("userMetadata") == str(batch_id)
+        ]
+        return max(hits) if hits else None
 
     def commit(
         self,
@@ -141,8 +157,16 @@ class DeltaUtxoState:
                 return self.current_version()
             # ONE atomic merge: source = created ∪ spent, tagged; matched
             # spent rows delete, unmatched created rows insert. Both sides
-            # of the batch land in a single table version.
-            src = created.withColumn("__op", F.lit("c")).unionByName(
+            # of the batch land in a single table version. The created
+            # side is pre-netted against same-batch spends — a box both
+            # created and spent inside the batch must NOT survive (the
+            # 's' row only deletes rows already IN the table, so without
+            # the net the unmatched 'c' row would be inserted), matching
+            # the parquet backend's read-side anti-join semantics.
+            created_net = created.join(
+                spent.select("box_id"), "box_id", "left_anti"
+            )
+            src = created_net.withColumn("__op", F.lit("c")).unionByName(
                 spent.select("box_id").withColumn("__op", F.lit("s")),
                 allowMissingColumns=True,
             )

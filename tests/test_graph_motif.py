@@ -160,3 +160,18 @@ def test_connected_components_basic(spark):
         {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
         | {100 + i: 100 for i in range(10)}
     )
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """ADVICE r4: silently returning un-converged labels under-merges
+    clusters. A long path graph with max_iter too small must raise, not
+    return partial components."""
+    import pytest as _pytest
+
+    from ergo_uexplorer_spark.operators.graph import connected_components
+
+    path_edges = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(path_edges, "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+    ok = connected_components(df, max_iter=20)
+    assert {r["component"] for r in ok.collect()} == {0}

@@ -307,7 +307,7 @@ def _type_strategy():
         lambda inner: st.one_of(
             inner.map(lambda t: ("Coll", t)),
             inner.map(lambda t: ("Option", t)),
-            st.lists(inner, min_size=2, max_size=4).map(
+            st.lists(inner, min_size=2, max_size=6).map(
                 lambda ts: ("Tuple", ts)
             ),
         ),
@@ -351,6 +351,10 @@ def _ser_type(t) -> bytes:
         return bytes([84 + ts[0][1]])  # symmetric embeddable pair
     if len(ts) == 2 and ts[0][0] == "prim":
         return bytes([60 + ts[0][1]]) + _ser_type(ts[1])  # Pair1
+    if len(ts) == 3:  # TripleTypeCode 0x48: three component types follow
+        return bytes([72]) + b"".join(_ser_type(x) for x in ts)
+    if len(ts) == 4:  # QuadrupleTypeCode 0x54: four component types
+        return bytes([84]) + b"".join(_ser_type(x) for x in ts)
     return bytes([96, len(ts)]) + b"".join(_ser_type(x) for x in ts)
 
 

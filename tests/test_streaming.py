@@ -288,3 +288,24 @@ def test_commit_exactly_once_on_batch_redelivery(spark, gen, tmp_path, backend):
     # the next batch advances normally
     v2 = apply_block_batch(state2, read_blocks(spark, p2), batch_id=1)
     assert v2 == v1 + 1
+
+@pytest.mark.parametrize("backend", ["parquet", "delta"])
+def test_intra_batch_create_and_spend_nets_out(spark, tmp_path, backend):
+    """A box created AND spent inside the same micro-batch must not
+    survive in UTXO state (a realistic case: micro-batches span many
+    blocks). Both backends must agree with the parquet read-side
+    anti-join semantics; the Delta MERGE pre-nets its created source
+    (ADVICE r4 high: the 's' row only deletes MATCHED pre-existing rows,
+    so an un-netted 'c' row would wrongly be inserted)."""
+    state = _make_state(spark, str(tmp_path / "net_state"), backend)
+    mk = lambda rows: spark.createDataFrame(rows, "box_id string, value long")
+    ids = lambda: {r["box_id"] for r in state.read().select("box_id").collect()}
+
+    state.commit(mk([("a", 1), ("b", 2)]), mk([]).select("box_id"))
+    assert ids() == {"a", "b"}
+    # batch 2: creates c and d, spends c (same batch) and a (pre-existing)
+    state.commit(
+        mk([("c", 3), ("d", 4)]),
+        mk([("c", 0), ("a", 0)]).select("box_id"),
+    )
+    assert ids() == {"b", "d"}
