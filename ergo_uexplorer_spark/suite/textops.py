@@ -165,7 +165,7 @@ def x05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # document fingerprinting: md5 over sorted distinct token set
 # --------------------------------------------------------------------------
 @register(
-    "x04_fingerprint",
+    "zz_x04_fingerprint",
     sql=f"""
     SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
@@ -175,7 +175,7 @@ def x05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
     bench=True,
 )
-def x04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_x04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", T.fingerprint(T.tokens(F.col("text"))).alias("fp")
@@ -184,11 +184,11 @@ def x04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # training-data curation (operators/curation.py): deterministic splits +
-# per-shard sequence packing. zz_ tail: pytest-oracle-checked, outside
-# the driver's 50-row window.
+# per-shard sequence packing. Rotated into the driver's 50-row recorded
+# window in round 5 so these entries get driver CORRECTNESS rows.
 # --------------------------------------------------------------------------
 @register(
-    "zz_x06_deterministic_split",
+    "x06_deterministic_split",
     sql="""
     WITH b AS (
       SELECT doc_id,
@@ -205,7 +205,7 @@ def x04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="LLM-pipeline: reproducible train/val/test split",
     tags=("curation",),
 )
-def zz_x06_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x06_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import deterministic_split
 
     (docs,) = load(spark, sf_dir, "documents")
@@ -213,7 +213,7 @@ def zz_x06_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "zz_x07_sequence_packing",
+    "x07_sequence_packing",
     sql=f"""
     WITH t AS (
       SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
@@ -232,7 +232,7 @@ def zz_x06_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="LLM-pipeline: per-shard greedy sequence packing",
     tags=("curation", "window"),
 )
-def zz_x07_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x07_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import sequence_packing
 
     (docs,) = load(spark, sf_dir, "documents")
@@ -244,7 +244,7 @@ def zz_x07_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pair: x01 counts word tokens, this counts pre-tokenizer segments).
 # --------------------------------------------------------------------------
 @register(
-    "zz_x08_bpe_token_count",
+    "x08_bpe_token_count",
     sql=f"""
     SELECT doc_id,
            CAST({T.SQL_BPE_COUNT.format(col='text')} AS BIGINT)
@@ -256,7 +256,7 @@ def zz_x07_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="LLM-pipeline: BPE-ish subword counting",
     tags=("text", "curation"),
 )
-def zz_x08_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x08_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -274,7 +274,7 @@ _URL_SQL = "https?://[^\\s]+"
 
 
 @register(
-    "zz_x09_pattern_scrub",
+    "x09_pattern_scrub",
     sql=f"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{_EMAIL_SQL}')) AS BIGINT)
@@ -289,7 +289,7 @@ _URL_SQL = "https?://[^\\s]+"
     survey_ref="LLM-pipeline: PII/pattern scrubbing",
     tags=("text", "curation"),
 )
-def zz_x09_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x09_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",

@@ -20,7 +20,7 @@ def _cents(col):
 # in the blockchain tables).
 # --------------------------------------------------------------------------
 @register(
-    "t03_running_totals",
+    "zz_t03_running_totals",
     sql="""
     SELECT o_orderkey, o_custkey,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
@@ -33,7 +33,7 @@ def _cents(col):
     tags=("window",),
     bench=True,
 )
-def t03_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_t03_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = load(spark, sf_dir, "orders")
     df = orders.withColumn("__cents", _cents(F.col("o_totalprice")))
     out = running_totals(
@@ -49,7 +49,7 @@ def t03_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # T4 coinbase flag: last element per group (FullBlockBuilder.scala:86-88)
 # --------------------------------------------------------------------------
 @register(
-    "zz_t04_last_in_group",
+    "t04_last_in_group",
     sql="""
     SELECT l_orderkey, l_linenumber
     FROM (

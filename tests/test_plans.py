@@ -20,12 +20,12 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_point_lookup_pushdown(spark):
-    df = REGISTRY["q01_point_lookup"].fn(spark, SF_DIR)
+    df = REGISTRY["zz_q01_point_lookup"].fn(spark, SF_DIR)
     assert_filter_pushed(df, "o_orderkey")
 
 
 def test_inlist_pushdown(spark):
-    df = REGISTRY["q02_inlist_lookup"].fn(spark, SF_DIR)
+    df = REGISTRY["zz_q02_inlist_lookup"].fn(spark, SF_DIR)
     assert_filter_pushed(df, "o_orderkey")
     # projection pruning: o_totalprice not in any ReadSchema
     assert_column_pruned(df, "o_totalprice")
@@ -40,17 +40,17 @@ def test_dynamic_predicates_pushed(spark):
 
 def test_dim_joins_broadcast(spark):
     assert_broadcast_join(REGISTRY["q05_three_way_join"].fn(spark, SF_DIR))
-    assert_broadcast_join(REGISTRY["b03_shipping_priority"].fn(spark, SF_DIR))
+    assert_broadcast_join(REGISTRY["zz_b03_shipping_priority"].fn(spark, SF_DIR))
 
 
 def test_ann_no_unbounded_cartesian(spark):
     # brute-force ANN is a *broadcast* nested loop (bounded query side),
     # never a shuffled cartesian
-    df = REGISTRY["zz_s01_ann_bruteforce_cosine"].fn(spark, SF_DIR)
+    df = REGISTRY["s01_ann_bruteforce_cosine"].fn(spark, SF_DIR)
     assert_no_cartesian(df)
 
 
-@pytest.mark.parametrize("name", ["s02_ann_lsh_bucketed", "s03_ann_ivf_fixed"])
+@pytest.mark.parametrize("name", ["s02_ann_lsh_bucketed", "zz_s03_ann_ivf_fixed"])
 def test_bucketed_ann_plans_are_equijoins(spark, name):
     """The bucketed ANN paths must candidate-join on the bucket/cell key
     — no cartesian and no nested-loop join; the corpus side is hash-
@@ -113,7 +113,7 @@ def test_near_dup_plans_are_bucketed(spark, name):
 
 
 def test_codegen_alive(spark):
-    df = REGISTRY["b01_pricing_summary"].fn(spark, SF_DIR)
+    df = REGISTRY["zz_b01_pricing_summary"].fn(spark, SF_DIR)
     assert whole_stage_codegen_spans(df) >= 1
 
 
