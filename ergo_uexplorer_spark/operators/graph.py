@@ -165,6 +165,51 @@ _MOTIF_TERM = re.compile(
 )
 
 
+def _plan_size_estimate(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate (driver-only, no job):
+    reflects pushed filters and projection width — the signal the motif
+    join ordering ranks terms by. None when the internal API drifts."""
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = raw if isinstance(raw, int) else int(str(raw))
+        return size if 0 <= size < (1 << 62) else None
+    except Exception:  # noqa: BLE001 — py4j/internal API drift
+        return None
+
+
+def _order_motif_terms(
+    term_names: list[set], sizes: list[int | None]
+) -> list[int]:
+    """Greedy cost-ordered chaining for positive motif terms: start at
+    the smallest estimated term, then repeatedly take the connectable
+    term that binds the most already-bound vertices (tighter equi-join),
+    smallest size then registration index as tiebreaks. A term that
+    never becomes connectable is emitted anyway so the caller can raise
+    the disconnected-pattern error at its index."""
+    inf = float("inf")
+
+    def size_of(i: int):
+        return inf if sizes[i] is None else sizes[i]
+
+    n = len(term_names)
+    order = [min(range(n), key=lambda i: (size_of(i), i))]
+    bound = set(term_names[order[0]])
+    pending = [i for i in range(n) if i != order[0]]
+    while pending:
+        conn = [i for i in pending if term_names[i] & bound]
+        if not conn:
+            nxt = pending[0]
+        else:
+            nxt = min(
+                conn,
+                key=lambda i: (-len(term_names[i] & bound), size_of(i), i),
+            )
+        order.append(nxt)
+        bound |= term_names[nxt]
+        pending.remove(nxt)
+    return order
+
+
 def motif_find(edges: DataFrame, pattern: str) -> DataFrame:
     """GraphFrames-style motif search (the general form of Q19's Gremlin
     traversals, StreamExecutor.scala:37-41): a pattern of edge terms
@@ -186,6 +231,14 @@ def motif_find(edges: DataFrame, pattern: str) -> DataFrame:
     vertices. At cluster scale every join key is a vertex id, so AQE
     skew-split handles supernodes and the edge table's partitioning is
     reused across terms.
+
+    Join order (round-5): positive terms chain greedily by estimated
+    cost instead of registration order — start from the term with the
+    smallest Catalyst size estimate, then repeatedly take the
+    connectable term binding the MOST already-bound vertices (a 2-key
+    join is tighter than a 1-key join) with the smallest estimate as
+    tiebreak; negations stay last. Registration order remains the final
+    tiebreak, so equal-cost patterns keep their old plans.
     """
     terms = [t.strip() for t in pattern.split(";") if t.strip()]
     pos: list[tuple[str, str, str]] = []
@@ -231,24 +284,23 @@ def motif_find(edges: DataFrame, pattern: str) -> DataFrame:
             cols.append(F.lit(1).alias(f"__any{i}"))
         return src.select(*cols)
 
-    out = term_df(0, *pos[0])
-    bound = {n for n in (pos[0][0], pos[0][2]) if n}
-    pending = list(enumerate(pos))[1:]
-    while pending:
-        for idx, (i, (a, e, b)) in enumerate(pending):
-            names = {n for n in (a, b) if n}
-            shared = sorted(names & bound)
-            if shared:
-                out = out.join(term_df(i, a, e, b), shared)
-                bound |= names
-                pending.pop(idx)
-                break
-        else:
-            i, _ = pending[0]
+    tdfs = [term_df(i, a, e, b) for i, (a, e, b) in enumerate(pos)]
+    sizes = [_plan_size_estimate(t) for t in tdfs]
+    term_names = [{n for n in (a, b) if n} for a, _, b in pos]
+    order = _order_motif_terms(term_names, sizes)
+
+    start = order[0]
+    out = tdfs[start]
+    bound = set(term_names[start])
+    for i in order[1:]:
+        shared = sorted(term_names[i] & bound)
+        if not shared:
             raise ValueError(
                 "disconnected motif pattern (would be a cross join): "
                 f"term {i} shares no vertex with the rest"
             )
+        out = out.join(tdfs[i], shared)
+        bound |= term_names[i]
     for a, b in neg:
         if not {a, b} <= bound:
             raise ValueError(

@@ -175,3 +175,66 @@ def test_connected_components_raises_on_non_convergence(spark):
         connected_components(df, max_iter=2)
     ok = connected_components(df, max_iter=20)
     assert {r["component"] for r in ok.collect()} == {0}
+
+def test_motif_join_order_greedy_most_selective_first():
+    """r4 verdict #4: positive motif terms chain by estimated cost —
+    smallest term starts, connectable terms binding MORE bound vertices
+    win (2-key equi-join beats 1-key), size then registration order as
+    tiebreaks."""
+    from ergo_uexplorer_spark.operators.graph import _order_motif_terms
+
+    names = [{"a", "b"}, {"b", "c"}, {"a", "c"}]
+    # start at the smallest (idx 1), then idx 2 (shares c, smaller than
+    # idx 0), then idx 0 (by then a 2-key join on {a, b})
+    assert _order_motif_terms(names, [300, 100, 200]) == [1, 2, 0]
+    # equal sizes: registration order preserved (old plans unchanged)
+    assert _order_motif_terms(names, [100, 100, 100]) == [0, 1, 2]
+    # 2-key preference: after {a,b}, term {a,b} again (2 shared) beats
+    # the smaller 1-key term {b,c}
+    names2 = [{"a", "b"}, {"b", "c"}, {"a", "b"}]
+    assert _order_motif_terms(names2, [100, 50, 400]) == [1, 0, 2]
+    # names2: start idx1 (50); conn: 0 (shares b, 1key, 100), 2 (shares b, 1key, 400) -> 0; then 2 shares {a,b} 2 keys
+    # unknown sizes sort last among ties
+    assert _order_motif_terms(names, [None, 100, 200]) == [1, 2, 0]
+
+
+def test_motif_size_estimate_distinguishes_term_width(spark, tmp_path):
+    """The ordering signal is real on file-backed graphs (the scale
+    case — in-memory LocalRelations report unknown size and fall to the
+    registration-order tiebreak): a term carrying the named-edge struct
+    has a larger Catalyst size estimate than a vertex-only term, so
+    wide terms join later."""
+    from pyspark.sql import functions as F
+
+    from ergo_uexplorer_spark.operators.graph import _plan_size_estimate
+
+    p = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(
+        [("a%d" % i, "b%d" % (i % 3), "in", i) for i in range(100)],
+        "src string, dst string, direction string, value long",
+    ).write.parquet(p)
+    edges = spark.read.parquet(p)
+    wide = edges.select(
+        "src", "dst",
+        F.struct(*[F.col(c) for c in edges.columns]).alias("e"),
+    )
+    narrow = edges.select("src", "dst")
+    sw, sn = _plan_size_estimate(wide), _plan_size_estimate(narrow)
+    assert sw is not None and sn is not None and sw > sn
+
+
+def test_motif_results_invariant_under_reordering(spark):
+    """Join reordering must not change the result multiset."""
+    from ergo_uexplorer_spark.operators.graph import motif_find
+
+    rows = [("c1", "o1"), ("c1", "o2"), ("o1", "s1"), ("o2", "s1"),
+            ("o2", "s2"), ("c1", "s2"), ("c2", "o1")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got = {
+        tuple(r)
+        for r in motif_find(
+            edges, "(c)-[]->(o); (o)-[]->(s); !(c)-[]->(s)"
+        ).select("c", "o", "s").collect()
+    }
+    assert got == {("c1", "o1", "s1"), ("c1", "o2", "s1"),
+                   ("c2", "o1", "s1")}
