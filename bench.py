@@ -38,19 +38,18 @@ def _chain_fixture(n_blocks: int = CHAIN_BLOCKS) -> str:
 def _bench_chain_ingest(spark) -> float:
     """Full ingest (normalize → main chain → Block table → UTXO → stats),
     forced end-to-end; BASELINE.md target ≈258 blocks/s single-node.
-    `cache=True` persists the silver fact tables so the three gold
-    outputs don't re-parse (the posture any real pipeline run uses);
-    the caches are released before returning."""
+    `cache='raw'` persists the decoded block rows so gzip+Jackson runs
+    once for the whole gold fan-out (r5 A/B best-of-2: raw 4.5 s vs
+    silver 6.0 s); the cache is released before returning."""
     from ergo_uexplorer_spark.pipeline import ingest_blocks
 
     path = _chain_fixture()
     t0 = time.perf_counter()
-    tables = ingest_blocks(spark, path, cache=True)
+    tables = ingest_blocks(spark, path, cache="raw")
     for t in ("blocks", "utxo", "address_stats"):
         tables[t].write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
-    for t in ("headers_main", "transactions_main", "boxes_main", "inputs_main"):
-        tables[t].unpersist(blocking=False)
+    tables["raw"].unpersist(blocking=False)
     return dt
 
 

@@ -26,20 +26,33 @@ def ingest_blocks(
     spark: SparkSession,
     path: str,
     from_height: int | None = None,
-    cache: bool = False,
+    cache: bool | str = False,
 ) -> dict[str, DataFrame]:
+    """`cache` ∈ {False, True/'silver', 'raw'} — see `ingest_raw`.
+    'raw' persists the decoded block rows, so gzip+Jackson runs ONCE for
+    the whole fan-out (measured best-of-2 on the 4200-block bench:
+    raw 4.5 s vs silver 6.0 s vs none ~6.5 s); the caller unpersists via
+    the returned `raw` entry."""
     raw = read_blocks(spark, path, from_height)
-    return ingest_raw(raw, cache=cache)
+    if cache == "raw":
+        raw = raw.persist()
+        tables = ingest_raw(raw, cache=False)
+        tables["raw"] = raw
+        return tables
+    return ingest_raw(raw, cache=bool(cache))
 
 
 def ingest_raw(raw: DataFrame, cache: bool = False) -> dict[str, DataFrame]:
-    """`cache=True` persists the shared fact tables (MEMORY_AND_DISK)
-    before the gold outputs fan out — ~15% off the 4200-block ingest on
-    this environment (the gold fan-out re-parses JSON ×3 otherwise);
-    callers own the unpersist. It defaults off because at production
-    scale the better posture is materializing silver with
-    `storage.write_lakehouse` and reading gold inputs back — durable,
-    shareable, and it survives executor loss, which a .persist does not."""
+    """`cache=True` persists the shared SILVER fact tables
+    (MEMORY_AND_DISK) before the gold outputs fan out; callers own the
+    unpersist. Each silver table still re-reads the source to fill its
+    own cache, so when the source is compressed JSON the better bench
+    posture is `ingest_blocks(cache='raw')` — one decompress+decode
+    pass, silver re-derivation is cheap column work. Both default off
+    because at production scale the right posture is materializing
+    silver with `storage.write_lakehouse` and reading gold inputs back —
+    durable, shareable, and it survives executor loss, which a .persist
+    does not."""
     tables = N.normalize(raw)
     hdrs = resolve_main_chain(tables["headers"])
     main_ids = hdrs.filter("main_chain").select("block_id")

@@ -199,11 +199,44 @@ def paginated_block_batches(
         yield fetch_blocks(spark, ids, fetch_block)
 
 
+def _prune_block_schema() -> StructType:
+    """BLOCK_SCHEMA minus everything the normalize pipeline never reads:
+    the adProofs/extension subtrees and the PoW-solution header fields
+    (nBits, adProofsRoot, transactionsRoot, extensionHash, w, n, d).
+    Spark's Jackson parser SKIPS subtrees absent from the schema instead
+    of materializing them, so the pruned schema cuts the linear JSON
+    decode cost — the dominant term of chain ingest (r4 plan audit)."""
+    keep_header = {
+        "id",
+        "parentId",
+        "version",
+        "height",
+        "difficulty",
+        "timestamp",
+        "stateRoot",
+        "minerPk",
+    }
+    header = StructType(
+        [f for f in HEADER_SCHEMA.fields if f.name in keep_header]
+    )
+    return StructType(
+        [
+            StructField("header", header),
+            StructField("transactions", ArrayType(TX_SCHEMA)),
+            StructField("size", I),
+        ]
+    )
+
+
+BLOCK_SCHEMA_PRUNED = _prune_block_schema()
+
+
 def read_blocks(
     spark: SparkSession,
     path: str | list[str],
     from_height: int | None = None,
     validate: bool = True,
+    prune: bool = True,
 ) -> DataFrame:
     """S3 file source: JSON-lines (optionally .gz) of full blocks. The
     `from_height` resume filter mirrors `dropUntil(height)` and is pushed
@@ -215,8 +248,14 @@ def read_blocks(
     fails hard on undecodable blocks; dropping + counting is the batch
     equivalent — use `spark.read.option("mode", "FAILFAST")` semantics
     via validate=False + your own check if ingest must abort instead.
+
+    `prune` (default) reads with `BLOCK_SCHEMA_PRUNED` — the JSON parser
+    skips the adProofs/extension subtrees and unused PoW header fields
+    entirely. Pass prune=False for the full ApiFullBlock surface (e.g.
+    an AD-proof audit job).
     """
-    df = spark.read.schema(BLOCK_SCHEMA).json(path)
+    schema = BLOCK_SCHEMA_PRUNED if prune else BLOCK_SCHEMA
+    df = spark.read.schema(schema).json(path)
     if validate:
         df = df.filter(
             F.col("header.id").isNotNull()
