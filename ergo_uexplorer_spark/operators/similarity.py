@@ -535,11 +535,15 @@ def pq_quantization_error(
     codebooks=None,
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    rotation: list[list[float]] | None = None,
 ) -> float:
     """Mean total squared quantization error Σ_m ||sv_m − cb_m[code_m]||²
-    over the corpus (residualized against `centroids` when given) — the
-    objective k-means training descends on."""
+    over the corpus (residualized against `centroids` and/or rotated by
+    an OPQ `rotation` when given) — the objective training descends on;
+    rotation preserves ‖·‖², so errors are comparable across rotations."""
     base = _residual_col(vec_col, centroids) if centroids else F.col(vec_col)
+    if rotation is not None:
+        base = rotate_col(base, rotation)
     per_m = []
     for m in range(PQ_M):
         scored = F.transform(
@@ -609,6 +613,106 @@ def pq_train_codebooks(
     return tuple(tuple(tuple(cv) for cv in b) for b in books)
 
 
+def _rot_lit(R: list[list[float]]) -> Column:
+    """Parse-once literal of the OPQ rotation's COLUMNS (array of d
+    arrays of d doubles) so `rotate_col` is one element-wise fold per
+    output dim: rotated[j] = dot(vec, R[:, j])."""
+    cols = tuple(
+        tuple(float(R[i][j]) for i in range(len(R)))
+        for j in range(len(R[0]))
+    )
+
+    def build() -> str:
+        parts = ", ".join(
+            "array({})".format(", ".join(f"{v!r}D" for v in c))
+            for c in cols
+        )
+        return f"array({parts})"
+
+    return _memo_expr(("opqrot", cols), build)
+
+
+def rotate_col(vec: Column, R: list[list[float]]) -> Column:
+    """x ↦ x·R as a column expression (R broadcast as a parse-once
+    literal). R is orthonormal, so L2 distances are preserved exactly —
+    ADC distances computed in rotated space rank identically to the
+    original space, only the subspace SPLIT changes (which is the whole
+    point of OPQ: rotate so variance spreads evenly across the PQ_M
+    subspaces before cutting)."""
+    return F.transform(
+        _rot_lit(R),
+        lambda colj: F.aggregate(
+            F.zip_with(vec, colj, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def opq_train(
+    emb: DataFrame,
+    iters: int = 8,
+    sample_n: int = 4096,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    kmeans_iters: int = 4,
+):
+    """OPQ-NP (Ge et al., "Optimized Product Quantization", CVPR 2013 —
+    the recipe FAISS ships as OPQMatrix): learn an orthonormal rotation
+    R minimizing PQ reconstruction error ‖XR − Y‖² by alternating
+      (1) per-subspace k-means on the rotated sample (codebook update),
+      (2) the orthogonal Procrustes solve R = U·Vᵀ from SVD(Xᵀ·Y).
+
+    Trains on a bounded seeded sample collected to the driver — the
+    standard transform-training posture (FAISS trains transforms on
+    ≤ 2^16 points); the corpus itself never leaves the executors, and
+    the returned (R, codebooks) are literal-sized broadcasts. Returns
+    (R as d×d list-of-lists for `rotate_col`, trained codebooks)."""
+    import numpy as np
+
+    rows = (
+        emb.select(vec_col).orderBy(F.rand(seed)).limit(sample_n).collect()
+    )
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    sub = d // PQ_M
+    R = np.eye(d)
+    books = np.array(
+        [[list(cv) for cv in PQ_CODEBOOKS[m]] for m in range(PQ_M)],
+        dtype=np.float64,
+    )
+
+    def quantize(Xr: "np.ndarray") -> "np.ndarray":
+        """k-means update per subspace; returns the reconstruction Y."""
+        Y = np.empty_like(Xr)
+        for m in range(PQ_M):
+            sv = Xr[:, m * sub : (m + 1) * sub]
+            cb = books[m]
+            for _ in range(kmeans_iters):
+                d2 = ((sv[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+                code = d2.argmin(1)
+                for kk in range(PQ_K):
+                    mask = code == kk
+                    if mask.any():
+                        cb[kk] = sv[mask].mean(0)
+            d2 = ((sv[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            Y[:, m * sub : (m + 1) * sub] = cb[d2.argmin(1)]
+        return Y
+
+    for _ in range(iters):
+        Y = quantize(X @ R)
+        U, _s, Vt = np.linalg.svd(X.T @ Y)
+        R = U @ Vt
+    quantize(X @ R)  # refresh codebooks for the final rotation
+    return (
+        R.tolist(),
+        tuple(
+            tuple(tuple(float(v) for v in cv) for cv in books[m])
+            for m in range(PQ_M)
+        ),
+    )
+
+
 def _adc_dist(lut: Column, codes: Column) -> Column:
     """Asymmetric distance: Σ_m lut[m·K + codes[m]] — a sequential fold
     over the M subspaces (codes/lut both 1-based via element_at)."""
@@ -629,6 +733,7 @@ def ivf_pq_index(
     vec_col: str = "embedding",
     codebooks=None,
     residual: bool = False,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """The IVF-PQ *index build* (FAISS `index.add`, Spark-shaped): one
     pass over the corpus producing (n_id, cell, codes) — the 8-byte code
@@ -636,9 +741,13 @@ def ivf_pq_index(
     an index: in production it lives in the lakehouse next to the
     vectors and is rebuilt only when the corpus changes); `ivf_pq_topk`
     takes it via `corpus=` so per-query cost never includes re-encoding
-    the corpus."""
+    the corpus. `rotation` applies a trained OPQ rotation (`opq_train`)
+    before the subspace split — same 8-byte budget, lower quantization
+    error."""
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
     enc = _residual_col(vec_col, centroids) if residual else F.col(vec_col)
+    if rotation is not None:
+        enc = rotate_col(enc, rotation)
     return assigned.select(
         F.col(id_col).alias("n_id"),
         F.col("centroid_id").alias("cell"),
@@ -658,6 +767,7 @@ def ivf_pq_topk(
     corpus: DataFrame | None = None,
     codebooks=None,
     residual: bool = False,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS IVFPQ architecture, Spark-shaped): the
     cell-scanned corpus side carries ONLY (id, cell, 8 codes) — 8 bytes
@@ -674,7 +784,7 @@ def ivf_pq_topk(
     inline, which is only sensible for one-shot jobs."""
     if corpus is None:
         corpus = ivf_pq_index(
-            emb, centroids, id_col, vec_col, codebooks, residual
+            emb, centroids, id_col, vec_col, codebooks, residual, rotation
         )
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
     scored_cells = F.transform(
@@ -698,6 +808,8 @@ def ivf_pq_topk(
         )
     else:
         q_enc = F.col("qv")
+    if rotation is not None:
+        q_enc = rotate_col(q_enc, rotation)
     probes = probed.select(
         "q_id",
         "qv",

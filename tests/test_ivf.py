@@ -158,3 +158,34 @@ def test_pq_training_descends_and_residual_recall(emb, centroids):
     p = {(r["q_id"], r["n_id"]) for r in pq_res.collect()}
     recall = len(i & p) / len(i)
     assert recall >= 0.8, f"residual-PQ recall vs IVF {recall:.2f}"
+
+
+def test_opq_rotation_improves_error_and_recall(emb, centroids):
+    """OPQ (learned rotation before the subspace split) must not lose to
+    plain trained PQ on the SAME 8-byte code budget: quantization error
+    ≤ the unrotated trained books, and end-to-end IVF-PQ recall vs brute
+    force ≥ 0.7 at k=10 (the r4 verdict's tightened gate)."""
+    from ergo_uexplorer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+        opq_train,
+        pq_quantization_error,
+        pq_train_codebooks,
+    )
+
+    trained = pq_train_codebooks(emb, iters=2)
+    e_plain = pq_quantization_error(emb, codebooks=trained)
+    R, opq_books = opq_train(emb, iters=6, sample_n=2048)
+    e_opq = pq_quantization_error(emb, codebooks=opq_books, rotation=R)
+    assert e_opq <= e_plain * 1.001, (e_opq, e_plain)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = ivf_pq_topk(
+        emb, queries, centroids, k=10, n_probes=6, refine=40,
+        codebooks=opq_books, rotation=R,
+    )
+    e = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["n_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"OPQ IVF-PQ recall {recall:.2f}"
