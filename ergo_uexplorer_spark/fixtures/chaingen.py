@@ -178,8 +178,13 @@ def contract_tree(seed: str, n_consts: int = 2) -> str:
 class ChainGen:
     """Deterministic chain builder; `variant` seeds forked branches."""
 
-    def __init__(self, seed: int = 42):
+    def __init__(self, seed: int = 42, value_base: int = 10**15):
+        # `value_base` is the emission box's starting value. The default
+        # mirrors mainnet-magnitude nanoERG amounts; long chains (≥ ~10k
+        # blocks) should pass a smaller base so CUMULATIVE volume sums
+        # stay inside int64 (Σ 10^15 overflows a long at ~9.2k blocks).
         self.rng = random.Random(seed)
+        self.value_base = value_base
         self.unspent: list[tuple[str, int]] = []  # (boxId, value) pool
         self.minted_tokens: list[str] = []
         self.hot_token = _hex("hot-token")
@@ -340,7 +345,9 @@ class ChainGen:
         outs = [
             {
                 "boxId": new_emission,
-                "value": 10**15 - reward * height,
+                # emission depletes with height; floor at one reward so
+                # long chains never mint negative-value boxes
+                "value": max(self.value_base - reward * height, reward),
                 "creationHeight": height,
                 "ergoTree": EMISSION_TREE,
                 "assets": [],

