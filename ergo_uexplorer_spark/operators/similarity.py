@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -145,12 +146,68 @@ def _nd_band_bucket(vec: Column, band: int) -> Column:
     return out
 
 
+def _nd_buckets_batch(V):
+    """All ND_BANDS bucket ids for a (n, EMB_DIM) float64 batch.
+
+    One BLAS matmul computes the 128 plane dots per row; the bucket only
+    consumes the SIGN of each dot, and the sign must agree bitwise with
+    the sequential left fold the HOF path / SQL oracle evaluate. The two
+    summation orders can disagree on sign only when the true dot lies
+    within the rounding envelope |Σ| ≲ 64·u·Σ|terms| (u = 2^-53): every
+    dot whose matmul value falls inside a 1e-10·Σ|v| guard band (4+
+    orders above that envelope, since |plane_i| = 1 makes Σ|terms| =
+    Σ|v| for every plane) is recomputed with the exact fold order
+    (np.cumsum is defined sequentially), so the decision boundary is
+    exact while ~all dots take the fast path.
+    """
+    import numpy as np
+
+    P = np.asarray(
+        [p for band in ND_PLANES for p in band], dtype=np.float64
+    )  # (ND_BANDS*8, EMB_DIM)
+    D = V @ P.T
+    guard = np.abs(V).sum(axis=1) * 1e-10
+    rows, cols = np.nonzero(np.abs(D) <= guard[:, None])
+    for r, c in zip(rows.tolist(), cols.tolist()):
+        D[r, c] = np.cumsum(V[r] * P[c])[-1]
+    pos = (D > 0).reshape(len(V), ND_BANDS, ND_PLANES_PER_BAND)
+    bits = 1 << np.arange(ND_PLANES_PER_BAND, dtype=np.int64)
+    return (pos * bits).sum(axis=2).astype(np.int32)
+
+
+def _nd_all_buckets(vec: Column, banding: str = "vectorized") -> Column:
+    """array<int> of all ND_BANDS bucket ids for one vector.
+
+    `banding="vectorized"` (default) runs the Arrow-batched numpy path —
+    one matmul per batch instead of 128 interpreted HOF folds per row
+    (~10× off the d05 banding stage at sf0.1). `banding="hof"` keeps the
+    pure column-algebra fold; a regression test pins the two paths to
+    identical bucket values on fixture + adversarial vectors.
+    """
+    if banding == "hof":
+        return F.array(*[_nd_band_bucket(vec, band) for band in range(ND_BANDS)])
+    if banding != "vectorized":
+        raise ValueError(f"banding must be 'vectorized' or 'hof', got {banding!r}")
+
+    @F.pandas_udf("array<int>")
+    def nd_buckets(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray(np.stack(vecs.to_numpy()), dtype=np.float64)
+        return pd.Series(list(_nd_buckets_batch(V)))
+
+    return nd_buckets(vec)
+
+
 def near_dup_pairs(
     emb: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     release: bool = True,
+    banding: str = "vectorized",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cos ≥ threshold) via
     banded hyperplane-LSH bucketing + exact verify — same composition as
@@ -182,14 +239,7 @@ def near_dup_pairs(
     # oracle's banding mirrors exactly as before.
     allb = e.select(
         "vid",
-        F.posexplode(
-            F.array(
-                *[
-                    _nd_band_bucket(F.col("v"), band)
-                    for band in range(ND_BANDS)
-                ]
-            )
-        ).alias("band", "bkt"),
+        F.posexplode(_nd_all_buckets(F.col("v"), banding)).alias("band", "bkt"),
     )
     ba, bb = allb.alias("a"), allb.alias("b")
     cand = (
@@ -946,6 +996,7 @@ def near_dup_pairs_multiprobe(
     vec_col: str = "embedding",
     probe_bits: int = 1,
     release: bool = True,
+    banding: str = "vectorized",
 ) -> DataFrame:
     """Multi-probe variant of `near_dup_pairs` (Lv et al.,
     "Multi-Probe LSH"): one side of the candidate self-join additionally
@@ -976,14 +1027,7 @@ def near_dup_pairs_multiprobe(
         # instead of recomputing the 8 plane dots per probed bucket
         base = e.select(
             "vid",
-            F.posexplode(
-                F.array(
-                    *[
-                        _nd_band_bucket(F.col("v"), band)
-                        for band in range(ND_BANDS)
-                    ]
-                )
-            ).alias("band", "bkt0"),
+            F.posexplode(_nd_all_buckets(F.col("v"), banding)).alias("band", "bkt0"),
         )
         if not probe:
             return base.select("vid", "band", F.col("bkt0").alias("bkt"))

@@ -160,6 +160,39 @@ def test_pq_training_descends_and_residual_recall(emb, centroids):
     assert recall >= 0.8, f"residual-PQ recall vs IVF {recall:.2f}"
 
 
+def test_vectorized_banding_matches_hof(emb, spark):
+    """The Arrow-batched banding path (matmul + guarded exact recompute)
+    must produce bucket ids IDENTICAL to the interpreted HOF fold — the
+    sign decision is what the SQL oracle mirrors, so any divergence
+    would break d05 parity. Checked on the fixture corpus plus
+    adversarial vectors: zero vector, exact-zero plane dot, and
+    denormal-scale values that force the guarded recompute."""
+    from ergo_uexplorer_spark.operators.similarity import (
+        EMB_DIM,
+        ND_PLANES,
+        _nd_all_buckets,
+    )
+
+    def buckets(df, banding):
+        rows = df.select(
+            "vec_id", _nd_all_buckets(F.col("embedding"), banding).alias("b")
+        ).collect()
+        return {r["vec_id"]: list(r["b"]) for r in rows}
+
+    assert buckets(emb, "vectorized") == buckets(emb, "hof")
+
+    p = ND_PLANES[0][0]
+    zero = [0.0] * EMB_DIM
+    # v ⟂ plane exactly: p[0]·1 + p[1]·(-p[0]·p[1]) = p[0] - p[0] = 0
+    ortho = [1.0, -float(p[0] * p[1])] + [0.0] * (EMB_DIM - 2)
+    tiny = [v * 1e-30 for v in ortho[:2]] + [1e-38] * (EMB_DIM - 2)
+    adv = spark.createDataFrame(
+        [(0, zero), (1, ortho), (2, tiny), (3, [float(v) for v in p])],
+        "vec_id long, embedding array<float>",
+    )
+    assert buckets(adv, "vectorized") == buckets(adv, "hof")
+
+
 def test_opq_rotation_improves_error_and_recall(emb, centroids):
     """OPQ (learned rotation before the subspace split) must not lose to
     plain trained PQ on the SAME 8-byte code budget: quantization error
