@@ -54,3 +54,96 @@ def clean_corpus(
         .filter(F.col("n_tokens") >= min_tokens)
         .select(id_col, "lang_pred", "n_tokens")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_cond,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Gopher n-gram overlap scan):
+    flag every training document sharing at least one word `n`-gram with
+    the held-out eval set, returning (doc_id, n_eval_grams) — the number
+    of DISTINCT eval n-grams the document contains.
+
+    `eval_cond` is a boolean Column marking eval membership. Scale shape:
+    the corpus is shingled once; the eval gram set is tiny relative to
+    the corpus (benchmarks are KBs against TBs of training data), so it
+    is deduplicated and BROADCAST — the training side never shuffles for
+    the membership probe, and the only exchange is the per-doc count
+    aggregation with map-side partials.
+    """
+    grams = docs.select(
+        F.col(id_col), eval_cond.alias("is_eval"), T.tokens(F.col(text_col)).alias("t")
+    ).select(F.col(id_col), "is_eval", F.explode(T.shingles(F.col("t"), n)).alias("g"))
+    eval_grams = grams.filter(F.col("is_eval")).select("g").distinct()
+    return (
+        grams.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("g").alias("n_eval_grams"))
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document repetition metrics (the Gopher repetition filters):
+    per document, total word `n`-grams, distinct n-grams, the count of the
+    most frequent single n-gram, and the duplicate fraction in permille
+    (integer arithmetic on both engines — no float drift). Documents with
+    fewer than `n` tokens have no n-grams and produce no row.
+
+    One shuffle on (doc_id, gram) with map-side combine, then a second
+    map-side-combinable rollup to the document — per-document work is
+    bounded by document length, independent of corpus size.
+    """
+    grams = docs.select(
+        F.col(id_col), T.tokens(F.col(text_col)).alias("t")
+    ).select(F.col(id_col), F.explode(T.shingles(F.col("t"), n)).alias("g"))
+    per_gram = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("max_gram_count"),
+        F.expr("(sum(c) - count(1)) * 1000 div sum(c)").alias("dup_permille"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k distinguishing terms per document by a tf/df score
+    (tf·idf with idf = 1/df; the log-free form keeps the ranking
+    integer-exact so both engines agree bitwise): score =
+    (tf × 1,000,000) div df, ranked (score desc, term asc).
+
+    Distributed shape: term counts shuffle once on (doc, term), document
+    frequencies are a rollup of that same relation joined back on the
+    term key, and the final top-k window partitions by document —
+    per-partition state is one document's vocabulary, never the corpus.
+    """
+    terms = docs.select(
+        F.col(id_col), F.explode(T.tokens(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_tbl, "term").withColumn(
+        "score", F.expr("tf * 1000000 div df")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "tf", "df", "score")
+    )

@@ -58,6 +58,54 @@ def sql_split_bucket(id_expr: str, salt: str = SPLIT_SALT) -> str:
     )
 
 
+SAMPLE_SALT = "sample-v1"
+
+
+def sample_bucket(id_col: Column, salt: str = SAMPLE_SALT) -> Column:
+    """Deterministic 0..999 bucket from the salted id hash (finer than
+    split_bucket so per-stratum rates can be set in 0.1% steps)."""
+    return portable_hash(F.concat(F.lit(salt), id_col.cast("string"))) % 1000
+
+
+def sql_sample_bucket(id_expr: str, salt: str = SAMPLE_SALT) -> str:
+    """DuckDB mirror of sample_bucket."""
+    return (
+        f"(('0x' || substr(md5('{salt}' || CAST({id_expr} AS VARCHAR)), 1, 15))"
+        "::BIGINT) % 1000"
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, int],
+    default_rate: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = SAMPLE_SALT,
+) -> DataFrame:
+    """Deterministic stratified downsampling: keep a document iff its
+    salted id hash lands below the per-stratum rate (in permille). This
+    is how a pretraining mixture reweights sources/languages — e.g.
+    downsample an over-represented language while keeping every rare
+    one — and, like deterministic_split, the keep decision is a pure
+    function of the id: re-running on a grown corpus never flips a
+    previously-kept document, so dataset versions stay comparable.
+
+    Pure narrow projection + filter: no shuffle, no sampling state,
+    composes with any scan. Returns the kept rows with their stratum and
+    bucket so downstream stages can audit realized rates.
+    """
+    bucket = sample_bucket(F.col(id_col), salt)
+    rate = F.lit(default_rate)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(r)).otherwise(rate)
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select(id_col, stratum_col, "bucket")
+    )
+
+
 def sequence_packing(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -267,6 +267,117 @@ def x08_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# round-5 additions (z-prefixed so they sort AFTER the driver's first-50
+# recorded window and don't displace the rotated entries; rotate them in
+# next round): benchmark decontamination, repetition metrics, stratified
+# sampling, tf/df top terms.
+# --------------------------------------------------------------------------
+_EVAL_MOD = 50  # doc_id % 50 == 0 → held-out eval membership
+
+
+@register(
+    "z03_decontaminate",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (SELECT doc_id, unnest({T.sql_shingles(4)}) AS g FROM toks),
+    ev AS (SELECT DISTINCT g FROM g WHERE doc_id % {_EVAL_MOD} = 0)
+    SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_eval_grams
+    FROM g JOIN ev USING (g)
+    WHERE g.doc_id % {_EVAL_MOD} <> 0
+    GROUP BY g.doc_id
+    """,
+    survey_ref="LLM-pipeline: benchmark n-gram decontamination",
+    tags=("text", "curation"),
+    bench=True,
+)
+def z03_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import decontaminate
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return decontaminate(docs, eval_cond=F.col("doc_id") % _EVAL_MOD == 0, n=4)
+
+
+@register(
+    "z04_repetition_stats",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (SELECT doc_id, unnest({T.sql_shingles(3)}) AS g FROM toks),
+    c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(c) AS BIGINT) AS max_gram_count,
+           CAST((sum(c) - count(*)) * 1000 // sum(c) AS BIGINT) AS dup_permille
+    FROM c GROUP BY doc_id
+    """,
+    survey_ref="LLM-pipeline: within-document repetition metrics",
+    tags=("text", "agg"),
+    bench=True,
+)
+def z04_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import repetition_stats
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return repetition_stats(docs, n=3)
+
+
+_SAMPLE_RATES = {"en": 150}
+_SAMPLE_DEFAULT = 800
+
+
+@register(
+    "z05_stratified_sample",
+    sql=f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             (('0x' || substr(md5('sample-v1' || CAST(doc_id AS VARCHAR)), 1, 15))
+              ::BIGINT) % 1000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket FROM b
+    WHERE bucket < (CASE WHEN lang = 'en' THEN {_SAMPLE_RATES['en']}
+                         ELSE {_SAMPLE_DEFAULT} END)
+    """,
+    survey_ref="LLM-pipeline: deterministic stratified sampling",
+    tags=("curation",),
+    bench=True,
+)
+def z05_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import stratified_sample
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return stratified_sample(docs, rates=_SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT)
+
+
+@register(
+    "z06_tfidf_top_terms",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    s AS (SELECT tf.doc_id, tf.term, tf.tf AS tf, dfq.df AS df,
+                 tf.tf * 1000000 // dfq.df AS score
+          FROM tf JOIN dfq USING (term)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term ASC) AS rn
+          FROM s)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(score AS BIGINT) AS score
+    FROM r WHERE rn <= 3
+    """,
+    survey_ref="LLM-pipeline: per-document tf/df top terms",
+    tags=("text", "agg", "topk"),
+    bench=True,
+)
+def z06_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import tfidf_top_terms
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+# --------------------------------------------------------------------------
 # PII / pattern scrubbing
 # --------------------------------------------------------------------------
 _EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

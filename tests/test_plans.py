@@ -112,6 +112,24 @@ def test_near_dup_plans_are_bucketed(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
 
 
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """z03: the eval-gram membership probe must broadcast the (tiny)
+    eval side — the training corpus never shuffles for it — and the
+    whole plan stays cartesian-free."""
+    df = REGISTRY["z03_decontaminate"].fn(spark, SF_DIR)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_stratified_sample_is_narrow(spark):
+    """z05 is a pure projection+filter: no exchange of any kind in the
+    plan (the keep decision is a function of the row alone)."""
+    from ergo_uexplorer_spark.plans.explain import formatted_plan
+
+    df = REGISTRY["z05_stratified_sample"].fn(spark, SF_DIR)
+    assert "Exchange" not in formatted_plan(df)
+
+
 def test_codegen_alive(spark):
     df = REGISTRY["zz_b01_pricing_summary"].fn(spark, SF_DIR)
     assert whole_stage_codegen_spans(df) >= 1
