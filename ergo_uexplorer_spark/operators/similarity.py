@@ -712,12 +712,19 @@ def opq_train(
     seed: int = 7,
     vec_col: str = "embedding",
     kmeans_iters: int = 4,
+    centroids: list[list[float]] | None = None,
 ):
     """OPQ-NP (Ge et al., "Optimized Product Quantization", CVPR 2013 —
     the recipe FAISS ships as OPQMatrix): learn an orthonormal rotation
     R minimizing PQ reconstruction error ‖XR − Y‖² by alternating
       (1) per-subspace k-means on the rotated sample (codebook update),
       (2) the orthogonal Procrustes solve R = U·Vᵀ from SVD(Xᵀ·Y).
+
+    With `centroids` the rotation/books are trained on IVF RESIDUALS
+    (v − assigned coarse centroid) — what the codes actually quantize in
+    an IVFPQ index, matching FAISS's OPQ-as-pretransform composition;
+    pass the result to `ivf_pq_index/topk` with the SAME centroids and
+    `residual=True`.
 
     Trains on a bounded seeded sample collected to the driver — the
     standard transform-training posture (FAISS trains transforms on
@@ -726,10 +733,23 @@ def opq_train(
     (R as d×d list-of-lists for `rotate_col`, trained codebooks)."""
     import numpy as np
 
-    rows = (
-        emb.select(vec_col).orderBy(F.rand(seed)).limit(sample_n).collect()
-    )
-    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    if centroids is not None:
+        src = ivf_assign(emb, centroids, vec_col=vec_col)
+        rows = (
+            src.select(vec_col, "centroid_id")
+            .orderBy(F.rand(seed))
+            .limit(sample_n)
+            .collect()
+        )
+        C = np.array(centroids, dtype=np.float64)
+        X = np.array(
+            [list(r[0]) for r in rows], dtype=np.float64
+        ) - C[np.array([r[1] for r in rows], dtype=np.int64)]
+    else:
+        rows = (
+            emb.select(vec_col).orderBy(F.rand(seed)).limit(sample_n).collect()
+        )
+        X = np.array([list(r[0]) for r in rows], dtype=np.float64)
     d = X.shape[1]
     sub = d // PQ_M
     R = np.eye(d)

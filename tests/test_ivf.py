@@ -160,6 +160,41 @@ def test_pq_training_descends_and_residual_recall(emb, centroids):
     assert recall >= 0.8, f"residual-PQ recall vs IVF {recall:.2f}"
 
 
+def test_opq_on_residuals(emb, centroids):
+    """FAISS composition OPQ ∘ IVF-residual-PQ: a rotation trained on
+    coarse residuals must not lose to the residual-trained plain PQ on
+    the residual objective, and the end-to-end index still clears the
+    brute-force recall bar at the same 8-byte budget."""
+    from ergo_uexplorer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+        opq_train,
+        pq_quantization_error,
+        pq_train_codebooks,
+    )
+
+    trained_res = pq_train_codebooks(emb, iters=2, centroids=centroids)
+    e_plain = pq_quantization_error(
+        emb, codebooks=trained_res, centroids=centroids
+    )
+    R, books = opq_train(emb, iters=6, sample_n=2048, centroids=centroids)
+    e_opq = pq_quantization_error(
+        emb, codebooks=books, centroids=centroids, rotation=R
+    )
+    assert e_opq <= e_plain * 1.001, (e_opq, e_plain)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = ivf_pq_topk(
+        emb, queries, centroids, k=10, n_probes=6, refine=40,
+        codebooks=books, residual=True, rotation=R,
+    )
+    e = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["n_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"residual-OPQ IVF-PQ recall {recall:.2f}"
+
+
 def test_vectorized_banding_matches_hof(emb, spark):
     """The Arrow-batched banding path (matmul + guarded exact recompute)
     must produce bucket ids IDENTICAL to the interpreted HOF fold — the
