@@ -22,7 +22,15 @@ CHAIN_BLOCKS = 4200  # the reference's CI chain size (BASELINE.md)
 
 
 def _chain_fixture(n_blocks: int = CHAIN_BLOCKS) -> str:
-    """Deterministic 4200-block chain, cached under .bench/."""
+    """Deterministic 4200-block chain, cached under .bench/.
+
+    Single gzip file on purpose: at this dump size the warm decode is
+    ~0.5 s of the ~4.4 s ingest, and a same-session A/B against a
+    32-shard layout (fixtures.write_jsonl_gz_sharded — the posture a
+    real multi-TB dump needs, since gzip is unsplittable) measured the
+    sharded fixture ~1 s SLOWER here (file-listing + task overhead at
+    165 KB/part). Sharded ingest correctness is pinned by
+    test_chain_e2e's sharded-equivalence test."""
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
     os.makedirs(cache, exist_ok=True)
     path = os.path.join(cache, f"chain{n_blocks}.jsonl.gz")

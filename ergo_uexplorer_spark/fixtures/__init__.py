@@ -1,1 +1,5 @@
-from .chaingen import ChainGen, write_jsonl_gz  # noqa: F401
+from .chaingen import (  # noqa: F401
+    ChainGen,
+    write_jsonl_gz,
+    write_jsonl_gz_sharded,
+)

@@ -477,3 +477,28 @@ def write_jsonl_gz(blocks: list[dict], path: str) -> str:
         for b in blocks:
             f.write(json.dumps(b, separators=(",", ":")) + "\n")
     return path
+
+
+def write_jsonl_gz_sharded(
+    blocks: list[dict], dir_path: str, shards: int = 32
+) -> str:
+    """Write the dump as `shards` gzip JSONL part files under `dir_path`.
+
+    gzip is an unsplittable codec: a single-file dump pins the scan AND
+    the Jackson decode — the dominant ingest cost — onto ONE task no
+    matter how many cores the cluster has. Real dumps at scale arrive
+    sharded anyway (one file per fetch worker / height range), so the
+    fixture mirrors that: contiguous height ranges per part file, and
+    ingestion stays order-independent (chain resolution sorts by
+    height/parent, never by file order)."""
+    import os
+
+    os.makedirs(dir_path, exist_ok=True)
+    n = max(1, min(shards, len(blocks)))
+    per = (len(blocks) + n - 1) // n
+    for s in range(n):
+        chunk = blocks[s * per : (s + 1) * per]
+        if not chunk:
+            break
+        write_jsonl_gz(chunk, os.path.join(dir_path, f"part-{s:05d}.jsonl.gz"))
+    return dir_path

@@ -54,6 +54,26 @@ def test_chain_complete(tables):
     assert_chained(hm)
 
 
+def test_sharded_dump_ingests_identically(spark, chain_dir, tmp_path):
+    """A sharded gzip dump (the multi-TB posture — gzip is unsplittable,
+    so real dumps arrive as many part files) must ingest to the exact
+    same gold tables as the single-file dump: chain resolution orders by
+    height/parent, never by file order."""
+    from ergo_uexplorer_spark.fixtures.chaingen import write_jsonl_gz_sharded
+
+    gen = ChainGen(seed=42)
+    gen.generate(N_BLOCKS)
+    sharded = write_jsonl_gz_sharded(
+        gen.blocks, str(tmp_path / "sharded"), shards=8
+    )
+    single = ingest_blocks(spark, str(chain_dir / "blocks_main.jsonl.gz"))
+    multi = ingest_blocks(spark, sharded)
+    for t in ("headers_main", "utxo"):
+        a = sorted(repr(r) for r in single[t].collect())
+        b = sorted(repr(r) for r in multi[t].collect())
+        assert a == b, f"{t} diverged between single-file and sharded dumps"
+
+
 def test_spend_integrity(tables):
     verify_spend_integrity(tables["boxes_main"], tables["inputs_main"])
 
