@@ -269,6 +269,34 @@ def b02_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "z07_cube_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    survey_ref="SURVEY §2.6: grouping sets via built-ins (CUBE; b02 = ROLLUP)",
+    tags=("agg", "rollup"),
+    bench=True,
+)
+def z07_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE completes the grouping-sets family next to b02's ROLLUP: all
+    2^k dimension subsets in ONE pass (Catalyst expands to a grouping-set
+    exchange, not 2^k scans). `gid` (grouping_id — identical bitmask
+    semantics in Spark and DuckDB) disambiguates aggregate rows from data
+    rows whose dimension value is genuinely NULL."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # --------------------------------------------------------------------------
 # distinct sketches (the reference lists datasketches as TODO — Spark has
 # them built-in). Exact version oracle-checked; approximate versions are
