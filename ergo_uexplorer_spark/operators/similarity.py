@@ -146,10 +146,11 @@ def _nd_band_bucket(vec: Column, band: int) -> Column:
     return out
 
 
-def _nd_buckets_batch(V):
-    """All ND_BANDS bucket ids for a (n, EMB_DIM) float64 batch.
+def _sign_bucket_batch(V, P, n_bands: int, per_band: int):
+    """Sign-bit bucket ids for a (n, EMB_DIM) float64 batch against a
+    (n_bands·per_band, EMB_DIM) ±1 plane matrix → (n, n_bands) int32.
 
-    One BLAS matmul computes the 128 plane dots per row; the bucket only
+    One BLAS matmul computes every plane dot per row; a bucket only
     consumes the SIGN of each dot, and the sign must agree bitwise with
     the sequential left fold the HOF path / SQL oracle evaluate. The two
     summation orders can disagree on sign only when the true dot lies
@@ -162,17 +163,22 @@ def _nd_buckets_batch(V):
     """
     import numpy as np
 
-    P = np.asarray(
-        [p for band in ND_PLANES for p in band], dtype=np.float64
-    )  # (ND_BANDS*8, EMB_DIM)
     D = V @ P.T
     guard = np.abs(V).sum(axis=1) * 1e-10
     rows, cols = np.nonzero(np.abs(D) <= guard[:, None])
     for r, c in zip(rows.tolist(), cols.tolist()):
         D[r, c] = np.cumsum(V[r] * P[c])[-1]
-    pos = (D > 0).reshape(len(V), ND_BANDS, ND_PLANES_PER_BAND)
-    bits = 1 << np.arange(ND_PLANES_PER_BAND, dtype=np.int64)
+    pos = (D > 0).reshape(len(V), n_bands, per_band)
+    bits = 1 << np.arange(per_band, dtype=np.int64)
     return (pos * bits).sum(axis=2).astype(np.int32)
+
+
+def _nd_buckets_batch(V):
+    """All ND_BANDS near-dup band buckets for a float64 batch."""
+    import numpy as np
+
+    P = np.asarray([p for band in ND_PLANES for p in band], dtype=np.float64)
+    return _sign_bucket_batch(V, P, ND_BANDS, ND_PLANES_PER_BAND)
 
 
 def _nd_all_buckets(vec: Column, banding: str = "vectorized") -> Column:
@@ -316,6 +322,27 @@ def _bucket(vec: Column) -> Column:
         lit_plane = F.array(*[F.lit(float(v)) for v in plane])
         out = out + F.when(dot(vec, lit_plane) > 0, F.lit(1 << p)).otherwise(0)
     return out
+
+
+def _bucket_vectorized(vec: Column) -> Column:
+    """Arrow-batched `_bucket` (corpus-scan side of `lsh_topk`): one
+    matmul per batch against the 9 LSH planes, sign decisions
+    bitwise-equal to the HOF fold via `_sign_bucket_batch`'s guarded
+    recompute — a parity test pins the two paths to identical ids."""
+
+    @F.pandas_udf("int")
+    def lsh_bucket(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.asarray(np.stack(vecs.to_numpy()), dtype=np.float64)
+        P = np.asarray(PLANES, dtype=np.float64)
+        return pd.Series(
+            _sign_bucket_batch(V, P, 1, LSH_PLANES)[:, 0]
+        )
+
+    return lsh_bucket(vec)
 
 
 def ivf_build_centroids(
@@ -993,7 +1020,10 @@ def lsh_topk(
     c = emb.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("nv"),
-        _bucket(F.col(vec_col)).alias("bucket"),
+        # corpus side is the big scan → Arrow-batched bucket; the query
+        # side keeps the HOF margins (it needs the VALUES for probe
+        # ordering, and it is |queries|-sized)
+        _bucket_vectorized(F.col(vec_col)).alias("bucket"),
     )
     scored = (
         F.broadcast(q)

@@ -227,6 +227,23 @@ def test_vectorized_banding_matches_hof(emb, spark):
     )
     assert buckets(adv, "vectorized") == buckets(adv, "hof")
 
+    # the s02 corpus-side bucket shares the guarded-sign machinery
+    from ergo_uexplorer_spark.operators.similarity import (
+        _bucket,
+        _bucket_vectorized,
+    )
+
+    for df in (emb, adv):
+        got = {
+            r["vec_id"]: (r["a"], r["b"])
+            for r in df.select(
+                "vec_id",
+                _bucket(F.col("embedding")).alias("a"),
+                _bucket_vectorized(F.col("embedding")).alias("b"),
+            ).collect()
+        }
+        assert all(a == b for a, b in got.values()), got
+
 
 def test_opq_rotation_improves_error_and_recall(emb, centroids):
     """OPQ (learned rotation before the subspace split) must not lose to
