@@ -332,6 +332,69 @@ def two_hop_neighbors(edges: DataFrame, address_hash: str) -> DataFrame:
     )
 
 
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 6,
+    base: int = 150_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    init: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank in INTEGER arithmetic → (id, rank).
+
+    Rank is carried in integer micro-units; each iteration a node emits
+    `damp · rank div outdeg` (integer division) along every out-edge and
+    every node restarts from `base`: rank' = base + Σ incoming. Because
+    every operation is exact int64, the result is bit-identical across
+    engines and independent of summation order — which is what makes an
+    ITERATIVE algorithm oracle-checkable (float PageRank would hash-drift
+    on reduction order). Dangling mass is dropped, the classic
+    simplification; ranks ORDER identically to the float variant at the
+    same iteration count up to the div truncation (< 1 unit per edge).
+
+    Distributed shape: the driver loop is O(iters); each round is one
+    edges⋈ranks hash join + a groupBy-sum with map-side partials, both
+    keyed on node ids. The rank table (one row per node) is eagerly
+    checkpointed per round so plan depth stays O(1); edges/nodes/degrees
+    are computed once and persisted across rounds. At cluster scale
+    pre-partition edges by src so every round reuses the shuffle layout.
+    """
+    e = edges.select("src", "dst").distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.id)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr(f"{damp_num} * rank div {damp_den} div outdeg").alias(
+                    "c"
+                ),
+            )
+        )
+        ranks = (
+            nodes.join(
+                contrib.groupBy("id").agg(F.sum("c").alias("s")), "id", "left"
+            )
+            .select(
+                "id",
+                (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist(blocking=False)
+    return ranks
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -269,6 +269,76 @@ def b02_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# z08: fixed-iteration INTEGER PageRank — the iterative-algorithm shape
+# (driver loop of joins + checkpointed rank table) made oracle-checkable:
+# integer division + int64 sums are exact in both engines, so even a
+# 6-round iterative computation hash-matches (float PageRank would drift
+# on reduction order). Graph: customer→supplier for every sourced order,
+# supplier→customer where goods were returned (cycles, so iterations do
+# real work).
+# --------------------------------------------------------------------------
+_Z08_ITERS = 6
+_Z08_EDGES_SQL = """
+    e AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey < 300
+      UNION
+      SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey < 300 AND l_returnflag = 'R'
+    )"""
+
+
+def _z08_sql(iters: int = _Z08_ITERS) -> str:
+    ctes = [
+        _Z08_EDGES_SQL,
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+      SELECT n.id,
+             CAST(150000 + COALESCE(SUM(85 * p.rank // 100 // d.outdeg), 0)
+                  AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.id
+      LEFT JOIN r{k - 1} p ON p.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.id
+    )"""
+        )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT id, rank FROM r{iters}"
+
+
+@register(
+    "z08_pagerank",
+    sql=_z08_sql(),
+    survey_ref="Q19 family: iterative graph algorithm (integer PageRank)",
+    tags=("graph", "iterative"),
+    bench=True,
+)
+def z08_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_int
+
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    ol = orders.filter(F.col("o_custkey") < 300).join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    )
+    fwd = ol.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    back = ol.filter(F.col("l_returnflag") == "R").select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    return pagerank_int(fwd.unionByName(back), iters=_Z08_ITERS)
+
+
 @register(
     "z07_cube_summary",
     sql="""

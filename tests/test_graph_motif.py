@@ -143,6 +143,30 @@ def test_near_dup_operators_release_caches(spark):
     assert cm.isEmpty(), "near-dup operators leaked persisted intermediates"
 
 
+def test_pagerank_int_invariants(spark):
+    """Integer PageRank: a symmetric 2-cycle sits at its fixed point
+    (150000 + 85% of 1e6 = 1e6 exactly, every round); a source node with
+    no in-edges settles at `base`; a sink accumulates strictly more than
+    its feeder. Determinism: two runs produce identical ranks."""
+    from ergo_uexplorer_spark.operators.graph import pagerank_int
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    r = {x["id"]: x["rank"] for x in pagerank_int(cyc, iters=4).collect()}
+    assert r == {"a": 1_000_000, "b": 1_000_000}
+
+    chain = spark.createDataFrame(
+        [("src1", "mid"), ("mid", "sink")], "src string, dst string"
+    )
+    r = {x["id"]: x["rank"] for x in pagerank_int(chain, iters=6).collect()}
+    assert r["src1"] == 150_000  # no in-edges → restart mass only
+    assert r["sink"] > r["mid"] > r["src1"]
+
+    r2 = {x["id"]: x["rank"] for x in pagerank_int(chain, iters=6).collect()}
+    assert r == r2
+
+
 def test_connected_components_basic(spark):
     """Path, triangle, and a long chain converge to min-id components
     (hash-min propagation, O(diameter) rounds)."""
