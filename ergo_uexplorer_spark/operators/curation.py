@@ -106,6 +106,51 @@ def stratified_sample(
     )
 
 
+def mixture_weights(
+    avail: DataFrame,
+    targets: dict[str, int],
+    source_col: str = "source",
+    avail_col: str = "avail",
+) -> DataFrame:
+    """Pretraining mixture planning: given per-source available token
+    counts and target mixture shares (permille), compute the largest
+    total budget the corpus can serve WITHOUT upsampling any source, and
+    each source's need + sampling rate for it:
+
+        n_max  = min_s ⌊avail_s · 1000 / t_s⌋   (binding-source budget)
+        need_s = ⌊t_s · n_max / 1000⌋
+        rate_s = ⌊need_s · 1000 / avail_s⌋      (feed stratified_sample)
+
+    All integer arithmetic (order-independent, engine-exact). Sources
+    absent from `targets` are excluded (t_s = 0 ⇒ not sampled).
+
+    Distributed shape: one groupBy upstream produces `avail` (one row
+    per source — bounded by the source vocabulary), the target table and
+    the 1-row min aggregate are broadcasts; nothing here touches
+    documents again.
+    """
+    spark = avail.sparkSession
+    tgt = spark.createDataFrame(
+        [(s, int(t)) for s, t in sorted(targets.items())],
+        f"{source_col} string, target_permille long",
+    )
+    j = avail.select(
+        F.col(source_col), F.col(avail_col).cast("long").alias("avail")
+    ).join(F.broadcast(tgt), source_col)
+    nmax = j.agg(
+        F.min(F.expr("avail * 1000 div target_permille")).alias("n_max")
+    )
+    return (
+        j.crossJoin(F.broadcast(nmax))
+        .withColumn("need_tokens", F.expr("target_permille * n_max div 1000"))
+        .withColumn("rate_permille", F.expr("need_tokens * 1000 div avail"))
+        .select(
+            source_col, "avail", "target_permille", "need_tokens",
+            "rate_permille",
+        )
+    )
+
+
 def sequence_packing(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -377,6 +377,47 @@ def z06_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=3)
 
 
+# mixture planning: 5 head sources get 10% target share each, the tail
+# sources 3% each — per-source sampling rates for the largest total the
+# corpus serves without upsampling (DoReMi-static / Pile-style mixing)
+_MIX_TARGETS = {f"src{i}": (100 if i < 5 else 30) for i in range(20)}
+_MIX_TGT_SQL = ", ".join(
+    f"('{s}', {t})" for s, t in sorted(_MIX_TARGETS.items())
+)
+
+
+@register(
+    "z09_mixture_weights",
+    sql=f"""
+    WITH tok AS (SELECT source, CAST(len({_TOKS}) AS BIGINT) AS nt
+                 FROM documents),
+    av AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS avail
+           FROM tok GROUP BY source),
+    tgt(source, target_permille) AS (VALUES {_MIX_TGT_SQL}),
+    j AS (SELECT av.source, avail, target_permille FROM av JOIN tgt USING (source)),
+    nmax AS (SELECT MIN(avail * 1000 // target_permille) AS n_max FROM j)
+    SELECT source, avail, CAST(target_permille AS BIGINT) AS target_permille,
+           CAST(target_permille * n_max // 1000 AS BIGINT) AS need_tokens,
+           CAST((target_permille * n_max // 1000) * 1000 // avail AS BIGINT)
+             AS rate_permille
+    FROM j CROSS JOIN nmax
+    """,
+    survey_ref="LLM-pipeline: mixture planning (per-source sampling rates)",
+    tags=("curation", "agg"),
+    bench=True,
+)
+def z09_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import mixture_weights
+
+    (docs,) = load(spark, sf_dir, "documents")
+    avail = (
+        docs.select("source", F.size(T.tokens(F.col("text"))).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("avail"))
+    )
+    return mixture_weights(avail, _MIX_TARGETS)
+
+
 # --------------------------------------------------------------------------
 # PII / pattern scrubbing
 # --------------------------------------------------------------------------

@@ -160,6 +160,54 @@ def test_minhash_lsh_recall_on_planted_near_dups(spark):
     assert found <= exact
 
 
+def test_mixture_weights_invariants(spark):
+    """Mixture planning never upsamples (rate ≤ 1000, need ≤ avail), the
+    binding source is sampled at ~full rate, and need_s/target_s stays
+    proportional across sources (within the div-truncation unit)."""
+    from ergo_uexplorer_spark.operators.curation import mixture_weights
+
+    avail = spark.createDataFrame(
+        [("a", 1000), ("b", 10_000), ("c", 100_000)],
+        "source string, avail long",
+    )
+    rows = {
+        r["source"]: r
+        for r in mixture_weights(
+            avail, {"a": 100, "b": 300, "c": 600}
+        ).collect()
+    }
+    assert set(rows) == {"a", "b", "c"}
+    for r in rows.values():
+        assert 0 <= r["rate_permille"] <= 1000
+        assert r["need_tokens"] <= r["avail"]
+    # n_max = min(1000*1000/100, 10000*1000/300, 100000*1000/600) = 10000
+    assert rows["a"]["need_tokens"] == 1000  # binding source, fully used
+    assert rows["a"]["rate_permille"] == 1000
+    assert rows["b"]["need_tokens"] == 3000
+    assert rows["c"]["need_tokens"] == 6000
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    """Keep decision is a pure id function: re-running and re-ordering
+    give the identical kept set; realized per-stratum rates stay near
+    the configured permille."""
+    from ergo_uexplorer_spark.operators.curation import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(3000)],
+        "doc_id long, lang string",
+    )
+    kept1 = {r["doc_id"] for r in
+             stratified_sample(docs, {"en": 200}, 900).collect()}
+    kept2 = {r["doc_id"] for r in
+             stratified_sample(docs.orderBy(F.desc("doc_id")),
+                               {"en": 200}, 900).collect()}
+    assert kept1 == kept2
+    en_total = 2000
+    en_kept = sum(1 for d in kept1 if d % 3)
+    assert abs(en_kept / en_total - 0.2) < 0.05
+
+
 def test_clean_corpus_invariants(spark):
     """Composition invariants: kept ⊆ canonical reps, no near-dup pair
     survives intact, all kept docs meet the token floor, and a corpus
