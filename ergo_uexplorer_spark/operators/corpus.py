@@ -115,6 +115,69 @@ def repetition_stats(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 40,
+    stride: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG/pretraining chunker):
+    split each document into `chunk_tokens`-token windows starting every
+    `stride` tokens (overlap = chunk_tokens − stride), returning
+    (doc_id, chunk_id, n_chunk_tokens, chunk_md5). The md5 stands in for
+    the chunk text so downstream joins/dedup carry 16 bytes, not text.
+
+    Pure projection + explode: per-row work is bounded by document
+    length, no shuffle, composes with any scan. Empty documents produce
+    no chunks.
+    """
+    t = F.col("t")
+    starts = F.when(
+        F.size(t) > 0,
+        F.sequence(F.lit(0), F.size(t) - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunk = F.slice(t, F.col("start") + 1, chunk_tokens)
+    return (
+        docs.select(F.col(id_col), T.tokens(F.col(text_col)).alias("t"))
+        .select(F.col(id_col), "t", F.explode(starts).alias("start"))
+        .select(
+            F.col(id_col),
+            (F.col("start") / stride).cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        )
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document boilerplate detection (the C4 "line appears in
+    many documents" filter, n-gram form): word `n`-grams occurring in at
+    least `min_docs` DISTINCT documents → (gram, n_docs). Feed the
+    result back as an anti-join/`regexp_replace` scrub list.
+
+    One (doc, gram)-distinct projection then a gram-keyed count with
+    map-side partials; hot grams are exactly what it finds, and the
+    output is vocabulary-bounded, never corpus-bounded.
+    """
+    grams = (
+        docs.select(F.col(id_col), T.tokens(F.col(text_col)).alias("t"))
+        .select(F.col(id_col), F.explode(T.shingles(F.col("t"), n)).alias("g"))
+        .distinct()
+    )
+    return (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

@@ -377,6 +377,47 @@ def z06_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=3)
 
 
+@register(
+    "z10_chunking",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    s AS (SELECT doc_id, t, unnest(range(0, len(t), 30)) AS start FROM toks)
+    SELECT doc_id,
+           CAST(start // 30 AS BIGINT) AS chunk_id,
+           CAST(len(t[start + 1 : start + 40]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(t[start + 1 : start + 40], ' ')) AS chunk_md5
+    FROM s
+    """,
+    survey_ref="LLM-pipeline: sliding-window document chunking",
+    tags=("text", "curation"),
+    bench=True,
+)
+def z10_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import chunk_documents
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=40, stride=30)
+
+
+@register(
+    "z11_boilerplate_ngrams",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (SELECT DISTINCT doc_id, unnest({T.sql_shingles(3)}) AS g FROM toks)
+    SELECT g, count(*) AS n_docs
+    FROM g GROUP BY g HAVING count(*) >= 5
+    """,
+    survey_ref="LLM-pipeline: cross-document boilerplate n-grams (C4 line filter)",
+    tags=("text", "dedup"),
+    bench=True,
+)
+def z11_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import boilerplate_ngrams
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return boilerplate_ngrams(docs, n=3, min_docs=5)
+
+
 # mixture planning: 5 head sources get 10% target share each, the tail
 # sources 3% each — per-source sampling rates for the largest total the
 # corpus serves without upsampling (DoReMi-static / Pile-style mixing)
