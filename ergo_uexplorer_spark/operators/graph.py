@@ -339,6 +339,7 @@ def pagerank_int(
     damp_num: int = 85,
     damp_den: int = 100,
     init: int = 1_000_000,
+    broadcast_tables: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank in INTEGER arithmetic → (id, rank).
 
@@ -356,8 +357,14 @@ def pagerank_int(
     edges⋈ranks hash join + a groupBy-sum with map-side partials, both
     keyed on node ids. The rank table (one row per node) is eagerly
     checkpointed per round so plan depth stays O(1); edges/nodes/degrees
-    are computed once and persisted across rounds. At cluster scale
-    pre-partition edges by src so every round reuses the shuffle layout.
+    are computed once and persisted across rounds. With
+    `broadcast_tables` (default) the rank and degree tables — node-
+    dimension-sized, orders of magnitude smaller than edges — are
+    broadcast into the per-round join, so the EDGE table never
+    re-exchanges across rounds (the only shuffle per round is the
+    contribution groupBy); pass False when the node dimension itself
+    exceeds the broadcast budget, and pre-partition edges by src so
+    every round reuses one shuffle layout.
     """
     e = edges.select("src", "dst").distinct().persist()
     nodes = (
@@ -366,12 +373,18 @@ def pagerank_int(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).localCheckpoint(eager=True)
+
+    def maybe_b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_tables else df
+
     ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
-            e.join(ranks, e.src == ranks.id)
-            .join(deg, "src")
+            e.join(maybe_b(ranks), e.src == ranks.id)
+            .join(maybe_b(deg), "src")
             .select(
                 F.col("dst").alias("id"),
                 F.expr(f"{damp_num} * rank div {damp_den} div outdeg").alias(
@@ -379,18 +392,20 @@ def pagerank_int(
                 ),
             )
         )
-        ranks = (
-            nodes.join(
-                contrib.groupBy("id").agg(F.sum("c").alias("s")), "id", "left"
-            )
-            .select(
-                "id",
-                (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
-                .cast("long")
-                .alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(
+            contrib.groupBy("id").agg(F.sum("c").alias("s")), "id", "left"
+        ).select(
+            "id",
+            (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
         )
+        # truncate lineage every 3rd round (and always before
+        # returning): each eager checkpoint is a scheduled job, so
+        # per-round checkpointing triples the driver-loop latency at
+        # small scale while a 3-round plan is still O(1)-deep
+        if it % 3 == 2 or it == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     e.unpersist(blocking=False)
     return ranks
 
