@@ -89,6 +89,35 @@ def main() -> None:
     for r in nn.collect():
         print(f"[ann] q={r['q_id']} → {r['n_id']}  cos={r['cos_sim']:.3f}")
 
+    # 7. curation pipeline: decontaminate → plan the mixture → sample →
+    # chunk (the stages a pretraining data job chains; every stage is a
+    # pure column/join composition, reproducible under re-partitioning)
+    from ergo_uexplorer_spark.operators import textops as T
+    from ergo_uexplorer_spark.operators.corpus import (
+        chunk_documents,
+        decontaminate,
+    )
+    from ergo_uexplorer_spark.operators.curation import (
+        mixture_weights,
+        stratified_sample,
+    )
+
+    contaminated = decontaminate(docs, F.col("doc_id") % 50 == 0, n=4)
+    print(f"[decon] docs sharing a 4-gram with the eval split: "
+          f"{contaminated.count()}")
+    avail = (
+        docs.select("source", F.size(T.tokens(F.col("text"))).alias("nt"))
+        .groupBy("source").agg(F.sum("nt").alias("avail"))
+    )
+    plan = mixture_weights(avail, {f"src{i}": 50 for i in range(20)})
+    rates = {r["source"]: int(r["rate_permille"]) for r in plan.collect()}
+    kept = stratified_sample(docs, rates, 0, stratum_col="source")
+    print(f"[mix] sampled {kept.count()}/{docs.count()} docs toward a "
+          f"uniform 20-source mixture")
+    chunks = chunk_documents(docs, chunk_tokens=40, stride=30)
+    print(f"[chunk] {chunks.count()} training windows from "
+          f"{docs.count()} docs")
+
     spark.stop()
     print(f"[done] artifacts in {work}")
 

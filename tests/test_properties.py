@@ -160,6 +160,28 @@ def test_minhash_lsh_recall_on_planted_near_dups(spark):
     assert found <= exact
 
 
+def test_decontaminate_invariants(spark):
+    """Planted contamination is found with the right gram count; clean
+    docs and eval docs never appear in the output."""
+    from ergo_uexplorer_spark.operators.corpus import decontaminate
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (0, eval_text),  # eval member
+            (1, "x1 x2 alpha beta gamma delta x3 x4"),  # one 4-gram hit
+            (2, "clean words only nothing shared here at all"),
+            (3, eval_text + " tail1 tail2"),  # contains all 5 eval grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_eval_grams"]
+        for r in decontaminate(docs, F.col("doc_id") == 0, n=4).collect()
+    }
+    assert out == {1: 1, 3: 5}
+
+
 def test_mixture_weights_invariants(spark):
     """Mixture planning never upsamples (rate ≤ 1000, need ≤ avail), the
     binding source is sampled at ~full rate, and need_s/target_s stays
