@@ -340,6 +340,7 @@ def pagerank_int(
     damp_den: int = 100,
     init: int = 1_000_000,
     broadcast_tables: bool = True,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Fixed-iteration PageRank in INTEGER arithmetic → (id, rank).
 
@@ -400,11 +401,15 @@ def pagerank_int(
             .cast("long")
             .alias("rank"),
         )
-        # truncate lineage every 3rd round (and always before
-        # returning): each eager checkpoint is a scheduled job, so
-        # per-round checkpointing triples the driver-loop latency at
-        # small scale while a 3-round plan is still O(1)-deep
-        if it % 3 == 2 or it == iters - 1:
+        # truncate lineage every `checkpoint_every` rounds (and always
+        # before returning): each eager checkpoint is a scheduled job,
+        # so per-round checkpointing triples the driver-loop latency at
+        # small scale while a 3-round plan is still O(1)-deep.
+        # checkpoint_every=0 disables truncation (plan-inspection /
+        # tiny-graph use only — plan depth then grows with iters).
+        if checkpoint_every and (
+            it % checkpoint_every == checkpoint_every - 1 or it == iters - 1
+        ):
             ranks = ranks.localCheckpoint(eager=True)
     e.unpersist(blocking=False)
     return ranks

@@ -130,6 +130,38 @@ def test_stratified_sample_is_narrow(spark):
     assert "Exchange" not in formatted_plan(df)
 
 
+def test_new_entry_plans_are_joined_sanely(spark):
+    """z06/z10: tf/df scoring is equi-joined (no cartesian of any
+    kind); chunking stays exchange-free. z08's registered entry returns
+    a checkpointed RDD (the rounds already ran), so its per-round join
+    shape is asserted on a live un-truncated plan below."""
+    from ergo_uexplorer_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(REGISTRY["z06_tfidf_top_terms"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange" not in formatted_plan(
+        REGISTRY["z10_chunking"].fn(spark, SF_DIR)
+    )
+
+
+def test_pagerank_round_broadcasts_rank_table(spark):
+    """The per-round edges⋈ranks join must broadcast the node-dim rank
+    table (the edge table never re-exchanges across rounds); inspected
+    on an un-checkpointed single round."""
+    from ergo_uexplorer_spark.operators.graph import pagerank_int
+    from ergo_uexplorer_spark.plans.explain import formatted_plan
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    df = pagerank_int(edges, iters=1, checkpoint_every=0)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_codegen_alive(spark):
     df = REGISTRY["zz_b01_pricing_summary"].fn(spark, SF_DIR)
     assert whole_stage_codegen_spans(df) >= 1

@@ -44,6 +44,9 @@ QUERIES = (
     "d03_dedup_minhash_lsh",
     "d05_dedup_embedding_cosine",
     "z01_motif_find",
+    # iterative-algorithm slope: shared customers + per-copy suppliers
+    # grow z08's graph edges ~linearly with the data
+    "z08_pagerank",
 )
 
 
