@@ -210,7 +210,7 @@ def _order_motif_terms(
     return order
 
 
-def motif_find(edges: DataFrame, pattern: str) -> DataFrame:
+def motif_find(edges: DataFrame, pattern: str, reduce: bool = False) -> DataFrame:
     """GraphFrames-style motif search (the general form of Q19's Gremlin
     traversals, StreamExecutor.scala:37-41): a pattern of edge terms
     `(a)-[e]->(b)` separated by `;`, with anonymous vertices `()` /
@@ -288,6 +288,27 @@ def motif_find(edges: DataFrame, pattern: str) -> DataFrame:
     sizes = [_plan_size_estimate(t) for t in tdfs]
     term_names = [{n for n in (a, b) if n} for a, _, b in pos]
     order = _order_motif_terms(term_names, sizes)
+
+    if reduce and len(tdfs) > 1:
+        # Yannakakis semi-join reduction: before the join chain, drop
+        # every term row whose shared-vertex values have no partner in
+        # an overlapping term — semi-joins only remove dangling rows, so
+        # the result set is IDENTICAL (invariance-tested) while the
+        # chain's intermediates shrink. One forward + one backward pass
+        # over the cost order fully reduces acyclic patterns (the
+        # classic guarantee) and soundly partially reduces cyclic ones —
+        # worth it when terms are selective (a filtered edge relation),
+        # off by default since each pass adds |terms|² semi-joins.
+        for seq in (order, list(reversed(order))):
+            for j in seq:
+                for i in seq:
+                    if i == j:
+                        continue
+                    shared = sorted(term_names[i] & term_names[j])
+                    if shared:
+                        tdfs[j] = tdfs[j].join(
+                            tdfs[i].select(*shared), shared, "left_semi"
+                        )
 
     start = order[0]
     out = tdfs[start]

@@ -143,6 +143,36 @@ def test_near_dup_operators_release_caches(spark):
     assert cm.isEmpty(), "near-dup operators leaked persisted intermediates"
 
 
+def test_motif_semijoin_reduction_invariance(spark):
+    """`reduce=True` (Yannakakis semi-join reduction) must return the
+    IDENTICAL binding set on chains, cyclic patterns (triangles), and
+    patterns with negation — semi-joins only drop dangling rows."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "a"),       # triangle
+            ("b", "d"), ("d", "e"),                   # dangling tail
+            ("x", "y"),                               # disconnected pair
+        ],
+        "src string, dst string",
+    )
+    patterns = [
+        "(u)-[]->(v); (v)-[]->(w)",
+        "(u)-[]->(v); (v)-[]->(w); (w)-[]->(u)",      # cyclic
+        "(u)-[]->(v); (v)-[]->(w); !(w)-[]->(u)",     # negation
+    ]
+    for p in patterns:
+        base = {tuple(sorted(r.asDict().items()))
+                for r in motif_find(edges, p).collect()}
+        red = {tuple(sorted(r.asDict().items()))
+               for r in motif_find(edges, p, reduce=True).collect()}
+        assert base == red, p
+    # the triangle pattern finds exactly the 3 rotations
+    tri = motif_find(
+        edges, "(u)-[]->(v); (v)-[]->(w); (w)-[]->(u)", reduce=True
+    ).collect()
+    assert len(tri) == 3
+
+
 def test_pagerank_int_invariants(spark):
     """Integer PageRank: a symmetric 2-cycle sits at its fixed point
     (150000 + 85% of 1e6 = 1e6 exactly, every round); a source node with
