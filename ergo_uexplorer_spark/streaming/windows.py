@@ -73,6 +73,54 @@ def session_windows(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    bound_seconds: int = 3600,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (the click⋈impression
+    attribution shape): pair each left event with right events for the
+    same `key` whose event time falls in [l_time, l_time + bound].
+
+    BOTH sides carry watermarks and the join condition bounds the time
+    range in both directions, so Spark can evict buffered state once the
+    watermark passes the interval — state is O(events per key within
+    the bound + watermark horizon), never O(stream history). Without
+    the time bound a stream-stream join must buffer one side forever.
+    Returns (key, l_id, r_id, l_time, r_time).
+    """
+    l = (
+        with_event_time(left, ts_col)
+        .select(
+            F.col(key),
+            F.col("event_id").alias("l_id"),
+            F.col("event_time").alias("l_time"),
+        )
+        .withWatermark("l_time", watermark)
+    )
+    r = (
+        with_event_time(right, ts_col)
+        .select(
+            F.col(key).alias("__rk"),
+            F.col("event_id").alias("r_id"),
+            F.col("event_time").alias("r_time"),
+        )
+        .withWatermark("r_time", watermark)
+    )
+    return l.join(
+        r,
+        (F.col(key) == F.col("__rk"))
+        & (F.col("r_time") >= F.col("l_time"))
+        & (
+            F.col("r_time")
+            <= F.col("l_time") + F.expr(f"INTERVAL {bound_seconds} SECONDS")
+        ),
+    ).select(key, "l_id", "r_id", "l_time", "r_time")
+
+
 def dedup_stream(
     events: DataFrame,
     id_cols: tuple[str, ...] = ("event_id",),

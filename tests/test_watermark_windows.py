@@ -49,6 +49,63 @@ def _run_stream(spark, src_dir, ck_dir, builder, name):
     return spark.sql(f"select * from {name}")
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join: the streamed result over
+    micro-batched files equals the batch join of the same data; pairs
+    outside the [l_time, l_time + bound] interval or across keys never
+    appear. Both sides are watermarked so buffered state is evictable."""
+    import json as _json
+    import time as _time
+
+    from ergo_uexplorer_spark.streaming.windows import interval_join_streams
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(), rdir.mkdir()
+
+    def w(path, rows):
+        with open(path, "w") as f:
+            for eid, u, ts in rows:
+                f.write(_json.dumps(
+                    {"event_id": eid, "user_id": u, "ts": ts}) + "\n")
+
+    # left: clicks; right: conversions. u1 converts within the bound
+    # (twice: at +10min and +50min), u2 converts too late (+2h), u3
+    # converts for a DIFFERENT user's click only.
+    w(ldir / "b0.json", [(100, 1, BASE), (101, 2, BASE)])
+    w(rdir / "b0.json", [(200, 1, BASE + HOUR_NS // 6),
+                         (201, 1, BASE + 5 * HOUR_NS // 6)])
+    _time.sleep(1.1)
+    w(ldir / "b1.json", [(102, 3, BASE + 10 * HOUR_NS)])  # advances wm
+    w(rdir / "b1.json", [(202, 2, BASE + 2 * HOUR_NS),
+                         (203, 4, BASE + HOUR_NS // 6)])
+
+    schema = "event_id long, user_id long, ts long"
+
+    def src(d):
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).json(str(d)))
+
+    q = (
+        interval_join_streams(src(ldir), src(rdir), bound_seconds=3600)
+        .writeStream.format("memory").queryName("ssj")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_ssj")).start()
+    )
+    q.awaitTermination(180)
+    streamed = {(r["l_id"], r["r_id"])
+                for r in spark.sql("select * from ssj").collect()}
+
+    batch_l = spark.read.schema(schema).json(str(ldir))
+    batch_r = spark.read.schema(schema).json(str(rdir))
+    expected = {
+        (r["l_id"], r["r_id"])
+        for r in interval_join_streams(batch_l, batch_r,
+                                       bound_seconds=3600).collect()
+    }
+    assert expected == {(100, 200), (100, 201)}
+    assert streamed == expected
+
+
 def test_tumbling_watermark_finalizes_windows(spark, tmp_path):
     """Append-mode guarantees under watermarks: a window emits exactly
     once, only after the watermark passes its end; windows still inside
