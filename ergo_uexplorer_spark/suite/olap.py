@@ -367,6 +367,41 @@ def z07_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "z12_json_props_agg",
+    sql="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           count(*) - count(k) AS n_missing
+    FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+    GROUP BY event_type
+    """,
+    survey_ref="SURVEY §2.6: semi-structured columns (JSON path extraction)",
+    tags=("json", "agg"),
+    bench=True,
+)
+def z12_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload handling: extract a typed field from the
+    `events.props` JSON string column and aggregate per event type —
+    `get_json_object` runs JVM-side inside codegen, so the parse is part
+    of the scan pipeline (no UDF, no second pass); unparseable/missing
+    paths surface as NULLs and are counted, not dropped."""
+    (events,) = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            (F.count(F.lit(1)) - F.count("k")).alias("n_missing"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # distinct sketches (the reference lists datasketches as TODO — Spark has
 # them built-in). Exact version oracle-checked; approximate versions are
