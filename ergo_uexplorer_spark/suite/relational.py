@@ -588,3 +588,69 @@ def zz_b03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# z13: TPC-H Q5 shape — the 6-way dimensional join (region→nation→
+# {customer, supplier}→orders→lineitem with the same-nation constraint).
+# The snowflake dims broadcast; the only shuffles are the two fact joins.
+# (z-name: must sort after the driver's first-50 recorded window.)
+# --------------------------------------------------------------------------
+@register(
+    "z13_regional_volume",
+    sql="""
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_items
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    survey_ref="generic join surface (SURVEY §2.6): snowflake 6-way join",
+    tags=("join", "agg"),
+    bench=True,
+)
+def z13_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation, customer, supplier, orders, lineitem = load(
+        spark, sf_dir,
+        "region", "nation", "customer", "supplier", "orders", "lineitem",
+    )
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    asia_nations = (
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    cust = F.broadcast(
+        customer.join(
+            F.broadcast(asia_nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey", "c_nationkey", "n_name")
+    )
+    supp = F.broadcast(supplier.select("s_suppkey", "s_nationkey"))
+    return (
+        orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
