@@ -654,3 +654,73 @@ def z13_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# z14: EXISTS / correlated-subquery shape (TPC-H Q4 adapted to this
+# schema: an order is "late" when some lineitem ships > 60 days after
+# the order date). Catalyst rewrites EXISTS to a left-semi hash join on
+# the order key — asserted by the no-cartesian CI gate family.
+# --------------------------------------------------------------------------
+@register(
+    "z14_priority_exists",
+    sql="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    survey_ref="generic join surface (SURVEY §2.6): EXISTS → semi-join",
+    tags=("join", "agg", "subquery"),
+    bench=True,
+)
+def z14_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    o = orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(lineitem, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# z15: ntile deciles per group — the ranking-window family beyond
+# row_number (a03/a04 cover percentile AGGREGATES; this is the window
+# form). ntile is integer-valued and SQL-standard (equal buckets,
+# remainder to the first), so it hash-matches across engines.
+# --------------------------------------------------------------------------
+@register(
+    "z15_balance_deciles",
+    sql="""
+    SELECT c_custkey, c_nationkey,
+           CAST(ntile(10) OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey ASC)
+                AS BIGINT) AS decile
+    FROM customer
+    """,
+    survey_ref="SURVEY §2.6: window functions (ranking family)",
+    tags=("window",),
+    bench=True,
+)
+def z15_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (customer,) = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
