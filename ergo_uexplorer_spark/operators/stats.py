@@ -73,6 +73,75 @@ def top_tokens_by_box_count(
     )
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_bucket(key, row: int):
+    """Row-`row` bucket for a key: the shared portable 60-bit md5 hash
+    (bit-identical in DuckDB) over a salted key string, mod CMS_WIDTH."""
+    from .textops import portable_hash
+
+    return portable_hash(
+        F.concat(F.lit(f"cms{row}-"), key.cast("string"))
+    ) % CMS_WIDTH
+
+
+def count_min_sketch(
+    df: DataFrame, key_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Count-Min sketch build (Cormode & Muthukrishnan): each input row
+    increments one bucket per hash row → (row, bucket, c). The sketch is
+    depth×width counters regardless of stream size — THE mergeable,
+    fixed-memory frequency summary for 100-TB streams (per-partition
+    sketches union by adding counters; this DataFrame form gets that
+    merge for free from partial aggregation).
+
+    Deterministic md5-derived hash rows shared with the SQL oracle make
+    even the approximation error identical across engines, so estimates
+    are hash-exact, not just statistically close."""
+    fanout = df.select(
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row"),
+        F.col(key_col).alias("k"),
+    )
+    bucket = F.when(F.lit(False), F.lit(0))
+    for i in range(depth):
+        bucket = F.when(
+            F.col("row") == i, _cms_bucket(F.col("k"), i)
+        ).otherwise(bucket)
+    return (
+        fanout.select("row", bucket.alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """Point-frequency estimates: est(k) = min over hash rows of the
+    key's bucket counter (never an under-count; over-counts only on
+    collisions). The query side is |keys|×depth rows joined against the
+    fixed-size sketch — broadcast the sketch at scale."""
+    probes = keys.select(F.col(key_col).alias("k")).distinct()
+    fanout = probes.select(
+        "k",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row"),
+    )
+    bucket = F.when(F.lit(False), F.lit(0))
+    for i in range(depth):
+        bucket = F.when(
+            F.col("row") == i, _cms_bucket(F.col("k"), i)
+        ).otherwise(bucket)
+    return (
+        fanout.select("k", "row", bucket.alias("bucket"))
+        .join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+        .select(F.col("k").alias(key_col), "est")
+    )
+
+
 def hot_keys(address_stats: DataFrame) -> DataFrame:
     """Keys above the supernode threshold — the skew report the reference
     persists as hot-keys-*.csv.gz; useful as a broadcast dimension for

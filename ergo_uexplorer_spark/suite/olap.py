@@ -367,6 +367,51 @@ def z07_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# z16: Count-Min sketch — the mergeable fixed-memory frequency summary
+# (Cormode & Muthukrishnan) the readme.md:226 sketches TODO implies
+# beyond distinct-counting. Deterministic md5 hash rows shared with the
+# oracle make even the approximation error identical across engines:
+# estimates (est ≥ exact, over-count only on collisions) hash-match.
+# --------------------------------------------------------------------------
+_CMS_HASH = (
+    "(('0x' || substr(md5('cms' || row || '-' || CAST(k AS VARCHAR)), 1, 15))"
+    "::BIGINT) % 256"
+)
+
+
+@register(
+    "z16_countmin_sketch",
+    sql=f"""
+    WITH f AS (SELECT user_id AS k, unnest(range(0, 4)) AS row FROM events),
+    b AS (SELECT row, {_CMS_HASH} AS bucket FROM f),
+    sk AS (SELECT row, bucket, count(*) AS c FROM b GROUP BY row, bucket),
+    q AS (SELECT DISTINCT user_id AS k FROM events WHERE user_id < 10),
+    qf AS (SELECT k, unnest(range(0, 4)) AS row FROM q),
+    qb AS (SELECT k, row, {_CMS_HASH} AS bucket FROM qf),
+    est AS (SELECT k, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+            FROM qb LEFT JOIN sk USING (row, bucket) GROUP BY k),
+    ex AS (SELECT user_id AS k, count(*) AS exact_n
+           FROM events WHERE user_id < 10 GROUP BY user_id)
+    SELECT est.k AS user_id, est, exact_n FROM est JOIN ex USING (k)
+    """,
+    survey_ref="readme.md:226 sketches TODO: Count-Min frequency sketch",
+    tags=("sketch", "agg"),
+    bench=True,
+)
+def z16_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import cms_estimate, count_min_sketch
+
+    (events,) = load(spark, sf_dir, "events")
+    sketch = count_min_sketch(events, "user_id")
+    queries = events.filter(F.col("user_id") < 10)
+    est = cms_estimate(sketch, queries, "user_id")
+    exact = queries.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    return est.join(exact, "user_id").select("user_id", "est", "exact_n")
+
+
 @register(
     "z12_json_props_agg",
     sql="""

@@ -160,6 +160,32 @@ def test_minhash_lsh_recall_on_planted_near_dups(spark):
     assert found <= exact
 
 
+def test_count_min_sketch_invariants(spark):
+    """CMS never under-counts (est ≥ exact for every key), the sketch is
+    fixed-size (≤ depth × width counters), and total per-row mass equals
+    the stream length."""
+    from ergo_uexplorer_spark.operators.stats import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    rows = [(i % 7,) for i in range(500)] + [(99,)] * 50
+    df = spark.createDataFrame(rows, "k long")
+    sketch = count_min_sketch(df, "k")
+    assert sketch.count() <= CMS_DEPTH * CMS_WIDTH
+    per_row = {r["row"]: r["s"] for r in
+               sketch.groupBy("row").agg(F.sum("c").alias("s")).collect()}
+    assert all(v == len(rows) for v in per_row.values()), per_row
+
+    est = {r["k"]: r["est"]
+           for r in cms_estimate(sketch, df, "k").collect()}
+    exact = {r["k"]: r["n"] for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(est[k] >= exact[k] for k in exact), (est, exact)
+
+
 def test_decontaminate_invariants(spark):
     """Planted contamination is found with the right gram count; clean
     docs and eval docs never appear in the output."""
