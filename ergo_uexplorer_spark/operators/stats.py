@@ -142,6 +142,73 @@ def cms_estimate(
     )
 
 
+BLOOM_BITS = 4096
+BLOOM_HASHES = 4
+
+
+def _bloom_bit(key, row: int):
+    from .textops import portable_hash
+
+    return portable_hash(
+        F.concat(F.lit(f"bf{row}-"), key.cast("string"))
+    ) % BLOOM_BITS
+
+
+def bloom_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Bloom filter build → the DataFrame of SET BIT positions (one row
+    per distinct bit). Fixed size (≤ BLOOM_BITS rows) regardless of
+    input, mergeable by union — the pre-filter shape for "is this box
+    spent?"-style membership at scale, where the bit set broadcasts and
+    the big side never shuffles. md5-derived bit positions are shared
+    with the SQL oracle, so even false positives are engine-identical."""
+    fanout = df.select(
+        F.explode(F.array(*[F.lit(i) for i in range(BLOOM_HASHES)])).alias(
+            "row"
+        ),
+        F.col(key_col).alias("k"),
+    )
+    bit = F.when(F.lit(False), F.lit(0))
+    for i in range(BLOOM_HASHES):
+        bit = F.when(F.col("row") == i, _bloom_bit(F.col("k"), i)).otherwise(
+            bit
+        )
+    return fanout.select(bit.alias("bit")).distinct()
+
+
+def bloom_probe(bits: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Membership probe: a key is (possibly) present iff ALL its hash
+    bits are set — no false negatives, false positives at the classic
+    (1 − e^{−kn/m})^k rate. The bit table broadcasts; probes never
+    shuffle the bit side."""
+    probes = keys.select(F.col(key_col).alias("k")).distinct()
+    fanout = probes.select(
+        "k",
+        F.explode(F.array(*[F.lit(i) for i in range(BLOOM_HASHES)])).alias(
+            "row"
+        ),
+    )
+    bit = F.when(F.lit(False), F.lit(0))
+    for i in range(BLOOM_HASHES):
+        bit = F.when(F.col("row") == i, _bloom_bit(F.col("k"), i)).otherwise(
+            bit
+        )
+    hits = (
+        fanout.select("k", bit.alias("bit"))
+        .join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    return (
+        probes.join(hits, "k", "left")
+        .select(
+            F.col("k").alias(key_col),
+            (F.coalesce(F.col("n_set"), F.lit(0)) == BLOOM_HASHES).alias(
+                "in_bloom"
+            ),
+        )
+    )
+
+
 def hot_keys(address_stats: DataFrame) -> DataFrame:
     """Keys above the supernode threshold — the skew report the reference
     persists as hot-keys-*.csv.gz; useful as a broadcast dimension for

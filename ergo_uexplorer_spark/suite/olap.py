@@ -368,6 +368,66 @@ def z07_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# z17: Bloom-filter membership — the no-false-negative pre-filter (the
+# "is this box possibly spent?" shape): build the bit set over keys with
+# F-status orders, probe EVERY customer. md5-derived bit positions are
+# shared with the oracle, so the false-positive set is engine-identical
+# and the whole probe table hash-matches.
+# --------------------------------------------------------------------------
+_BF_BIT = (
+    "(('0x' || substr(md5('bf' || row || '-' || CAST(k AS VARCHAR)), 1, 15))"
+    "::BIGINT) % 4096"
+)
+
+
+@register(
+    "z17_bloom_membership",
+    sql=f"""
+    WITH members AS (SELECT DISTINCT o_custkey AS k FROM orders
+                     WHERE o_orderstatus = 'F'),
+    mf AS (SELECT k, unnest(range(0, 4)) AS row FROM members),
+    bits AS (SELECT DISTINCT {_BF_BIT} AS bit FROM mf),
+    probes AS (SELECT DISTINCT c_custkey AS k FROM customer),
+    pf AS (SELECT k, unnest(range(0, 4)) AS row FROM probes),
+    pb AS (SELECT k, {_BF_BIT} AS bit FROM pf),
+    hits AS (SELECT k, count(*) AS n_set
+             FROM pb WHERE bit IN (SELECT bit FROM bits) GROUP BY k)
+    SELECT p.k AS c_custkey,
+           coalesce(h.n_set, 0) = 4 AS in_bloom,
+           p.k IN (SELECT k FROM members) AS actual_member
+    FROM probes p LEFT JOIN hits h ON p.k = h.k
+    """,
+    survey_ref="readme.md:226 sketches TODO: Bloom membership pre-filter",
+    tags=("sketch", "join"),
+    bench=True,
+)
+def z17_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import bloom_build, bloom_probe
+
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    members = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    bits = bloom_build(members, "k")
+    probed = bloom_probe(bits, customer.select("c_custkey"), "c_custkey")
+    actual = members.distinct().select(F.col("k").alias("c_custkey"))
+    return (
+        probed.join(
+            actual.withColumn("actual_member", F.lit(True)),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            "c_custkey",
+            "in_bloom",
+            F.coalesce(F.col("actual_member"), F.lit(False)).alias(
+                "actual_member"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # z16: Count-Min sketch — the mergeable fixed-memory frequency summary
 # (Cormode & Muthukrishnan) the readme.md:226 sketches TODO implies
 # beyond distinct-counting. Deterministic md5 hash rows shared with the
