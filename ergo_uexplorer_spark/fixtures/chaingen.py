@@ -494,6 +494,11 @@ def write_jsonl_gz_sharded(
     import os
 
     os.makedirs(dir_path, exist_ok=True)
+    if not blocks:
+        # one empty part file, so a schema-supplied read of the dump dir
+        # yields empty tables instead of a path/inference error
+        write_jsonl_gz([], os.path.join(dir_path, "part-00000.jsonl.gz"))
+        return dir_path
     n = max(1, min(shards, len(blocks)))
     per = (len(blocks) + n - 1) // n
     for s in range(n):

@@ -69,18 +69,23 @@ def decontaminate(
     of DISTINCT eval n-grams the document contains.
 
     `eval_cond` is a boolean Column marking eval membership. Scale shape:
-    the corpus is shingled once; the eval gram set is tiny relative to
-    the corpus (benchmarks are KBs against TBs of training data), so it
-    is deduplicated and BROADCAST — the training side never shuffles for
-    the membership probe, and the only exchange is the per-doc count
-    aggregation with map-side partials.
+    each document is shingled exactly once — the eval side shingles only
+    eval-marked docs, the training side only the rest (a shared subplan
+    would instead re-evaluate the tokenize+shingle pass per consumer).
+    The eval gram set is tiny relative to the corpus (benchmarks are KBs
+    against TBs of training data), so it is deduplicated and BROADCAST —
+    the training side never shuffles for the membership probe, and the
+    only exchange is the per-doc count aggregation with map-side
+    partials.
     """
-    grams = docs.select(
-        F.col(id_col), eval_cond.alias("is_eval"), T.tokens(F.col(text_col)).alias("t")
-    ).select(F.col(id_col), "is_eval", F.explode(T.shingles(F.col("t"), n)).alias("g"))
-    eval_grams = grams.filter(F.col("is_eval")).select("g").distinct()
+    def grams_of(side: DataFrame) -> DataFrame:
+        return side.select(
+            F.col(id_col), T.tokens(F.col(text_col)).alias("t")
+        ).select(F.col(id_col), F.explode(T.shingles(F.col("t"), n)).alias("g"))
+
+    eval_grams = grams_of(docs.filter(eval_cond)).select("g").distinct()
     return (
-        grams.filter(~F.col("is_eval"))
+        grams_of(docs.filter(~eval_cond))
         .join(F.broadcast(eval_grams), "g")
         .groupBy(id_col)
         .agg(F.count_distinct("g").alias("n_eval_grams"))

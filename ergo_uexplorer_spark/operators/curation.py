@@ -134,16 +134,29 @@ def mixture_weights(
         [(s, int(t)) for s, t in sorted(targets.items())],
         f"{source_col} string, target_permille long",
     )
-    j = avail.select(
-        F.col(source_col), F.col(avail_col).cast("long").alias("avail")
-    ).join(F.broadcast(tgt), source_col)
+    # targets are the base relation: a TARGETED source absent from the
+    # corpus must drive the budget to 0 (its share is unservable), not
+    # silently vanish from the min — so left-join avail onto targets
+    # and treat missing as avail = 0.
+    j = tgt.join(
+        avail.select(
+            F.col(source_col), F.col(avail_col).cast("long").alias("avail")
+        ),
+        source_col,
+        "left",
+    ).withColumn("avail", F.coalesce(F.col("avail"), F.lit(0)))
     nmax = j.agg(
         F.min(F.expr("avail * 1000 div target_permille")).alias("n_max")
     )
     return (
         j.crossJoin(F.broadcast(nmax))
         .withColumn("need_tokens", F.expr("target_permille * n_max div 1000"))
-        .withColumn("rate_permille", F.expr("need_tokens * 1000 div avail"))
+        .withColumn(
+            "rate_permille",
+            F.when(
+                F.col("avail") > 0, F.expr("need_tokens * 1000 div avail")
+            ).otherwise(F.lit(0)),
+        )
         .select(
             source_col, "avail", "target_permille", "need_tokens",
             "rate_permille",

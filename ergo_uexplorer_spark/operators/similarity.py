@@ -173,12 +173,22 @@ def _sign_bucket_batch(V, P, n_bands: int, per_band: int):
     return (pos * bits).sum(axis=2).astype(np.int32)
 
 
+_ND_PLANES_MAT = None  # lazily-built (ND_BANDS*8, EMB_DIM) float64 matrix
+
+
 def _nd_buckets_batch(V):
-    """All ND_BANDS near-dup band buckets for a float64 batch."""
+    """All ND_BANDS near-dup band buckets for a float64 batch. The plane
+    matrix is built once per process, not per Arrow batch (it is 8k
+    floats flattened from nested tuples — pure repeated overhead when a
+    corpus scan runs thousands of batches)."""
     import numpy as np
 
-    P = np.asarray([p for band in ND_PLANES for p in band], dtype=np.float64)
-    return _sign_bucket_batch(V, P, ND_BANDS, ND_PLANES_PER_BAND)
+    global _ND_PLANES_MAT
+    if _ND_PLANES_MAT is None:
+        _ND_PLANES_MAT = np.asarray(
+            [p for band in ND_PLANES for p in band], dtype=np.float64
+        )
+    return _sign_bucket_batch(V, _ND_PLANES_MAT, ND_BANDS, ND_PLANES_PER_BAND)
 
 
 def _nd_all_buckets(vec: Column, banding: str = "vectorized") -> Column:

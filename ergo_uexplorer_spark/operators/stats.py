@@ -77,14 +77,24 @@ CMS_DEPTH = 4
 CMS_WIDTH = 256
 
 
-def _cms_bucket(key, row: int):
-    """Row-`row` bucket for a key: the shared portable 60-bit md5 hash
-    (bit-identical in DuckDB) over a salted key string, mod CMS_WIDTH."""
+def _row_keyed_bucket(df: DataFrame, key, n_rows: int, salt: str, modulus: int):
+    """Shared fan-out for the hash-sketch family: explode `n_rows` hash
+    rows per input row and compute each row's bucket as the portable
+    60-bit md5 hash (bit-identical in DuckDB) of `"{salt}{row}-" + key`,
+    mod `modulus`. Returns (row, k, bucket)."""
     from .textops import portable_hash
 
-    return portable_hash(
-        F.concat(F.lit(f"cms{row}-"), key.cast("string"))
-    ) % CMS_WIDTH
+    fanout = df.select(
+        F.explode(F.array(*[F.lit(i) for i in range(n_rows)])).alias("row"),
+        key.alias("k"),
+    )
+    bucket = F.when(F.lit(False), F.lit(0))
+    for i in range(n_rows):
+        b_i = portable_hash(
+            F.concat(F.lit(f"{salt}{i}-"), F.col("k").cast("string"))
+        ) % modulus
+        bucket = F.when(F.col("row") == i, b_i).otherwise(bucket)
+    return fanout.select("row", "k", bucket.alias("bucket"))
 
 
 def count_min_sketch(
@@ -100,41 +110,28 @@ def count_min_sketch(
     Deterministic md5-derived hash rows shared with the SQL oracle make
     even the approximation error identical across engines, so estimates
     are hash-exact, not just statistically close."""
-    fanout = df.select(
-        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row"),
-        F.col(key_col).alias("k"),
-    )
-    bucket = F.when(F.lit(False), F.lit(0))
-    for i in range(depth):
-        bucket = F.when(
-            F.col("row") == i, _cms_bucket(F.col("k"), i)
-        ).otherwise(bucket)
     return (
-        fanout.select("row", bucket.alias("bucket"))
+        _row_keyed_bucket(df, F.col(key_col), depth, "cms", width)
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
 
 
 def cms_estimate(
-    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = CMS_DEPTH
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
 ) -> DataFrame:
     """Point-frequency estimates: est(k) = min over hash rows of the
     key's bucket counter (never an under-count; over-counts only on
-    collisions). The query side is |keys|×depth rows joined against the
+    collisions). `depth`/`width` must match the sketch's build
+    parameters. The query side is |keys|×depth rows joined against the
     fixed-size sketch — broadcast the sketch at scale."""
     probes = keys.select(F.col(key_col).alias("k")).distinct()
-    fanout = probes.select(
-        "k",
-        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row"),
-    )
-    bucket = F.when(F.lit(False), F.lit(0))
-    for i in range(depth):
-        bucket = F.when(
-            F.col("row") == i, _cms_bucket(F.col("k"), i)
-        ).otherwise(bucket)
     return (
-        fanout.select("k", "row", bucket.alias("bucket"))
+        _row_keyed_bucket(probes, F.col("k"), depth, "cms", width)
         .join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy("k")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
@@ -146,33 +143,22 @@ BLOOM_BITS = 4096
 BLOOM_HASHES = 4
 
 
-def _bloom_bit(key, row: int):
-    from .textops import portable_hash
-
-    return portable_hash(
-        F.concat(F.lit(f"bf{row}-"), key.cast("string"))
-    ) % BLOOM_BITS
-
-
 def bloom_build(df: DataFrame, key_col: str) -> DataFrame:
     """Bloom filter build → the DataFrame of SET BIT positions (one row
     per distinct bit). Fixed size (≤ BLOOM_BITS rows) regardless of
     input, mergeable by union — the pre-filter shape for "is this box
     spent?"-style membership at scale, where the bit set broadcasts and
-    the big side never shuffles. md5-derived bit positions are shared
-    with the SQL oracle, so even false positives are engine-identical."""
-    fanout = df.select(
-        F.explode(F.array(*[F.lit(i) for i in range(BLOOM_HASHES)])).alias(
-            "row"
-        ),
-        F.col(key_col).alias("k"),
+    the big side never shuffles. Keys are deduplicated BEFORE the hash
+    fan-out (duplicates set the same bits, so hashing them is pure
+    waste on fact-table-sized inputs). md5-derived bit positions are
+    shared with the SQL oracle, so even false positives are
+    engine-identical."""
+    keys = df.select(F.col(key_col).alias("k")).distinct()
+    return (
+        _row_keyed_bucket(keys, F.col("k"), BLOOM_HASHES, "bf", BLOOM_BITS)
+        .select(F.col("bucket").alias("bit"))
+        .distinct()
     )
-    bit = F.when(F.lit(False), F.lit(0))
-    for i in range(BLOOM_HASHES):
-        bit = F.when(F.col("row") == i, _bloom_bit(F.col("k"), i)).otherwise(
-            bit
-        )
-    return fanout.select(bit.alias("bit")).distinct()
 
 
 def bloom_probe(bits: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
@@ -181,19 +167,9 @@ def bloom_probe(bits: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     (1 − e^{−kn/m})^k rate. The bit table broadcasts; probes never
     shuffle the bit side."""
     probes = keys.select(F.col(key_col).alias("k")).distinct()
-    fanout = probes.select(
-        "k",
-        F.explode(F.array(*[F.lit(i) for i in range(BLOOM_HASHES)])).alias(
-            "row"
-        ),
-    )
-    bit = F.when(F.lit(False), F.lit(0))
-    for i in range(BLOOM_HASHES):
-        bit = F.when(F.col("row") == i, _bloom_bit(F.col("k"), i)).otherwise(
-            bit
-        )
     hits = (
-        fanout.select("k", bit.alias("bit"))
+        _row_keyed_bucket(probes, F.col("k"), BLOOM_HASHES, "bf", BLOOM_BITS)
+        .select("k", F.col("bucket").alias("bit"))
         .join(F.broadcast(bits), "bit", "left_semi")
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_set"))

@@ -325,19 +325,23 @@ _SAMPLE_RATES = {"en": 150}
 _SAMPLE_DEFAULT = 800
 
 
-@register(
-    "z05_stratified_sample",
-    sql=f"""
+def _z05_sql() -> str:
+    from ..operators.curation import sql_sample_bucket
+
+    return f"""
     WITH b AS (
-      SELECT doc_id, lang,
-             (('0x' || substr(md5('sample-v1' || CAST(doc_id AS VARCHAR)), 1, 15))
-              ::BIGINT) % 1000 AS bucket
+      SELECT doc_id, lang, {sql_sample_bucket('doc_id')} AS bucket
       FROM documents
     )
     SELECT doc_id, lang, bucket FROM b
     WHERE bucket < (CASE WHEN lang = 'en' THEN {_SAMPLE_RATES['en']}
                          ELSE {_SAMPLE_DEFAULT} END)
-    """,
+    """
+
+
+@register(
+    "z05_stratified_sample",
+    sql=_z05_sql(),
     survey_ref="LLM-pipeline: deterministic stratified sampling",
     tags=("curation",),
     bench=True,
@@ -435,12 +439,14 @@ _MIX_TGT_SQL = ", ".join(
     av AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS avail
            FROM tok GROUP BY source),
     tgt(source, target_permille) AS (VALUES {_MIX_TGT_SQL}),
-    j AS (SELECT av.source, avail, target_permille FROM av JOIN tgt USING (source)),
+    j AS (SELECT tgt.source, coalesce(avail, 0) AS avail, target_permille
+          FROM tgt LEFT JOIN av USING (source)),
     nmax AS (SELECT MIN(avail * 1000 // target_permille) AS n_max FROM j)
     SELECT source, avail, CAST(target_permille AS BIGINT) AS target_permille,
            CAST(target_permille * n_max // 1000 AS BIGINT) AS need_tokens,
-           CAST((target_permille * n_max // 1000) * 1000 // avail AS BIGINT)
-             AS rate_permille
+           CAST(CASE WHEN avail > 0
+                THEN (target_permille * n_max // 1000) * 1000 // avail
+                ELSE 0 END AS BIGINT) AS rate_permille
     FROM j CROSS JOIN nmax
     """,
     survey_ref="LLM-pipeline: mixture planning (per-source sampling rates)",

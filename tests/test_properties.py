@@ -234,6 +234,20 @@ def test_mixture_weights_invariants(spark):
     assert rows["b"]["need_tokens"] == 3000
     assert rows["c"]["need_tokens"] == 6000
 
+    # a TARGETED source absent from the corpus makes its share
+    # unservable: the budget collapses to 0 and the source still
+    # appears in the plan (avail 0) instead of silently vanishing
+    rows = {
+        r["source"]: r
+        for r in mixture_weights(
+            avail, {"a": 500, "missing": 500}
+        ).collect()
+    }
+    assert set(rows) == {"a", "missing"}
+    assert rows["missing"]["avail"] == 0
+    assert all(r["need_tokens"] == 0 and r["rate_permille"] == 0
+               for r in rows.values())
+
 
 def test_stratified_sample_deterministic_and_bounded(spark):
     """Keep decision is a pure id function: re-running and re-ordering
