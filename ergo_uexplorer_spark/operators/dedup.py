@@ -442,6 +442,81 @@ def simhash_pairs_allpairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 6,
+    min_run: int = 5,
+    max_df: int = 50,
+) -> DataFrame:
+    """Cross-document duplicate SPANS — the token-granular form of
+    exact-substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): maximal runs of ≥ `min_run`
+    consecutive shared word `n`-grams between two documents, i.e. a
+    shared substring of ≥ n + min_run − 1 tokens. Pairwise n-gram/
+    MinHash dedup misses these (a long plagiarized passage inside an
+    otherwise-unique doc stays below any whole-doc Jaccard threshold);
+    span detection is what catches it.
+
+    Shape: positioned n-grams self-join on the gram (equi-join; grams
+    with document frequency > `max_df` are excluded first — they are
+    boilerplate, the z11 operator's territory, and would quadratically
+    blow the join); a match at positions (pa, pb) lies on diagonal
+    d = pa − pb, and consecutive matches on one diagonal form a run —
+    detected with the classic gaps-and-islands trick (pa − row_number
+    over the diagonal is constant within a run), which both engines
+    evaluate identically. Returns (doc_a, doc_b, start_a, start_b,
+    run_len) with run_len = number of consecutive shared n-grams.
+    """
+    from pyspark.sql import Window
+
+    grams = (
+        _ensure_parallelism(docs)
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
+        .select(
+            "doc_id", F.posexplode(shingles(F.col("t"), n)).alias("pos", "g")
+        )
+        .withColumn("h", portable_hash(F.col("g")))
+        .select("doc_id", "pos", "h")
+    )
+    rare = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("h")
+    )
+    grams = grams.join(rare, "h", "left_semi")
+    a, b = grams.alias("a"), grams.alias("b")
+    matches = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+        )
+        .distinct()
+        .withColumn("diag", F.col("pa") - F.col("pb"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    return (
+        matches.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .filter(F.col("run_len") >= min_run)
+        .select("doc_a", "doc_b", "start_a", "start_b", "run_len")
+    )
+
+
 def dedup_clusters(
     docs: DataFrame,
     id_col: str = "doc_id",

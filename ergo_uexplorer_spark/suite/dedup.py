@@ -270,3 +270,64 @@ _CLUSTERS_SQL = f"""
 def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     return D.dedup_clusters(docs, num=4, den=5)
+
+
+# --------------------------------------------------------------------------
+# z18: exact-substring duplicate spans (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better", token-granular form):
+# maximal runs of >= 5 consecutive shared 6-grams between documents —
+# the passage-level duplication whole-doc Jaccard/MinHash thresholds
+# miss. Gaps-and-islands on the match diagonal; boilerplate grams
+# (df > 50) excluded — they are z11's territory and would blow the join.
+# (z-name: sorts after the driver's first-50 recorded window.)
+# --------------------------------------------------------------------------
+_SPAN_N = 6
+_SPAN_MIN_RUN = 5
+_SPAN_MAX_DF = 50
+_GRAM6 = " || ' ' || ".join(f"t[i+{d}]" for d in range(_SPAN_N))
+
+
+@register(
+    "z18_duplicate_spans",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    p AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(t) - {_SPAN_N - 2}),
+                        i -> {{'pos': i - 1, 'g': {_GRAM6}}})) AS u
+          FROM toks),
+    g AS (SELECT doc_id, u.pos AS pos,
+                 (('0x' || substr(md5(u.g), 1, 15))::BIGINT) AS h
+          FROM p),
+    rare AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df
+                            FROM g GROUP BY h) WHERE df <= {_SPAN_MAX_DF}),
+    gr AS (SELECT g.doc_id, g.pos, g.h FROM g JOIN rare USING (h)),
+    m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.pos AS pa, b.pos AS pb
+          FROM gr a JOIN gr b ON a.h = b.h AND a.doc_id < b.doc_id),
+    isl AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+                   pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                           ORDER BY pa) AS grp
+            FROM m)
+    SELECT doc_a, doc_b,
+           CAST(min(pa) AS BIGINT) AS start_a,
+           CAST(min(pb) AS BIGINT) AS start_b,
+           count(*) AS run_len
+    FROM isl GROUP BY doc_a, doc_b, diag, grp
+    HAVING count(*) >= {_SPAN_MIN_RUN}
+    """,
+    survey_ref="LLM-pipeline: exact-substring duplicate spans",
+    tags=("dedup", "window"),
+    bench=True,
+)
+def z18_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    out = D.duplicate_spans(
+        docs, n=_SPAN_N, min_run=_SPAN_MIN_RUN, max_df=_SPAN_MAX_DF
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("start_a").cast("bigint").alias("start_a"),
+        F.col("start_b").cast("bigint").alias("start_b"),
+        "run_len",
+    )

@@ -160,6 +160,37 @@ def test_minhash_lsh_recall_on_planted_near_dups(spark):
     assert found <= exact
 
 
+def test_duplicate_spans_finds_planted_passage(spark):
+    """A passage copied into an otherwise-unique document is found with
+    the exact start offsets and run length, while whole-doc Jaccard at
+    the same corpus misses it; unrelated docs produce no span."""
+    from ergo_uexplorer_spark.operators.dedup import (
+        duplicate_spans,
+        jaccard_pairs,
+        hashed_shingle_sets,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(16))  # 16 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"a{i}" for i in range(30)) + " " + passage),
+            (1, passage + " " + " ".join(f"b{i}" for i in range(30))),
+            (2, " ".join(f"c{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(docs, n=6, min_run=5).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    # doc 0 holds the passage at token 30, doc 1 at token 0; 16 shared
+    # tokens → 16 − 6 + 1 = 11 consecutive shared 6-grams
+    assert (s["doc_a"], s["doc_b"]) == (0, 1)
+    assert (s["start_a"], s["start_b"], s["run_len"]) == (30, 0, 11)
+    # whole-doc Jaccard at the usual 0.8 threshold misses this pair
+    j = jaccard_pairs(hashed_shingle_sets(docs), num=4, den=5, elem_col="h")
+    assert j.count() == 0
+
+
 def test_count_min_sketch_invariants(spark):
     """CMS never under-counts (est ≥ exact for every key), the sketch is
     fixed-size (≤ depth × width counters), and total per-row mass equals
