@@ -449,6 +449,7 @@ def duplicate_spans(
     n: int = 6,
     min_run: int = 5,
     max_df: int = 50,
+    release: bool = True,
 ) -> DataFrame:
     """Cross-document duplicate SPANS — the token-granular form of
     exact-substring dedup (Lee et al., "Deduplicating Training Data
@@ -480,6 +481,13 @@ def duplicate_spans(
         .withColumn("h", portable_hash(F.col("g")))
         .select("doc_id", "pos", "h")
     )
+    if release:
+        # the positioned-gram table feeds the df rollup AND both sides
+        # of the self-join — persist so tokenize+shingle+hash runs once
+        # (same posture as the jaccard/minhash `sh` table); released via
+        # materialize_and_release before returning
+        grams = grams.persist()
+    persisted = grams
     rare = (
         grams.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("df"))
@@ -504,7 +512,7 @@ def duplicate_spans(
         .withColumn("diag", F.col("pa") - F.col("pb"))
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    return (
+    out = (
         matches.withColumn("grp", F.col("pa") - F.row_number().over(w))
         .groupBy("doc_a", "doc_b", "diag", "grp")
         .agg(
@@ -515,6 +523,7 @@ def duplicate_spans(
         .filter(F.col("run_len") >= min_run)
         .select("doc_a", "doc_b", "start_a", "start_b", "run_len")
     )
+    return materialize_and_release(out, persisted) if release else out
 
 
 def dedup_clusters(
