@@ -77,6 +77,7 @@ def k_hop_neighbors(
     start_ids: list,
     k: int,
     directed: bool = True,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """General bounded traversal (the Gremlin `repeat(out()).times(k)`
     family behind Q19's endpoint — StreamExecutor.scala:37-41): BFS
@@ -96,11 +97,19 @@ def k_hop_neighbors(
     spark = edges.sparkSession
     from pyspark.sql import types as T
 
+    # per-level exchanges pinned to an explicit vertex-scaled partition
+    # count (same rationale as connected_components: the frontier/
+    # visited tables are vertex-dim-sized, and a driver loop schedules
+    # stages per LEVEL, so inheriting a corpus-tuned
+    # spark.sql.shuffle.partitions turns each level into hundreds of
+    # near-empty tasks under a default-conf session)
+    n = num_partitions or spark.sparkContext.defaultParallelism
     e = edges.select("src", "dst")
     if not directed:
         e = e.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+    e = e.repartition(n, "src").persist()
     schema = T.StructType(
         [
             T.StructField("id", edges.schema["src"].dataType),
@@ -114,8 +123,9 @@ def k_hop_neighbors(
         nxt = (
             frontier.join(e, frontier.id == e.src)
             .select(F.col("dst").alias("id"))
+            .repartition(n, "id")
             .distinct()
-            .join(visited, "id", "left_anti")
+            .join(visited.repartition(n, "id"), "id", "left_anti")
             .withColumn("hops", F.lit(level))
             .persist()
         )
@@ -134,6 +144,7 @@ def k_hop_neighbors(
         if len(retired) > 2:
             retired.pop(0).unpersist(blocking=False)
         frontier = nxt
+    e.unpersist(blocking=False)
     return visited
 
 
