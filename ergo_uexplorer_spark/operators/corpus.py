@@ -120,6 +120,36 @@ def repetition_stats(
     )
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions → (doc_id, status) with
+    status ∈ {added, removed, changed, unchanged} — the incremental-
+    refresh primitive (recrawl vs previous snapshot: what must be
+    re-deduped/re-scored, what can be dropped, what carries over).
+
+    One full-outer hash join on the id with md5 content comparison; the
+    texts themselves never shuffle (each side projects to (id, md5)
+    before the join)."""
+    o = old.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("old_md5")
+    )
+    nw = new.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("new_md5")
+    )
+    return o.join(nw, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") != F.col("new_md5"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 40,

@@ -422,6 +422,44 @@ def z11_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_ngrams(docs, n=3, min_docs=5)
 
 
+@register(
+    "z19_corpus_diff",
+    sql="""
+    WITH old AS (SELECT doc_id, md5(text) AS old_md5 FROM documents
+                 WHERE doc_id % 10 <> 0),
+    new AS (SELECT doc_id,
+                   md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                            ELSE text END) AS new_md5
+            FROM documents WHERE doc_id % 11 <> 3)
+    SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old_md5 IS NULL THEN 'added'
+                WHEN new_md5 IS NULL THEN 'removed'
+                WHEN old_md5 <> new_md5 THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """,
+    survey_ref="LLM-pipeline: snapshot diff (incremental corpus refresh)",
+    tags=("curation", "join"),
+    bench=True,
+)
+def z19_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic snapshot views of the same table simulate a
+    recrawl: the old snapshot lacks every 10th doc (→ added), the new
+    one lacks doc_id % 11 == 3 (→ removed) and revises doc_id % 7 == 0
+    (→ changed)."""
+    from ..operators.corpus import corpus_diff
+
+    (docs,) = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 11 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
 # mixture planning: 5 head sources get 10% target share each, the tail
 # sources 3% each — per-source sampling rates for the largest total the
 # corpus serves without upsampling (DoReMi-static / Pile-style mixing)
