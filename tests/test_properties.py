@@ -160,6 +160,38 @@ def test_minhash_lsh_recall_on_planted_near_dups(spark):
     assert found <= exact
 
 
+def test_chunking_coverage_properties(spark):
+    """Sliding-window chunking invariants for every doc length 0..90:
+    chunk count = ceil(n/stride) (0 for empty docs), chunk ids are the
+    dense sequence 0..k-1, every chunk except possibly the last is full
+    (min(chunk_tokens, n - start) tokens), and the windows jointly cover
+    all n token positions."""
+    import math
+
+    from ergo_uexplorer_spark.operators.corpus import chunk_documents
+
+    C, S = 40, 30
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"w{i}" for i in range(n))) for n in range(0, 91)],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=C, stride=S).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for n in range(0, 91):
+        chunks = sorted(by_doc.get(n, []), key=lambda r: r["chunk_id"])
+        assert len(chunks) == (math.ceil(n / S) if n else 0), (n, chunks)
+        covered = set()
+        for j, c in enumerate(chunks):
+            assert c["chunk_id"] == j
+            start = j * S
+            assert c["n_chunk_tokens"] == min(C, n - start)
+            covered |= set(range(start, start + c["n_chunk_tokens"]))
+        if n:
+            assert covered == set(range(n)), n
+
+
 def test_duplicate_spans_finds_planted_passage(spark):
     """A passage copied into an otherwise-unique document is found with
     the exact start offsets and run length, while whole-doc Jaccard at
