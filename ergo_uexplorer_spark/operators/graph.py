@@ -373,6 +373,9 @@ def pagerank_int(
     init: int = 1_000_000,
     broadcast_tables: bool = True,
     checkpoint_every: int = 3,
+    dangling: bool = False,
+    early_stop: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in INTEGER arithmetic → (id, rank).
 
@@ -398,6 +401,23 @@ def pagerank_int(
     contribution groupBy); pass False when the node dimension itself
     exceeds the broadcast budget, and pre-partition edges by src so
     every round reuses one shuffle layout.
+
+    `dangling=True` redistributes dangling mass instead of dropping it
+    (the at-scale-correct form: on real graphs a large rank fraction
+    sits on sink nodes): each round the summed rank of out-degree-0
+    nodes D is shared uniformly — every node additionally receives
+    `damp·D div damp_den div N`. Both the sum and the share are exact
+    int64 ops, so the oracle property is preserved. Costs one
+    node-dim anti-join + scalar agg per round (O(1) driver traffic).
+
+    `early_stop=True` detects the exact fixpoint: integer truncation
+    quantizes ranks, so iteration reaches a stationary vector in
+    finitely many rounds; once Σ|rankᵢ₊₁ − rankᵢ| = 0 every further
+    round is the identity, and stopping early provably equals running
+    all `iters` rounds — which is what keeps a fixed-round SQL oracle
+    valid against a convergence-stopped engine. Costs one node-dim
+    join + scalar agg per round. `stats` (optional dict) receives
+    `{"rounds": r, "converged": bool}` for callers/tests.
     """
     e = edges.select("src", "dst").distinct().persist()
     nodes = (
@@ -413,8 +433,24 @@ def pagerank_int(
     def maybe_b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_tables else df
 
+    n_nodes = nodes.count() if dangling else 0
     ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
+    rounds_run, converged = 0, False
     for it in range(iters):
+        if dangling:
+            # dangling mass = Σ rank over nodes with no out-edge; the
+            # anti-join is node-dim-sized and the result ONE scalar, so
+            # python-int `//` (≡ SQL `div` on non-negatives) keeps the
+            # share exact and engine-identical.
+            dm = (
+                ranks.join(deg, ranks.id == deg.src, "left_anti")
+                .agg(F.sum("rank"))
+                .first()[0]
+                or 0
+            )
+            share = damp_num * dm // damp_den // n_nodes
+        else:
+            share = 0
         contrib = (
             e.join(maybe_b(ranks), e.src == ranks.id)
             .join(maybe_b(deg), "src")
@@ -425,11 +461,11 @@ def pagerank_int(
                 ),
             )
         )
-        ranks = nodes.join(
+        new_ranks = nodes.join(
             contrib.groupBy("id").agg(F.sum("c").alias("s")), "id", "left"
         ).select(
             "id",
-            (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+            (F.lit(base + share) + F.coalesce(F.col("s"), F.lit(0)))
             .cast("long")
             .alias("rank"),
         )
@@ -440,10 +476,29 @@ def pagerank_int(
         # checkpoint_every=0 disables truncation (plan-inspection /
         # tiny-graph use only — plan depth then grows with iters).
         if checkpoint_every and (
-            it % checkpoint_every == checkpoint_every - 1 or it == iters - 1
+            it % checkpoint_every == checkpoint_every - 1
+            or it == iters - 1
+            or early_stop
         ):
-            ranks = ranks.localCheckpoint(eager=True)
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        rounds_run = it + 1
+        if early_stop:
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "id")
+                .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
+                .first()[0]
+            )
+            ranks = new_ranks
+            if delta == 0:
+                converged = True
+                break
+        else:
+            ranks = new_ranks
     e.unpersist(blocking=False)
+    if stats is not None:
+        stats["rounds"] = rounds_run
+        stats["converged"] = converged
     return ranks
 
 

@@ -339,6 +339,82 @@ def z08_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(fwd.unionByName(back), iters=_Z08_ITERS)
 
 
+# --------------------------------------------------------------------------
+# z20: PageRank, the at-scale form — dangling-mass redistribution +
+# convergence-detected early stop. Same z08 graph (suppliers with no
+# returned goods are genuine sinks, so dangling mass is exercised).
+# Oracle validity with early stop: integer truncation quantizes ranks,
+# so the iteration hits an EXACT fixpoint; past it every round is the
+# identity, so the engine stopping at round k ≤ K equals the oracle's
+# fixed K rounds bit-for-bit. The dangling share (damp·D div den div N)
+# is exact int64 on both engines.
+# --------------------------------------------------------------------------
+_Z20_ITERS = 8
+
+
+def _z20_sql(iters: int = _Z20_ITERS) -> str:
+    ctes = [
+        _Z08_EDGES_SQL,
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "nc AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""d{k} AS (
+      SELECT COALESCE(SUM(r.rank), 0) AS dm
+      FROM r{k - 1} r LEFT JOIN deg g ON g.src = r.id
+      WHERE g.src IS NULL
+    )"""
+        )
+        ctes.append(
+            f"""r{k} AS (
+      SELECT n.id,
+             CAST(150000
+                  + (SELECT 85 * dm // 100 // (SELECT n FROM nc) FROM d{k})
+                  + COALESCE(SUM(85 * p.rank // 100 // d.outdeg), 0)
+                  AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.id
+      LEFT JOIN r{k - 1} p ON p.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.id
+    )"""
+        )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT id, rank FROM r{iters}"
+
+
+@register(
+    "z20_pagerank_dangling",
+    sql=_z20_sql(),
+    survey_ref="Q19 family: PageRank w/ dangling mass + convergence stop",
+    tags=("graph", "iterative"),
+    bench=True,
+)
+def z20_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_int
+
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    ol = orders.filter(F.col("o_custkey") < 300).join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    )
+    fwd = ol.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    back = ol.filter(F.col("l_returnflag") == "R").select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    return pagerank_int(
+        fwd.unionByName(back),
+        iters=_Z20_ITERS,
+        dangling=True,
+        early_stop=True,
+    )
+
+
 @register(
     "z07_cube_summary",
     sql="""

@@ -197,6 +197,66 @@ def test_pagerank_int_invariants(spark):
     assert r == r2
 
 
+def test_pagerank_dangling_redistribution(spark):
+    """a→b with b a sink, N=2, hand-computed round 1: dangling mass
+    D = rank(b) = 1e6, share = 85·D div 100 div 2 = 425000; a gets
+    base+share = 575000, b gets base+share+85·1e6 div 100 = 1425000."""
+    from ergo_uexplorer_spark.operators.graph import pagerank_int
+
+    g = spark.createDataFrame([("a", "b")], "src string, dst string")
+    r = {
+        x["id"]: x["rank"]
+        for x in pagerank_int(g, iters=1, dangling=True).collect()
+    }
+    assert r == {"a": 575_000, "b": 1_425_000}
+    # round 2: D = 1425000 → share = 605625; a = 755625,
+    # b = 150000 + 605625 + 85·575000 div 100 = 1244375
+    r = {
+        x["id"]: x["rank"]
+        for x in pagerank_int(g, iters=2, dangling=True).collect()
+    }
+    assert r == {"a": 755_625, "b": 1_244_375}
+
+
+def test_pagerank_early_stop_matches_fixed_iters(spark):
+    """Early stop is sound because post-fixpoint rounds are identity:
+    a convergence-stopped run equals the full fixed-round run exactly,
+    and on a DAG chain the integer iteration reaches its fixpoint in a
+    handful of rounds (stats prove the stop actually fired)."""
+    from ergo_uexplorer_spark.operators.graph import pagerank_int
+
+    chain = spark.createDataFrame(
+        [("src1", "mid"), ("mid", "sink")], "src string, dst string"
+    )
+    s: dict = {}
+    full = {
+        x["id"]: x["rank"] for x in pagerank_int(chain, iters=30).collect()
+    }
+    stopped = {
+        x["id"]: x["rank"]
+        for x in pagerank_int(
+            chain, iters=30, early_stop=True, stats=s
+        ).collect()
+    }
+    assert stopped == full
+    assert s["converged"] and s["rounds"] < 30
+
+    # dangling + early_stop: identical to the fixed-round dangling run
+    # whether or not the fixpoint arrives inside the budget
+    g = spark.createDataFrame([("a", "b")], "src string, dst string")
+    fixed = {
+        x["id"]: x["rank"]
+        for x in pagerank_int(g, iters=8, dangling=True).collect()
+    }
+    es = {
+        x["id"]: x["rank"]
+        for x in pagerank_int(
+            g, iters=8, dangling=True, early_stop=True
+        ).collect()
+    }
+    assert es == fixed
+
+
 def test_connected_components_basic(spark):
     """Path, triangle, and a long chain converge to min-id components
     (hash-min propagation, O(diameter) rounds)."""
