@@ -253,8 +253,9 @@ def minhash_signatures(sh_hashed: DataFrame) -> DataFrame:
     return hm.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidates(sig: DataFrame) -> DataFrame:
-    """Banded LSH candidate pairs (doc_a < doc_b) from minhash signatures."""
+def banded_signatures(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bsig) banded minhash rows — the LSH bucket key.
+    Pure projection (a 4-way union of column slices), no shuffle."""
     bands = []
     for bi in range(LSH_BANDS):
         cols = [f"mh{bi * LSH_ROWS + r}" for r in range(LSH_ROWS)]
@@ -265,7 +266,12 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
                 F.concat_ws("-", *cols).alias("bsig"),
             )
         )
-    allb = reduce(DataFrame.unionByName, bands)
+    return reduce(DataFrame.unionByName, bands)
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Banded LSH candidate pairs (doc_a < doc_b) from minhash signatures."""
+    allb = banded_signatures(sig)
     a, b = allb.alias("a"), allb.alias("b")
     return (
         a.join(
@@ -332,6 +338,99 @@ def minhash_lsh_pairs(
     )
     out = verified.join(cand, ["doc_a", "doc_b"], "left_semi")
     return materialize_and_release(out, sh) if release else out
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num: int = 4,
+    den: int = 5,
+    release: bool = True,
+) -> DataFrame:
+    """Screen an INCOMING batch against an EXISTING corpus: for every new
+    document, find whether some base document is a near-dup (n-gram
+    Jaccard ≥ num/den, MinHash-LSH candidates, exact verify) →
+    (doc_id, dup_of, keep) over the new batch, dup_of = the smallest
+    matching base id.
+
+    This is the corpus-refresh primitive `minhash_lsh_pairs` (one-shot,
+    within-corpus) doesn't cover: a crawl refresh dedups the NEW slice
+    against 100 TB of already-accepted data without re-pairing the base
+    corpus against itself. The band join is strictly cross-side
+    (new ⋈ base on (band, bsig)), so base×base collisions — the bulk of
+    the bucket volume — are never generated; verification touches only
+    collided pairs, and the base side contributes exactly its banded
+    signature projection plus the candidate docs' shingle sets. At scale
+    the base signatures are a precomputed artifact written at accept
+    time (one narrow table, NUM_HASHES longs per doc) and this function
+    takes them as-is; here they're derived inline so the operator is
+    self-contained over the driver tables.
+    """
+    sh_new = hashed_shingle_sets(new_docs, id_col, text_col, n)
+    sh_base = hashed_shingle_sets(base_docs, id_col, text_col, n)
+    if release:
+        # staged execution, same rationale as minhash_lsh_pairs: the
+        # signature/candidate stages are doc-dim/collision-sized
+        sh_new, sh_base = sh_new.persist(), sh_base.persist()
+        sig_new = minhash_signatures(sh_new).localCheckpoint(eager=True)
+        sig_base = minhash_signatures(sh_base).localCheckpoint(eager=True)
+    else:
+        sig_new, sig_base = (
+            minhash_signatures(sh_new),
+            minhash_signatures(sh_base),
+        )
+    bn = banded_signatures(sig_new).select(
+        F.col("doc_id").alias("new_id"), "band", "bsig"
+    )
+    bb = banded_signatures(sig_base).select(
+        F.col("doc_id").alias("base_id"), "band", "bsig"
+    )
+    cand = bn.join(bb, ["band", "bsig"]).select("new_id", "base_id").distinct()
+    if release:
+        cand = cand.localCheckpoint(eager=True)
+    a = sh_new.join(
+        cand.select(F.col("new_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    ).alias("a")
+    b = sh_base.join(
+        cand.select(F.col("base_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    ).alias("b")
+    shared = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .groupBy(
+            F.col("a.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("base_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    nb = sh_base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    verified = (
+        shared.join(cand, ["new_id", "base_id"], "left_semi")
+        .join(na.withColumnRenamed("doc_id", "new_id"), "new_id")
+        .join(nb.withColumnRenamed("doc_id", "base_id"), "base_id")
+        .filter(
+            F.lit(den) * F.col("shared")
+            >= F.lit(num) * (F.col("na") + F.col("nb") - F.col("shared"))
+        )
+        .select("new_id", "base_id")
+    )
+    out = (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .join(
+            verified.groupBy("new_id").agg(F.min("base_id").alias("dup_of")),
+            F.col("doc_id") == F.col("new_id"),
+            "left",
+        )
+        .select("doc_id", "dup_of", F.col("dup_of").isNull().alias("keep"))
+    )
+    return materialize_and_release(out, sh_new, sh_base) if release else out
 
 
 # ---------------------------------------------------------------------------

@@ -331,3 +331,90 @@ def z18_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_b").cast("bigint").alias("start_b"),
         "run_len",
     )
+
+
+# --------------------------------------------------------------------------
+# z21: incremental dedup — the corpus-refresh primitive: screen a new
+# batch (20% deterministic hash slice) against the accepted base corpus
+# (the other 80%) with cross-side-only MinHash-LSH banding + exact
+# verification. d03 is the one-shot within-corpus form; this is the one
+# a crawl refresh actually runs, where base×base pairs must never be
+# generated. (z-name: sorts after the driver's first-50 window.)
+# --------------------------------------------------------------------------
+_INCR_SALT = "incr-v1"
+_INCR_RATE = 200  # permille of docs on the "incoming batch" side
+
+
+def _incr_side_ctes(side: str, pred: str) -> str:
+    """Shingle/count/signature/band CTEs for one side (suffix N or B),
+    sharing every constant with operators/dedup.py."""
+    mh_cols = ", ".join(
+        f"min(({D.MINHASH_A[i]} * hm + {D.MINHASH_B[i]}) % {D.MINHASH_PRIME}) AS mh{i}"
+        for i in range(D.NUM_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('-', {cols}) AS bsig FROM sig{s}".format(
+            b=bi,
+            s=side,
+            cols=", ".join(f"mh{bi * D.LSH_ROWS + r}" for r in range(D.LSH_ROWS)),
+        )
+        for bi in range(D.LSH_BANDS)
+    )
+    return f"""
+    docs{side} AS (SELECT * FROM documents WHERE {pred}),
+    toks{side} AS (SELECT doc_id, {_TOKS} AS t FROM docs{side}),
+    sh{side}0 AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks{side}),
+    hs{side} AS (SELECT DISTINCT doc_id, {SQL_HASH.format(col='s')} AS h FROM sh{side}0),
+    nc{side} AS (SELECT doc_id, count(*) AS nn FROM hs{side} GROUP BY doc_id),
+    hm{side} AS (SELECT doc_id, h % {D.MINHASH_PRIME} AS hm FROM hs{side}),
+    sig{side} AS (SELECT doc_id, {mh_cols} FROM hm{side} GROUP BY doc_id),
+    bands{side} AS ({band_rows})"""
+
+
+def _incremental_sql() -> str:
+    from ..operators.curation import sql_sample_bucket
+
+    bucket = sql_sample_bucket("doc_id", _INCR_SALT)
+    return f"""
+    WITH {_incr_side_ctes("N", f"{bucket} < {_INCR_RATE}")},
+    {_incr_side_ctes("B", f"{bucket} >= {_INCR_RATE}")},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS base_id
+      FROM bandsN a JOIN bandsB b ON a.band = b.band AND a.bsig = b.bsig
+    ),
+    pairs0 AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS base_id, count(*) AS shared
+      FROM hsN a JOIN hsB b ON a.h = b.h
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT p.new_id, p.base_id
+      FROM pairs0 p
+      JOIN cand c ON p.new_id = c.new_id AND p.base_id = c.base_id
+      JOIN ncN x ON p.new_id = x.doc_id
+      JOIN ncB y ON p.base_id = y.doc_id
+      WHERE 5 * p.shared >= 4 * (x.nn + y.nn - p.shared)
+    )
+    SELECT d.doc_id,
+           CAST(min(v.base_id) AS BIGINT) AS dup_of,
+           min(v.base_id) IS NULL AS keep
+    FROM docsN d LEFT JOIN verified v ON d.doc_id = v.new_id
+    GROUP BY d.doc_id
+    """
+
+
+@register(
+    "z21_incremental_dedup",
+    sql=_incremental_sql(),
+    survey_ref="LLM-pipeline: incremental dedup (new batch vs base corpus)",
+    tags=("dedup", "sketch", "join"),
+    bench=True,
+)
+def z21_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import sample_bucket
+
+    (docs,) = load(spark, sf_dir, "documents")
+    bucket = sample_bucket(F.col("doc_id"), _INCR_SALT)
+    new_docs = docs.filter(bucket < _INCR_RATE)
+    base_docs = docs.filter(bucket >= _INCR_RATE)
+    return D.incremental_dedup(new_docs, base_docs, num=4, den=5)

@@ -160,6 +160,44 @@ def test_minhash_lsh_recall_on_planted_near_dups(spark):
     assert found <= exact
 
 
+def test_incremental_dedup_planted_and_cross_side_equivalence(spark):
+    """incremental_dedup: a planted near-dup of a BASE doc is dropped
+    with dup_of pointing at it, fresh docs keep, and — because minhash
+    signatures/bands are per-doc (corpus-independent) — its verified
+    matches equal the cross-side slice of the full-corpus
+    minhash_lsh_pairs run exactly."""
+    from ergo_uexplorer_spark.operators.dedup import incremental_dedup
+
+    base_text = " ".join(f"w{i}" for i in range(200))
+    base_docs = [(100, base_text)] + [
+        (110 + i, " ".join(f"b{i}_{j}" for j in range(60))) for i in range(4)
+    ]
+    new_docs = [
+        (1, base_text.replace("w100", "q100")),  # near-dup of base 100
+        (2, " ".join(f"n2_{j}" for j in range(60))),  # fresh
+        (3, " ".join(f"n3_{j}" for j in range(60))),  # fresh
+    ]
+    nd = spark.createDataFrame(new_docs, "doc_id long, text string")
+    bd = spark.createDataFrame(base_docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in incremental_dedup(nd, bd).collect()}
+    assert set(got) == {1, 2, 3}
+    assert not got[1]["keep"] and got[1]["dup_of"] == 100
+    assert got[2]["keep"] and got[2]["dup_of"] is None
+    assert got[3]["keep"] and got[3]["dup_of"] is None
+
+    # cross-side equivalence vs the one-shot full-corpus run
+    full = minhash_lsh_pairs(nd.unionByName(bd), num=4, den=5).collect()
+    cross = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+        for r in full
+        if (r["doc_a"] < 100) != (r["doc_b"] < 100)
+    }
+    incr = {
+        (r["doc_id"], r["dup_of"]) for r in got.values() if r["dup_of"]
+    }
+    assert incr == cross
+
+
 def test_chunking_coverage_properties(spark):
     """Sliding-window chunking invariants for every doc length 0..90:
     chunk count = ceil(n/stride) (0 for empty docs), chunk ids are the
