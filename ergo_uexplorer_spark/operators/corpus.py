@@ -213,6 +213,86 @@ def boilerplate_ngrams(
     )
 
 
+def quality_floor_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    stopwords: tuple[str, ...] | None = None,
+    q_num: int = 1,
+    q_den: int = 4,
+) -> DataFrame:
+    """Per-group quality-quantile floor (the FineWeb-style "drop the
+    worst quarter of each source" curation gate): score every document
+    by stopword density in permille (integer: n_stop·1000 div n_tokens),
+    compute each group's rank-based q-th percentile floor, and keep the
+    documents at or above their group's floor → (doc_id, group, score,
+    floor). Zero-token documents score nothing and are dropped.
+
+    The floor is rank-based, not interpolated: the smallest score whose
+    cumulative count reaches ceil(n·q_num/q_den) — pure integer/order
+    logic, identical in any engine (interpolating percentiles differ
+    between Spark and DuckDB).
+
+    Scale shape: the score domain is bounded (0..1000 permille), so the
+    floor comes from a (group, score) COUNT table — map-side-combinable,
+    ≤ 1001 rows per group — and a cumulative window over that tiny
+    table. The corpus itself is never sorted and never windows by group
+    (a giant source would single-task such a window); the per-group
+    floors broadcast back into the filter.
+    """
+    from .textops import STOPWORDS
+
+    stop_arr = F.array(
+        *[F.lit(w) for w in (stopwords or tuple(STOPWORDS["en"]))]
+    )
+    tok = F.col("t")
+    scored = (
+        docs.select(
+            F.col(id_col),
+            F.col(group_col),
+            T.tokens(F.col(text_col)).alias("t"),
+        )
+        .filter(F.size(tok) > 0)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.size(
+                F.filter(tok, lambda x: F.array_contains(stop_arr, x))
+            ).alias("n_stop"),
+            F.size(tok).alias("n_tokens"),
+        )
+        .withColumn("score", F.expr("n_stop * 1000 div n_tokens"))
+        .select(id_col, group_col, "score")
+    )
+    counts = scored.groupBy(group_col, "score").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(group_col)
+    floors = (
+        counts.withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("n", F.sum("c").over(wall))
+        .filter(
+            F.col("cum")
+            >= F.expr(f"(n * {q_num} + {q_den - 1}) div {q_den}")
+        )
+        .groupBy(group_col)
+        .agg(F.min("score").alias("floor"))
+    )
+    return (
+        scored.join(F.broadcast(floors), group_col)
+        .filter(F.col("score") >= F.col("floor"))
+        .select(id_col, group_col, "score", "floor")
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

@@ -538,3 +538,47 @@ def x09_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(T.scrub_patterns(F.col("text"))).alias("scrubbed_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# z22: per-source quality-quantile floor — the "drop the worst quarter of
+# each source" curation gate. Rank-based percentile (smallest score whose
+# cumulative count reaches ceil(n/4)) over the bounded permille score
+# domain, so the floor is integer/order logic identical in both engines —
+# interpolating percentile functions differ between Spark and DuckDB and
+# never appear. (z-name: sorts after the driver's first-50 window.)
+# --------------------------------------------------------------------------
+@register(
+    "z22_quality_floor",
+    sql=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(list_filter(t, x -> list_contains({_EN_STOP}, x)))
+               * 1000 // len(t) AS score
+      FROM (SELECT doc_id, source, {_TOKS} AS t FROM documents)
+      WHERE len(t) > 0
+    ),
+    counts AS (SELECT source, score, count(*) AS c FROM scored GROUP BY 1, 2),
+    cum AS (
+      SELECT source, score,
+             sum(c) OVER (PARTITION BY source ORDER BY score) AS cum,
+             sum(c) OVER (PARTITION BY source) AS n
+      FROM counts
+    ),
+    floors AS (
+      SELECT source, min(score) AS floor
+      FROM cum WHERE cum >= (n * 1 + 3) // 4 GROUP BY source
+    )
+    SELECT s.doc_id, s.source, s.score, f.floor
+    FROM scored s JOIN floors f USING (source)
+    WHERE s.score >= f.floor
+    """,
+    survey_ref="LLM-pipeline: per-source quality-quantile floor filter",
+    tags=("text", "curation", "agg"),
+    bench=True,
+)
+def z22_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import quality_floor_filter
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return quality_floor_filter(docs, stopwords=tuple(_EN_STOP))

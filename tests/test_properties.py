@@ -198,6 +198,33 @@ def test_incremental_dedup_planted_and_cross_side_equivalence(spark):
     assert incr == cross
 
 
+def test_quality_floor_filter_hand_computed(spark):
+    """Rank-based floor on controlled scores: 8 docs per group scoring
+    k·100 permille (k thes out of 10 tokens) → rank ceil(8/4)=2 →
+    floor=100; exactly the score-0 doc drops. A second group with all-
+    equal scores keeps everything (floor == the only score)."""
+    from ergo_uexplorer_spark.operators.corpus import quality_floor_filter
+
+    rows = []
+    for k in range(8):
+        text = " ".join(["the"] * k + [f"g{k}w{j}" for j in range(10 - k)])
+        rows.append((k, text, "a"))
+    for k in range(4):
+        text = " ".join(["the", "the"] + [f"h{k}w{j}" for j in range(8)])
+        rows.append((100 + k, text, "b"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in quality_floor_filter(docs, stopwords=("the",)).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7, 100, 101, 102, 103}
+    assert all(r["floor"] == 100 for r in got.values() if r["source"] == "a")
+    assert all(r["floor"] == 200 for r in got.values() if r["source"] == "b")
+    assert got[3]["score"] == 300
+
+
 def test_chunking_coverage_properties(spark):
     """Sliding-window chunking invariants for every doc length 0..90:
     chunk count = ceil(n/stride) (0 for empty docs), chunk ids are the
