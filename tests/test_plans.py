@@ -162,6 +162,37 @@ def test_pagerank_round_broadcasts_rank_table(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_incremental_dedup_plan_is_bucketed(spark):
+    """z21: cross-side candidate generation must be an equi-join on
+    (band, bsig) — no cartesian / nested-loop anywhere, same gate as the
+    one-shot near-dup family (release=False exposes the live plan)."""
+    from ergo_uexplorer_spark.operators.curation import sample_bucket
+    from ergo_uexplorer_spark.operators.dedup import incremental_dedup
+    from ergo_uexplorer_spark.plans.explain import formatted_plan
+    from ergo_uexplorer_spark.suite.base import load
+    from ergo_uexplorer_spark.suite.dedup import _INCR_RATE, _INCR_SALT
+
+    (docs,) = load(spark, SF_DIR, "documents")
+    bucket = sample_bucket(F.col("doc_id"), _INCR_SALT)
+    df = incremental_dedup(
+        docs.filter(bucket < _INCR_RATE),
+        docs.filter(bucket >= _INCR_RATE),
+        release=False,
+    )
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_floor_broadcasts_floors(spark):
+    """z22: the per-group floor table (one row per source) must
+    broadcast back into the keep-filter; the corpus is never sorted
+    (no global Sort outside window-over-counts)."""
+    df = REGISTRY["z22_quality_floor"].fn(spark, SF_DIR)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
 def test_codegen_alive(spark):
     df = REGISTRY["zz_b01_pricing_summary"].fn(spark, SF_DIR)
     assert whole_stage_codegen_spans(df) >= 1
