@@ -325,6 +325,82 @@ def near_dup_pairs_allpairs(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    release: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster-scoped
+    embedding dedup → (vec_id, cell, keep). Each vector is assigned to
+    its nearest coarse centroid (the same quantizer as the IVF index —
+    at scale the assignment is the already-built index, paid once);
+    pairwise cosine runs WITHIN each cell only, and the larger id of any
+    pair ≥ threshold is dropped (deterministic victim, matching the
+    near-dup keep rule in corpus.clean_corpus).
+
+    This is the complementary shape to `near_dup_pairs`: hyperplane-LSH
+    buckets catch high-cosine twins regardless of location, SemDeDup
+    catches semantic redundancy inside data-adaptive clusters. Scale
+    posture: pair generation is an equi-join on the cell id — candidate
+    volume per cell is |cell|² with k cells sized so |cell| ≈ n/k (the
+    paper's k ≈ √n keeps the quadratic term at n^1.5 total, embarrass-
+    ingly parallel per cell), and the global all-pairs product never
+    appears in the plan. Ids-only pairs; vectors travel once into the
+    per-cell join."""
+    cells = (
+        ivf_assign(emb, centroids, id_col, vec_col)
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+            F.col("centroid_id").alias("cell"),
+        )
+        .withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    )
+    if release:
+        cells = cells.persist()
+    a = cells.select(
+        F.col("vid").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+        "cell",
+    )
+    b = cells.select(
+        F.col("vid").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+        "cell",
+    )
+    victims = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("vec_b").alias("vid"))
+        .distinct()
+    )
+    out = (
+        cells.select("vid", "cell")
+        .join(victims.withColumn("dup", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("dup").isNull().alias("keep"),
+        )
+    )
+    if not release:
+        return out
+    from .util import materialize_and_release
+
+    return materialize_and_release(out, cells)
+
+
 def _bucket(vec: Column) -> Column:
     """Sign-bit bucket id from the fixed ±1 hyperplanes."""
     out = F.lit(0)

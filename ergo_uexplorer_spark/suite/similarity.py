@@ -412,3 +412,62 @@ def z02_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _prepared(spark, sf_dir, "ivfpq", build)
+
+
+# --------------------------------------------------------------------------
+# z23: SemDeDup — cluster-scoped semantic dedup: assign every vector to
+# its nearest fixed centroid (the s03 coarse quantizer, rn=1 with the
+# same cos-desc/cell-asc tiebreak), pairwise cosine WITHIN cells only,
+# drop the larger id of any pair ≥ threshold. Complements d05 (location-
+# independent LSH twins) with the SemDeDup cluster scope; the pair
+# cosine is the identical dot/(norm·norm) sequential fold on both
+# engines. (z-name: sorts after the driver's first-50 window.)
+# --------------------------------------------------------------------------
+_SEMDEDUP_T = 0.4  # same rationale as _NEAR_DUP_T on the synthetic data
+
+
+def _semantic_dedup_sql() -> str:
+    values = ",\n      ".join(
+        "({}, [{}]::DOUBLE[])".format(ci, ", ".join(repr(v) for v in cent))
+        for ci, cent in enumerate(S.FIXED_CENTROIDS)
+    )
+    d_ab = _DOT.format(dim=S.EMB_DIM, a="a.v", b="b.v")
+    return f"""
+    WITH cents(cell, cv) AS (VALUES
+      {values}),
+    e AS (SELECT vec_id, embedding AS v,
+                 sqrt({_DOT.format(dim=S.EMB_DIM, a='embedding', b='embedding')}) AS norm
+          FROM embeddings),
+    ranked_cells AS (
+      SELECT vec_id, v, norm, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {_sql_cos('v', 'cv')} DESC, cell ASC) AS rn
+      FROM e CROSS JOIN cents
+    ),
+    asg AS (SELECT vec_id AS vid, v, norm, cell FROM ranked_cells WHERE rn = 1),
+    victims AS (
+      SELECT DISTINCT b.vid
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid < b.vid
+      WHERE {d_ab} / (a.norm * b.norm) >= {_SEMDEDUP_T}
+    )
+    SELECT vid AS vec_id, CAST(cell AS BIGINT) AS cell,
+           vid NOT IN (SELECT vid FROM victims) AS keep
+    FROM asg
+    """
+
+
+@register(
+    "z23_semantic_dedup",
+    sql=_semantic_dedup_sql(),
+    survey_ref="LLM-pipeline: SemDeDup cluster-scoped embedding dedup",
+    tags=("dedup", "similarity"),
+    bench=True,
+)
+def z23_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        (emb,) = load(spark, sf_dir, "embeddings")
+        return S.semantic_dedup(
+            emb, list(S.FIXED_CENTROIDS), threshold=_SEMDEDUP_T
+        )
+
+    return _prepared(spark, sf_dir, "semdedup", build)

@@ -184,6 +184,25 @@ def test_incremental_dedup_plan_is_bucketed(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_dedup_plan_is_cell_scoped(spark):
+    """z23: within-cell pairing must be an equi-join on the cell id —
+    no cartesian / nested-loop product over the vector table."""
+    from ergo_uexplorer_spark.operators.similarity import (
+        FIXED_CENTROIDS,
+        semantic_dedup,
+    )
+    from ergo_uexplorer_spark.plans.explain import formatted_plan
+    from ergo_uexplorer_spark.suite.base import load
+
+    (emb,) = load(spark, SF_DIR, "embeddings")
+    df = semantic_dedup(
+        emb, list(FIXED_CENTROIDS), threshold=0.4, release=False
+    )
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_quality_floor_broadcasts_floors(spark):
     """z22: the per-group floor table (one row per source) must
     broadcast back into the keep-filter; the corpus is never sorted

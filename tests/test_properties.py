@@ -198,6 +198,35 @@ def test_incremental_dedup_planted_and_cross_side_equivalence(spark):
     assert incr == cross
 
 
+def test_semantic_dedup_planted_clusters(spark):
+    """SemDeDup semantics on hand-built 4-dim vectors: near-identical
+    twins in the same cell drop the larger id; a vector whose cosine to
+    another EXCEEDS the threshold but whose nearest centroid differs is
+    kept (cluster-scoped, not global) — the property that separates
+    SemDeDup from near_dup_pairs."""
+    from ergo_uexplorer_spark.operators.similarity import semantic_dedup
+
+    cents = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]]
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.01]),  # cell 0
+        (2, [1.0, 0.0, 0.0, 0.02]),  # cell 0, cos(1,2) ≈ 0.9997 → dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),   # cell 1, alone → kept
+        (4, [0.8, 0.0, 1.0, 0.0]),   # cell 2; cos(1,4) ≈ 0.62 > T but
+                                      # different cell → kept
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, cents, threshold=0.5).collect()
+    }
+    assert got[1]["keep"] and got[1]["cell"] == 0
+    assert not got[2]["keep"] and got[2]["cell"] == 0
+    assert got[3]["keep"] and got[3]["cell"] == 1
+    assert got[4]["keep"] and got[4]["cell"] == 2
+
+
 def test_quality_floor_filter_hand_computed(spark):
     """Rank-based floor on controlled scores: 8 docs per group scoring
     k·100 permille (k thes out of 10 tokens) → rank ceil(8/4)=2 →
