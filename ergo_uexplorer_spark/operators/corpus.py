@@ -213,6 +213,44 @@ def boilerplate_ngrams(
     )
 
 
+def _stopword_scored(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords: tuple[str, ...] | None,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, *extra_cols, score, n_tokens) with score = stopword
+    density in permille (integer n_stop·1000 div n_tokens); zero-token
+    docs are dropped. The bounded 0..1000 score domain is what makes the
+    downstream percentile/budget logic shuffle only a tiny (score,
+    count) table instead of sorting the corpus."""
+    from .textops import STOPWORDS
+
+    stop_arr = F.array(
+        *[F.lit(w) for w in (stopwords or tuple(STOPWORDS["en"]))]
+    )
+    tok = F.col("t")
+    return (
+        docs.select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            T.tokens(F.col(text_col)).alias("t"),
+        )
+        .filter(F.size(tok) > 0)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            F.size(
+                F.filter(tok, lambda x: F.array_contains(stop_arr, x))
+            ).alias("n_stop"),
+            F.size(tok).alias("n_tokens"),
+        )
+        .withColumn("score", F.expr("n_stop * 1000 div n_tokens"))
+        .select(id_col, *extra_cols, "score", "n_tokens")
+    )
+
+
 def quality_floor_filter(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -241,30 +279,9 @@ def quality_floor_filter(
     (a giant source would single-task such a window); the per-group
     floors broadcast back into the filter.
     """
-    from .textops import STOPWORDS
-
-    stop_arr = F.array(
-        *[F.lit(w) for w in (stopwords or tuple(STOPWORDS["en"]))]
-    )
-    tok = F.col("t")
-    scored = (
-        docs.select(
-            F.col(id_col),
-            F.col(group_col),
-            T.tokens(F.col(text_col)).alias("t"),
-        )
-        .filter(F.size(tok) > 0)
-        .select(
-            F.col(id_col),
-            F.col(group_col),
-            F.size(
-                F.filter(tok, lambda x: F.array_contains(stop_arr, x))
-            ).alias("n_stop"),
-            F.size(tok).alias("n_tokens"),
-        )
-        .withColumn("score", F.expr("n_stop * 1000 div n_tokens"))
-        .select(id_col, group_col, "score")
-    )
+    scored = _stopword_scored(
+        docs, id_col, text_col, stopwords, extra_cols=(group_col,)
+    ).select(id_col, group_col, "score")
     counts = scored.groupBy(group_col, "score").agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -290,6 +307,92 @@ def quality_floor_filter(
         scored.join(F.broadcast(floors), group_col)
         .filter(F.col("score") >= F.col("floor"))
         .select(id_col, group_col, "score", "floor")
+    )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_permille: int = 600,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Greedy token-budget corpus selection: take whole documents in
+    (quality score DESC, doc_id ASC) priority order while the running
+    token total stays within B = total_tokens·budget_permille div 1000 —
+    "fill the training budget with the best data first". Returns the
+    kept docs as (doc_id, score, n_tokens); a document is kept iff its
+    inclusive running total ≤ B, so the boundary score group is taken
+    partially in doc_id order.
+
+    Scale shape: the naive form is a GLOBAL sort + cumulative window —
+    a single-task scan at 100 TB. Here the bounded permille score domain
+    decomposes it exactly: a (score → Σtokens) table (≤ 1001 rows,
+    map-side partials) yields the boundary score and its remaining
+    budget; every doc above the boundary is kept by a broadcast-joined
+    filter, and only the ONE boundary score group runs a cumulative
+    window (partitioned on the score value; its size is the score tie
+    class, not the corpus). Equality with the naive definition is exact:
+    inclusive_cum(doc) = tokens_above(score) + within-group inclusive
+    cumsum."""
+    from pyspark.sql import Window
+
+    scored = _stopword_scored(docs, id_col, text_col, stopwords)
+    per_score = scored.groupBy("score").agg(
+        F.sum("n_tokens").alias("tok")
+    )
+    # ≤1001 rows: the descending cumulative runs on a single tiny task
+    wdesc = (
+        Window.orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cuts = per_score.withColumn("cum", F.sum("tok").over(wdesc)).withColumn(
+        "above", F.col("cum") - F.col("tok")
+    )
+    total = per_score.agg(F.sum("tok").alias("total"))
+    # one row always: (budget B, boundary score or null, budget left at
+    # the boundary). The boundary is the unique score whose cumulative
+    # crosses B; null when the whole corpus fits.
+    cut = (
+        cuts.crossJoin(F.broadcast(total))
+        .withColumn("b", F.expr(f"total * {budget_permille} div 1000"))
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("above") <= F.col("b")) & (F.col("cum") > F.col("b")),
+                    F.col("score"),
+                )
+            ).alias("cutoff"),
+            F.min(
+                F.when(
+                    (F.col("above") <= F.col("b")) & (F.col("cum") > F.col("b")),
+                    F.col("b") - F.col("above"),
+                )
+            ).alias("left_at_cut"),
+            F.min("b").alias("b"),
+        )
+    )
+    sc = scored.crossJoin(F.broadcast(cut))
+    kept_full = sc.filter(
+        F.col("score") > F.coalesce(F.col("cutoff"), F.lit(-1))
+    )
+    wcut = (
+        Window.partitionBy("score")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept_partial = (
+        sc.filter(F.col("score") == F.col("cutoff"))
+        .withColumn("run", F.sum("n_tokens").over(wcut))
+        .filter(F.col("run") <= F.col("left_at_cut"))
+    )
+    out_cols = [
+        F.col(id_col),
+        F.col("score"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    ]
+    return kept_full.select(*out_cols).unionByName(
+        kept_partial.select(*out_cols)
     )
 
 

@@ -582,3 +582,49 @@ def z22_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = load(spark, sf_dir, "documents")
     return quality_floor_filter(docs, stopwords=tuple(_EN_STOP))
+
+
+# --------------------------------------------------------------------------
+# z24: token-budget corpus selection — greedy (score DESC, doc_id ASC)
+# whole-document take while the inclusive running token total fits
+# B = total·600 div 1000. The ORACLE uses the naive global-window
+# definition; the Spark side uses the exact bounded-score-domain
+# decomposition (no corpus sort — see operators/corpus.py), so the
+# parity check proves the decomposition correct every run.
+# (z-name: sorts after the driver's first-50 window.)
+# --------------------------------------------------------------------------
+_BUDGET_PERMILLE = 600
+
+
+@register(
+    "z24_token_budget_select",
+    sql=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(t, x -> list_contains({_EN_STOP}, x)))
+               * 1000 // len(t) AS score,
+             len(t) AS n_tokens
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+      WHERE len(t) > 0
+    ),
+    tot AS (SELECT sum(n_tokens) AS total FROM scored),
+    ord AS (
+      SELECT doc_id, score, n_tokens,
+             sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC) AS cum
+      FROM scored
+    )
+    SELECT doc_id, score, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM ord, tot
+    WHERE cum <= total * {_BUDGET_PERMILLE} // 1000
+    """,
+    survey_ref="LLM-pipeline: greedy token-budget corpus selection",
+    tags=("text", "curation", "window"),
+    bench=True,
+)
+def z24_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import token_budget_select
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return token_budget_select(
+        docs, budget_permille=_BUDGET_PERMILLE, stopwords=tuple(_EN_STOP)
+    )

@@ -198,6 +198,37 @@ def test_incremental_dedup_planted_and_cross_side_equivalence(spark):
     assert incr == cross
 
 
+def test_token_budget_select_hand_computed(spark):
+    """4 docs × 10 tokens, scores 800/600/600/200, budget 600‰ of 40 =
+    24 tokens → greedy keeps doc 1 (cum 10) and doc 2 (cum 20); doc 3
+    ties doc 2's score but crosses the budget (cum 30) and the id order
+    breaks the tie; doc 4 never fits. At 1000‰ (no boundary — the null-
+    cutoff path) everything is kept."""
+    from ergo_uexplorer_spark.operators.corpus import token_budget_select
+
+    def doc(k, n_the):
+        return " ".join(["the"] * n_the + [f"d{k}w{j}" for j in range(10 - n_the)])
+
+    docs = spark.createDataFrame(
+        [(1, doc(1, 8)), (2, doc(2, 6)), (3, doc(3, 6)), (4, doc(4, 2))],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]: r
+        for r in token_budget_select(
+            docs, budget_permille=600, stopwords=("the",)
+        ).collect()
+    }
+    assert set(kept) == {1, 2}
+    assert kept[1]["score"] == 800 and kept[2]["score"] == 600
+    assert all(r["n_tokens"] == 10 for r in kept.values())
+
+    all_kept = token_budget_select(
+        docs, budget_permille=1000, stopwords=("the",)
+    ).collect()
+    assert {r["doc_id"] for r in all_kept} == {1, 2, 3, 4}
+
+
 def test_semantic_dedup_planted_clusters(spark):
     """SemDeDup semantics on hand-built 4-dim vectors: near-identical
     twins in the same cell drop the larger id; a vector whose cosine to
