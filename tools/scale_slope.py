@@ -47,6 +47,18 @@ QUERIES = (
     # iterative-algorithm slope: shared customers + per-copy suppliers
     # grow z08's graph edges ~linearly with the data
     "z08_pagerank",
+    # dangling + early-stop variant: same graph, rounds data-independent
+    "z20_pagerank_dangling",
+    # incremental dedup: disjoint-universe copies keep cross-side
+    # candidate volume ~linear
+    "z21_incremental_dedup",
+    # SemDeDup with a FIXED 128-cell quantizer: within-cell pair volume
+    # grows ~copies² by construction (the paper scales k ~ sqrt(n); the
+    # operator takes centroids as a parameter) — the recorded ratio
+    # documents why k must grow with the corpus, not a plan defect
+    "z23_semantic_dedup",
+    # budget selection: bounded score-domain decomposition → ~linear
+    "z24_token_budget_select",
 )
 
 
