@@ -55,7 +55,10 @@ QUERIES = (
     # SemDeDup with a FIXED 128-cell quantizer: within-cell pair volume
     # grows ~copies² by construction (the paper scales k ~ sqrt(n); the
     # operator takes centroids as a parameter) — the recorded ratio
-    # documents why k must grow with the corpus, not a plan defect
+    # documents why k must grow with the corpus, not a plan defect.
+    # Timed via the raw operator (see _RAW below): the registered entry
+    # caches its prepared plan + checkpointed result, so best-of-2 on it
+    # would time a cache hit.
     "z23_semantic_dedup",
     # budget selection: bounded score-domain decomposition → ~linear
     "z24_token_budget_select",
@@ -143,9 +146,21 @@ def main() -> None:
     if not args.skip_gen:
         generate(spark, args.out, args.copies)
 
+    def _z23_raw(spark, sf_dir):
+        from ergo_uexplorer_spark.operators import similarity as S
+        from ergo_uexplorer_spark.suite.base import load
+        from ergo_uexplorer_spark.suite.similarity import _SEMDEDUP_T
+
+        (emb,) = load(spark, sf_dir, "embeddings")
+        return S.semantic_dedup(
+            emb, list(S.FIXED_CENTROIDS), threshold=_SEMDEDUP_T
+        )
+
+    _RAW = {"z23_semantic_dedup": _z23_raw}
+
     results = {}
     for name in QUERIES:
-        fn = REGISTRY[name].fn
+        fn = _RAW.get(name) or REGISTRY[name].fn
         lo = time_query(
             lambda: fn(spark, SF01).write.format("noop").mode("overwrite").save()
         )
