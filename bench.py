@@ -61,6 +61,22 @@ def _bench_chain_ingest(spark) -> float:
     return dt
 
 
+def _z23_raw(spark, sf_dir):
+    """z23's registered entry caches its prepared plan AND checkpointed
+    result (correct for the driver's repeated-call pattern), so best-of-2
+    on it would time a cache hit. Bench the raw operator instead — each
+    call re-runs assignment + within-cell pairing end to end."""
+    from ergo_uexplorer_spark.operators import similarity as S
+    from ergo_uexplorer_spark.suite.base import load
+    from ergo_uexplorer_spark.suite.similarity import _SEMDEDUP_T
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, list(S.FIXED_CENTROIDS), threshold=_SEMDEDUP_T)
+
+
+_RAW_FN = {"z23_semantic_dedup": _z23_raw}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -88,8 +104,9 @@ def main() -> None:
             if name in errors:
                 continue
             try:
+                fn = _RAW_FN.get(name) or REGISTRY[name].fn
                 t0 = time.perf_counter()
-                REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                fn(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 dt = round(time.perf_counter() - t0, 3)

@@ -396,6 +396,100 @@ def token_budget_select(
     )
 
 
+def source_overlap_matrix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    num: int = 4,
+    den: int = 5,
+) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs (MinHash-LSH +
+    exact verify) aggregated by unordered source pair → (source_a,
+    source_b, n_pairs). This is the diagnostic a multi-crawl pipeline
+    reads before choosing mixture weights: which sources are re-crawls
+    of each other, and how much of a source is internal duplication
+    (the diagonal). Pair volume is the near-dup set — tiny relative to
+    the corpus — so the source labels join onto ids only and the matrix
+    agg is trivially map-side-combinable."""
+    pairs = D.minhash_lsh_pairs(docs, id_col, text_col, num=num, den=den)
+    s = docs.select(F.col(id_col), F.col(source_col).alias("__src"))
+    labeled = (
+        pairs.select("doc_a", "doc_b")
+        .join(
+            s.select(
+                F.col(id_col).alias("doc_a"), F.col("__src").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            s.select(
+                F.col(id_col).alias("doc_b"), F.col("__src").alias("sb")
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def vocab_oov_stats(
+    docs: DataFrame,
+    vocab_size: int = 500,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-based vocabulary construction + per-document OOV rate:
+    vocab = the `vocab_size` tokens with the highest document frequency
+    (ties by term asc), then per document count token OCCURRENCES outside
+    the vocab → (doc_id, n_tokens, n_oov, oov_permille). Zero-token docs
+    produce no row. The tokenizer-coverage diagnostic run before fixing
+    a subword vocab.
+
+    Scale shape: document frequencies shuffle once on the term key
+    (map-side partials over (doc, term)-distinct rows); the top-V rank
+    sorts the VOCABULARY table, never the corpus, and the chosen vocab
+    (V rows) broadcasts into the per-token membership probe, so the
+    corpus-side pass is a narrow projection + broadcast semi-probe with
+    one final per-doc aggregation."""
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        F.col(id_col), F.explode(T.tokens(F.col(text_col))).alias("term")
+    )
+    df_tbl = (
+        terms.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    vocab = (
+        df_tbl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= vocab_size)
+        .select("term")
+    )
+    flagged = terms.join(
+        F.broadcast(vocab.withColumn("in_v", F.lit(1))), "term", "left"
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_v").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_oov"),
+        )
+        .withColumn("oov_permille", F.expr("n_oov * 1000 div n_tokens"))
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

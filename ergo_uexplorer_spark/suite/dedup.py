@@ -418,3 +418,34 @@ def z21_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_docs = docs.filter(bucket < _INCR_RATE)
     base_docs = docs.filter(bucket >= _INCR_RATE)
     return D.incremental_dedup(new_docs, base_docs, num=4, den=5)
+
+
+# --------------------------------------------------------------------------
+# z25: cross-source duplication matrix — near-dup pairs rolled up by
+# unordered source pair: the which-crawl-duplicates-which diagnostic read
+# before setting mixture weights. Pair set identical to d03's (the
+# oracle nests the same generated SQL), labels join onto ids only.
+# (z-name: sorts after the driver's first-50 window.)
+# --------------------------------------------------------------------------
+@register(
+    "z25_source_overlap",
+    sql=f"""
+    WITH p AS (SELECT doc_a, doc_b FROM ({_minhash_sql()})),
+    s AS (SELECT doc_id, source FROM documents),
+    lab AS (
+      SELECT least(x.source, y.source) AS source_a,
+             greatest(x.source, y.source) AS source_b
+      FROM p JOIN s x ON p.doc_a = x.doc_id JOIN s y ON p.doc_b = y.doc_id
+    )
+    SELECT source_a, source_b, count(*) AS n_pairs
+    FROM lab GROUP BY 1, 2
+    """,
+    survey_ref="LLM-pipeline: cross-source near-dup overlap matrix",
+    tags=("dedup", "agg"),
+    bench=True,
+)
+def z25_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import source_overlap_matrix
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return source_overlap_matrix(docs, num=4, den=5)

@@ -628,3 +628,48 @@ def z24_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_select(
         docs, budget_permille=_BUDGET_PERMILLE, stopwords=tuple(_EN_STOP)
     )
+
+
+# --------------------------------------------------------------------------
+# z26: vocabulary construction + OOV rate — top-V document-frequency
+# vocab, then per-doc out-of-vocab occurrence rate in integer permille
+# (the tokenizer-coverage diagnostic). The top-V rank sorts only the
+# vocabulary table; the corpus pass is a broadcast membership probe.
+# (z-name: sorts after the driver's first-50 window.)
+# --------------------------------------------------------------------------
+_VOCAB_V = 500
+
+
+@register(
+    "z26_vocab_oov",
+    sql=f"""
+    WITH terms AS (
+      SELECT doc_id, unnest(t) AS term
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    ),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+        FROM dfreq
+      ) WHERE rn <= {_VOCAB_V}
+    ),
+    per AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN term IN (SELECT term FROM vocab)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+      FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_oov,
+           n_oov * 1000 // n_tokens AS oov_permille
+    FROM per
+    """,
+    survey_ref="LLM-pipeline: vocabulary construction + OOV rate",
+    tags=("text", "agg"),
+    bench=True,
+)
+def z26_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import vocab_oov_stats
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return vocab_oov_stats(docs, vocab_size=_VOCAB_V)

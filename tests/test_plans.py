@@ -212,6 +212,14 @@ def test_quality_floor_broadcasts_floors(spark):
     assert_no_cartesian(df)
 
 
+def test_vocab_oov_broadcasts_vocab(spark):
+    """z26: the V-row vocabulary must broadcast into the corpus-side
+    membership probe (the corpus never shuffles for it)."""
+    df = REGISTRY["z26_vocab_oov"].fn(spark, SF_DIR)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
 def test_codegen_alive(spark):
     df = REGISTRY["zz_b01_pricing_summary"].fn(spark, SF_DIR)
     assert whole_stage_codegen_spans(df) >= 1
