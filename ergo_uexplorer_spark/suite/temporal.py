@@ -189,3 +189,144 @@ def zz_j02_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_len=7 * DAY_NS,
     )
     return out.select("event_id", "key_user", "n_in_range")
+
+
+# --------------------------------------------------------------------------
+# z27: strict-order event funnel (view → click → purchase, first-touch):
+# the earliest view, the earliest click AFTER it, the earliest purchase
+# after THAT — all within a 7-day window of the first step. Three
+# conditional-min aggregations chained through user-keyed joins: no
+# per-user event-list window, no collect, each stage is one
+# map-side-combinable agg — the shape that survives a 100 TB event log.
+# Purchase implies click by construction (p joins through c).
+# (z-name: sorts after the driver's first-50 window.)
+# --------------------------------------------------------------------------
+FUNNEL_WINDOW_NS = 7 * DAY_NS
+
+
+@register(
+    "z27_event_funnel",
+    sql=f"""
+    WITH v AS (
+      SELECT user_id, min(epoch_ns(ts)) AS ts_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(epoch_ns(e.ts)) AS ts_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND epoch_ns(e.ts) > v.ts_view
+        AND epoch_ns(e.ts) <= v.ts_view + {FUNNEL_WINDOW_NS}
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(epoch_ns(e.ts)) AS ts_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+                    JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_ns(e.ts) > c.ts_click
+        AND epoch_ns(e.ts) <= v.ts_view + {FUNNEL_WINDOW_NS}
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.ts_view, c.ts_click, p.ts_purchase,
+           CAST(1 + (c.ts_click IS NOT NULL)::INT
+                  + (p.ts_purchase IS NOT NULL)::INT AS BIGINT) AS stage
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    survey_ref="event analytics: strict-order funnel (conditional-min chain)",
+    tags=("temporal", "agg"),
+    bench=True,
+)
+def z27_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ts_view"))
+            & (F.col("ts") <= F.col("ts_view") + FUNNEL_WINDOW_NS)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ts_click"))
+            & (F.col("ts") <= F.col("ts_view") + FUNNEL_WINDOW_NS)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "ts_view",
+            "ts_click",
+            "ts_purchase",
+            (
+                F.lit(1)
+                + F.col("ts_click").isNotNull().cast("int")
+                + F.col("ts_purchase").isNotNull().cast("int")
+            )
+            .cast("bigint")
+            .alias("stage"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# z28: retention cohort matrix — cohort = the user's first active epoch
+# week (fixed 1970 week grid, engine-identical integer division), cell =
+# distinct users from that cohort active at each week offset. Two
+# map-side-combinable aggs over (user, week)-distinct rows; the matrix
+# is (weeks × offsets)-bounded, never user-bounded.
+# (z-name: sorts after the driver's first-50 window.)
+# --------------------------------------------------------------------------
+WEEK_NS = 7 * DAY_NS
+
+
+@register(
+    "z28_retention_cohorts",
+    sql=f"""
+    WITH act AS (
+      SELECT DISTINCT user_id, epoch_ns(ts) // {WEEK_NS} AS week
+      FROM events
+    ),
+    first_w AS (SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id)
+    SELECT f.cohort_week, a.week - f.cohort_week AS offset_weeks,
+           count(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN first_w f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    survey_ref="event analytics: retention cohort matrix",
+    tags=("temporal", "agg"),
+    bench=True,
+)
+def z28_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    # integer div, not float `/`: ts ns values exceed 2^53, so a double
+    # quotient can flip a week boundary vs the oracle's exact `//`
+    act = events.select(
+        "user_id", F.expr(f"ts div {WEEK_NS}").alias("week")
+    ).distinct()
+    first_w = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(first_w, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("offset_weeks"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
