@@ -192,3 +192,53 @@ def hot_keys(address_stats: DataFrame) -> DataFrame:
     return address_stats.filter(
         F.col("utxo_count") > HOT_KEY_THRESHOLD
     ).select("ergo_tree_hash", "address", "utxo_count")
+
+
+def group_zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_cols: tuple[str, ...],
+    k_num: int = 2,
+    k_den: int = 1,
+) -> DataFrame:
+    """Per-group z-score outlier flags WITHOUT float variance: a row is
+    an outlier iff |x − μ_g| > (k_num/k_den)·σ_g, evaluated as the exact
+    integer inequality
+
+        (n·x − S)² · k_den²  >  k_num² · (n·Q − S²)
+
+    with S = Σx, Q = Σx² per group — algebraically identical (multiply
+    through by n²·k_den²) and computable in DECIMAL(38,0)/int128 on any
+    engine, so the flag is bit-identical where a float σ comparison
+    would drift on reduction order. This is the numeric-column analog of
+    the text quality filters (drop length/score outliers per source).
+
+    Scale shape: one map-side-combinable agg to (group, n, S, Q) —
+    group-dim-sized — broadcast back into a narrow filter projection;
+    the data is never sorted or windowed. Decimal budget: values up to
+    ~10^5 with group counts up to ~10^10 keep every product under 38
+    digits.
+    """
+    d = "decimal(38,0)"
+    x = F.col(value_col).cast(d)
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(d).alias("__n"),
+        F.sum(x).cast(d).alias("__s"),
+        F.sum(x * x).cast(d).alias("__q"),
+    )
+    dev = (F.col("__n") * x - F.col("__s"))
+    lhs = dev * dev * F.lit(k_den * k_den).cast(d)
+    rhs = (
+        F.lit(k_num * k_num).cast(d)
+        * (F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s"))
+    )
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .select(
+            *id_cols,
+            group_col,
+            F.col(value_col),
+            (lhs > rhs).alias("is_outlier"),
+        )
+    )

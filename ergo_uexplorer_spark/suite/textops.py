@@ -673,3 +673,38 @@ def z26_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = load(spark, sf_dir, "documents")
     return vocab_oov_stats(docs, vocab_size=_VOCAB_V)
+
+
+# --------------------------------------------------------------------------
+# z29: per-source length-outlier flags — exact distributed z-score via
+# the integer inequality (n·x − S)²·k_den² > k_num²·(n·Q − S²), evaluated
+# in DECIMAL(38,0) (Spark) / int128 (DuckDB): bit-identical booleans
+# where a float σ would drift on reduction order. k = 2σ.
+# (z-name: sorts after the driver's first-50 window.)
+# --------------------------------------------------------------------------
+@register(
+    "z29_length_outliers",
+    sql="""
+    WITH st AS (
+      SELECT source,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(n_chars) AS HUGEINT) AS s,
+             CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS q
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           (st.n * d.n_chars - st.s) * (st.n * d.n_chars - st.s)
+             > 4 * (st.n * st.q - st.s * st.s) AS is_outlier
+    FROM documents d JOIN st ON d.source = st.source
+    """,
+    survey_ref="LLM-pipeline: per-source numeric outlier flags (exact z-score)",
+    tags=("text", "agg", "curation"),
+    bench=True,
+)
+def z29_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import group_zscore_outliers
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return group_zscore_outliers(
+        docs, "source", "n_chars", id_cols=("doc_id",), k_num=2, k_den=1
+    )

@@ -198,6 +198,31 @@ def test_incremental_dedup_planted_and_cross_side_equivalence(spark):
     assert incr == cross
 
 
+def test_group_zscore_outliers_hand_computed(spark):
+    """Integer z-score inequality: one extreme among five equal values
+    in a 6-row group has z = √5 ≈ 2.24 > 2 → flagged, the equal rows
+    are not; a constant group (zero variance) flags nothing; and the
+    exact-boundary case (one extreme among 4 equals: z = √4 = 2
+    exactly) is NOT flagged — strict inequality, no float fuzz."""
+    from ergo_uexplorer_spark.operators.stats import group_zscore_outliers
+
+    rows = [(i, "a", 10) for i in range(5)] + [(5, "a", 100)]
+    rows += [(i, "b", 7) for i in range(10, 14)]
+    rows += [(i, "c", 10) for i in range(20, 24)] + [(24, "c", 100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {
+        r["doc_id"]: r["is_outlier"]
+        for r in group_zscore_outliers(
+            df, "source", "n_chars", id_cols=("doc_id",)
+        ).collect()
+    }
+    assert got[5] is True
+    assert all(got[i] is False for i in range(5))
+    assert all(got[i] is False for i in range(10, 14))
+    # z == 2.0 exactly (√(n-1) with n=5): strictly-greater → not flagged
+    assert all(got[i] is False for i in range(20, 25))
+
+
 def test_token_budget_select_hand_computed(spark):
     """4 docs × 10 tokens, scores 800/600/600/200, budget 600‰ of 40 =
     24 tokens → greedy keeps doc 1 (cum 10) and doc 2 (cum 20); doc 3
