@@ -437,20 +437,6 @@ def pagerank_int(
     ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
     rounds_run, converged = 0, False
     for it in range(iters):
-        if dangling:
-            # dangling mass = Σ rank over nodes with no out-edge; the
-            # anti-join is node-dim-sized and the result ONE scalar, so
-            # python-int `//` (≡ SQL `div` on non-negatives) keeps the
-            # share exact and engine-identical.
-            dm = (
-                ranks.join(deg, ranks.id == deg.src, "left_anti")
-                .agg(F.sum("rank"))
-                .first()[0]
-                or 0
-            )
-            share = damp_num * dm // damp_den // n_nodes
-        else:
-            share = 0
         contrib = (
             e.join(maybe_b(ranks), e.src == ranks.id)
             .join(maybe_b(deg), "src")
@@ -463,9 +449,35 @@ def pagerank_int(
         )
         new_ranks = nodes.join(
             contrib.groupBy("id").agg(F.sum("c").alias("s")), "id", "left"
-        ).select(
+        )
+        if dangling:
+            # dangling mass = Σ rank over nodes with no out-edge; the
+            # anti-join is node-dim-sized and the agg ONE row, fused
+            # into the round's plan via a broadcast cross join — no
+            # extra scheduled job, no driver roundtrip. int64 `div` (≡
+            # SQL/python floor div on non-negatives) keeps the share
+            # exact and engine-identical.
+            share_row = (
+                ranks.join(deg, ranks.id == deg.src, "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("__dm"))
+                .select(
+                    F.expr(
+                        f"{damp_num} * __dm div {damp_den} div {n_nodes}"
+                    ).alias("__share")
+                )
+            )
+            new_ranks = new_ranks.crossJoin(F.broadcast(share_row))
+        else:
+            new_ranks = new_ranks.withColumn(
+                "__share", F.lit(0).cast("long")
+            )
+        new_ranks = new_ranks.select(
             "id",
-            (F.lit(base + share) + F.coalesce(F.col("s"), F.lit(0)))
+            (
+                F.lit(base)
+                + F.col("__share")
+                + F.coalesce(F.col("s"), F.lit(0))
+            )
             .cast("long")
             .alias("rank"),
         )
