@@ -449,3 +449,110 @@ def z25_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = load(spark, sf_dir, "documents")
     return source_overlap_matrix(docs, num=4, den=5)
+
+
+# --------------------------------------------------------------------------
+# z30: n-gram CONTAINMENT join — C(A,B) = |A∩B|/min(|A|,|B|) ≥ 0.9: the
+# quote/subset-duplication detector (a doc embedded verbatim in a longer
+# one has tiny Jaccard but containment ≈ 1). Scale path is lossless
+# prefix ⋈ full filtering (the AllPairs bound applied to the smaller
+# set); the oracle runs plain all-pairs containment over the same hashed
+# shingles. (z-name: sorts after the driver's first-50 window.)
+# --------------------------------------------------------------------------
+_CONT_NUM, _CONT_DEN = 9, 10
+
+_CONTAINMENT_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh0 AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
+    hs AS (SELECT DISTINCT doc_id, {SQL_HASH.format(col='s')} AS h FROM sh0),
+    ncount AS (SELECT doc_id, count(*) AS nn FROM hs GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared, x.nn AS na, y.nn AS nb,
+           1000 * shared // least(x.nn, y.nn) AS cont_permille
+    FROM pairs
+    JOIN ncount x ON doc_a = x.doc_id
+    JOIN ncount y ON doc_b = y.doc_id
+    WHERE {_CONT_DEN} * shared >= {_CONT_NUM} * least(x.nn, y.nn)
+"""
+
+
+@register(
+    "z30_containment_join",
+    sql=_CONTAINMENT_SQL,
+    survey_ref="LLM-pipeline: n-gram containment join (subset/quote dedup)",
+    tags=("dedup", "join"),
+    bench=True,
+)
+def z30_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return D.containment_prefix_pairs(docs, num=_CONT_NUM, den=_CONT_DEN)
+
+
+# --------------------------------------------------------------------------
+# z31: near-dup cluster SIZE DISTRIBUTION — the corpus-health histogram
+# read before a dedup sweep (how much mass sits in giant clusters?).
+# Composition of d06's connected components; singletons (docs in no
+# near-dup pair) are counted from the document dimension so the
+# histogram covers the whole corpus. (z-name: sorts after the window.)
+# --------------------------------------------------------------------------
+@register(
+    "z31_cluster_sizes",
+    sql=f"""
+    WITH RECURSIVE pairs AS ({_HASHED_JACCARD_SQL}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    csize AS (SELECT component, count(*) AS cluster_size
+              FROM comp GROUP BY component),
+    hist AS (SELECT cluster_size, count(*) AS n_clusters,
+                    CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+             FROM csize GROUP BY cluster_size)
+    SELECT * FROM hist
+    UNION ALL
+    SELECT 1 AS cluster_size,
+           (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp)
+             AS n_clusters,
+           (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp)
+             AS n_docs
+    """,
+    survey_ref="LLM-pipeline: near-dup cluster size histogram",
+    tags=("dedup", "graph", "agg"),
+)
+def z31_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    comps = D.dedup_clusters(docs, num=4, den=5)
+    hist = (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+    )
+    # singleton row: docs in no near-dup pair (component table covers
+    # only edge-touching docs). Two scalar aggs — O(1) driver traffic.
+    n_total = docs.count()
+    n_in_pairs = comps.count()
+    singles = docs.sparkSession.range(1).select(
+        F.lit(1).cast("bigint").alias("cluster_size"),
+        F.lit(n_total - n_in_pairs).cast("bigint").alias("n_clusters"),
+        F.lit(n_total - n_in_pairs).cast("bigint").alias("n_docs"),
+    )
+    return hist.unionByName(singles)

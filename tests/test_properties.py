@@ -768,3 +768,49 @@ def test_near_dup_multiprobe_superset_and_recall(spark):
     cluster = {(a, b) for a in range(6) for b in range(6) if a < b} & exact
     assert len(probed & cluster) >= len(plain & cluster)
     assert cluster, "fixture must plant verifiable near-dup pairs"
+
+
+def test_containment_prefix_filter_equals_allpairs(spark):
+    """Containment prefix⋈full filtering is lossless: exact same verified
+    pairs as the quadratic containment join over the same hashed shingle
+    sets — at two thresholds (the bound must hold for any num/den)."""
+    from ergo_uexplorer_spark.operators.dedup import (
+        containment_pairs,
+        containment_prefix_pairs,
+    )
+
+    df = _dup_heavy_docs(spark)
+    for num, den in ((9, 10), (3, 5)):
+        fast = {
+            tuple(r) for r in containment_prefix_pairs(
+                df, num=num, den=den
+            ).collect()
+        }
+        slow = {
+            tuple(r) for r in containment_pairs(
+                hashed_shingle_sets(df), num, den, elem_col="h"
+            ).collect()
+        }
+        assert fast == slow, f"containment prefix mismatch at {num}/{den}"
+
+
+def test_containment_catches_subset_quote_jaccard_misses(spark):
+    """The differentiator containment exists for: a short doc embedded
+    verbatim inside a much longer one has containment 1.0 but Jaccard far
+    below 0.8 — jaccard_prefix_pairs must NOT report it, containment must."""
+    from ergo_uexplorer_spark.operators.dedup import containment_prefix_pairs
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    article = (
+        " ".join(f"w{i}" for i in range(60))
+        + " " + quote + " "
+        + " ".join(f"v{i}" for i in range(60))
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, article)], "doc_id long, text string"
+    )
+    cont = containment_prefix_pairs(df, num=9, den=10).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in cont] == [(1, 2)]
+    assert cont[0]["cont_permille"] == 1000  # every quote shingle shared
+    jac = jaccard_prefix_pairs(df, num=4, den=5).collect()
+    assert jac == []
