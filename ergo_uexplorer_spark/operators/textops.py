@@ -159,3 +159,112 @@ def scrub_patterns(col: Column) -> Column:
 
 def pattern_count(col: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level distribution diagnostics: mixture planning reads these
+# BEFORE setting source weights (a source whose unigram distribution
+# diverges hard from the rest is either gold or garbage).
+# ---------------------------------------------------------------------------
+def source_unigram_tvd(docs, ppm: int = 1_000_000):
+    """Pairwise total-variation distance between per-source unigram
+    distributions, in integer parts-per-million → (source_a, source_b,
+    tvd_ppm), source_a < source_b, all unordered pairs (0 for identical).
+
+    Exact integer arithmetic throughout (per-(source,token) probability
+    quantized to ppm by int64 `div` BEFORE differencing), so the result
+    is engine-identical and an iterative-free oracle can check it.
+
+    Missing tokens are handled WITHOUT a per-pair full-outer join:
+    Σ_union |pa−pb| = Σ_matched |pa−pb| + (T(a) − Σ_matched pa)
+                    + (T(b) − Σ_matched pb), where T(s) = Σ_tok ppm(s,·)
+    — so one token-keyed self-join (fan-out ≤ n_sources per token) plus
+    a source-dim cross join (n_sources² rows, broadcast) covers every
+    pair including match-free ones. TVD = that sum div 2.
+
+    Scale: the unigram table is vocabulary×sources-sized (aggregated,
+    never raw tokens); the only big shuffle is the groupBy building it.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401  (signature clarity)
+
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    uni = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = uni.groupBy("source").agg(F.sum("cnt").alias("total"))
+    p = uni.join(F.broadcast(tot), "source").select(
+        "source", "tok", F.expr(f"{ppm} * cnt div total").alias("p")
+    )
+    tsum = p.groupBy("source").agg(F.sum("p").alias("tppm"))
+    a, b = p.alias("a"), p.alias("b")
+    matched = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.sum(F.abs(F.col("a.p") - F.col("b.p"))).alias("d_m"),
+            F.sum("a.p").alias("pa_m"),
+            F.sum("b.p").alias("pb_m"),
+        )
+    )
+    x, y = tsum.alias("x"), tsum.alias("y")
+    pairs = x.crossJoin(y).filter(F.col("x.source") < F.col("y.source")).select(
+        F.col("x.source").alias("source_a"),
+        F.col("y.source").alias("source_b"),
+        F.col("x.tppm").alias("ta"),
+        F.col("y.tppm").alias("tb"),
+    )
+    return (
+        F.broadcast(pairs)
+        .join(matched, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.expr(
+                "(coalesce(d_m, 0) + (ta - coalesce(pa_m, 0))"
+                " + (tb - coalesce(pb_m, 0))) div 2"
+            ).alias("tvd_ppm"),
+        )
+    )
+
+
+def ngram_diversity(docs):
+    """Per-source lexical-diversity stats → (source, n_tokens, n_bigrams,
+    ttr_permille, distinct_bigram_permille): corpus-level type/token and
+    distinct-bigram ratios — the cheap synthetic-text / template-spam
+    tripwire (templated sources shows normal TTR but collapsed bigram
+    diversity). Integer permille via int64 div; distincts are exact
+    (count_distinct over the aggregated gram table)."""
+    base = docs.select(
+        "source", tokens(F.col("text")).alias("t")
+    ).select("source", "t", shingles(F.col("t"), 2).alias("bg"))
+    uni = base.select("source", F.explode("t").alias("g")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("g").alias("d_uni"),
+    )
+    bi = base.select("source", F.explode("bg").alias("g")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count_distinct("g").alias("d_bi"),
+    )
+    return (
+        uni.join(bi, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "n_bigrams",
+            F.expr("1000 * d_uni div n_tokens").alias("ttr_permille"),
+            F.expr("1000 * d_bi div n_bigrams").alias(
+                "distinct_bigram_permille"
+            ),
+        )
+    )

@@ -724,3 +724,67 @@ def z15_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.ntile(10).over(w).cast("long").alias("decile"),
     )
+
+
+# --------------------------------------------------------------------------
+# z34: frame-bounded moving average — ROWS BETWEEN 6 PRECEDING AND
+# CURRENT ROW over each customer's order history (the sliding-frame
+# window family; t03/z15 cover prefix and ranking frames). Deterministic
+# frame contents via the unique o_orderkey tiebreak; integer cents and
+# `div` keep the average engine-identical.
+# (z-name: sorts after the driver's first-50 window.)
+# --------------------------------------------------------------------------
+@register(
+    "z34_moving_average",
+    sql="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+             o_orderdate
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, total_cents,
+           CAST(sum(total_cents) OVER w AS BIGINT)
+             // CAST(count(*) OVER w AS BIGINT) AS ma7_cents
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    survey_ref="SURVEY §2.6: window functions (sliding frame)",
+    tags=("window",),
+)
+def z34_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (orders,) = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(-6, 0)
+    )
+    o = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _cents(F.col("o_totalprice")).alias("total_cents"),
+        "o_orderdate",
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "total_cents",
+        (
+            F.sum("total_cents").over(w).cast("long")
+            / F.count(F.lit(1)).over(w).cast("long")
+        ).cast("long").alias("__drop"),
+    ).drop("__drop").withColumn(
+        "ma7_cents",
+        F.expr(
+            "sum(total_cents) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate ASC, o_orderkey ASC "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) div "
+            "count(1) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate ASC, o_orderkey ASC "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+        ),
+    )

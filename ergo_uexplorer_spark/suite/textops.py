@@ -708,3 +708,83 @@ def z29_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_zscore_outliers(
         docs, "source", "n_chars", id_cols=("doc_id",), k_num=2, k_den=1
     )
+
+
+# --------------------------------------------------------------------------
+# z32: pairwise source divergence — total-variation distance between
+# per-source unigram distributions in integer ppm: the mixture-planning
+# diagnostic (which sources are near-duplicates distributionally, which
+# are outliers). Matched-part self-join + per-source totals closes the
+# union without a per-pair full-outer join; the oracle runs the same
+# decomposition. (z-name: sorts after the driver's first-50 window.)
+# --------------------------------------------------------------------------
+@register(
+    "z32_source_divergence",
+    sql=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS}) AS tok FROM documents
+    ),
+    uni AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total
+            FROM uni GROUP BY 1),
+    p AS (SELECT u.source, u.tok, 1000000 * u.cnt // t.total AS p
+          FROM uni u JOIN tot t ON u.source = t.source),
+    tsum AS (SELECT source, CAST(sum(p) AS BIGINT) AS tppm
+             FROM p GROUP BY 1),
+    m AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(sum(abs(a.p - b.p)) AS BIGINT) AS d_m,
+             CAST(sum(a.p) AS BIGINT) AS pa_m,
+             CAST(sum(b.p) AS BIGINT) AS pb_m
+      FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT x.source AS source_a, y.source AS source_b,
+           (COALESCE(m.d_m, 0) + (x.tppm - COALESCE(m.pa_m, 0))
+            + (y.tppm - COALESCE(m.pb_m, 0))) // 2 AS tvd_ppm
+    FROM tsum x JOIN tsum y ON x.source < y.source
+    LEFT JOIN m ON m.source_a = x.source AND m.source_b = y.source
+    """,
+    survey_ref="LLM-pipeline: source unigram TVD (mixture diagnostics)",
+    tags=("text", "agg", "join"),
+    bench=True,
+)
+def z32_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return T.source_unigram_tvd(docs)
+
+
+# --------------------------------------------------------------------------
+# z33: per-source lexical diversity — type/token ratio + distinct-bigram
+# ratio in integer permille: the synthetic-text / template-spam tripwire
+# (templated sources keep normal TTR but collapsed bigram diversity).
+# (z-name: sorts after the driver's first-50 window.)
+# --------------------------------------------------------------------------
+_BIGRAMS = "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
+
+
+@register(
+    "z33_ngram_diversity",
+    sql=f"""
+    WITH base AS (SELECT source, {_TOKS} AS t FROM documents),
+    uni AS (
+      SELECT source, count(*) AS n_tokens,
+             count(DISTINCT g) AS d_uni
+      FROM (SELECT source, unnest(t) AS g FROM base) GROUP BY 1
+    ),
+    bi AS (
+      SELECT source, count(*) AS n_bigrams,
+             count(DISTINCT g) AS d_bi
+      FROM (SELECT source, unnest({_BIGRAMS}) AS g FROM base) GROUP BY 1
+    )
+    SELECT u.source, u.n_tokens, b.n_bigrams,
+           1000 * u.d_uni // u.n_tokens AS ttr_permille,
+           1000 * b.d_bi // b.n_bigrams AS distinct_bigram_permille
+    FROM uni u JOIN bi b ON u.source = b.source
+    """,
+    survey_ref="LLM-pipeline: lexical diversity (TTR / distinct-n)",
+    tags=("text", "agg"),
+)
+def z33_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return T.ngram_diversity(docs)
