@@ -19,7 +19,7 @@ from ergo_uexplorer_spark.suite import REGISTRY
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the box-query backbone
     shape (selective broadcast join chain + agg + top-k)."""
-    return REGISTRY["q06_left_join_agg"].fn(spark, "/root/testdata/sf0.001")
+    return REGISTRY["zz_q06_left_join_agg"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..constants import EMISSION_TREE, FEE_TREE
@@ -186,6 +186,23 @@ def _plan_size_estimate(df: DataFrame) -> int | None:
         return size if 0 <= size < (1 << 62) else None
     except Exception:  # noqa: BLE001 — py4j/internal API drift
         return None
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """spark.sql.autoBroadcastJoinThreshold in bytes (-1 → 0: disabled)."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    num, mult = raw, 1
+    for suffix in ("kb", "mb", "gb", "tb", "b", "k", "m", "g", "t"):
+        if raw.endswith(suffix):
+            num, mult = raw[: -len(suffix)], units[suffix[0]]
+            break
+    try:
+        return max(0, int(num) * mult)
+    except ValueError:
+        return 10 << 20
 
 
 def _order_motif_terms(
@@ -371,7 +388,7 @@ def pagerank_int(
     damp_num: int = 85,
     damp_den: int = 100,
     init: int = 1_000_000,
-    broadcast_tables: bool = True,
+    broadcast_tables: bool | None = None,
     checkpoint_every: int = 3,
     dangling: bool = False,
     early_stop: bool = False,
@@ -398,9 +415,13 @@ def pagerank_int(
     dimension-sized, orders of magnitude smaller than edges — are
     broadcast into the per-round join, so the EDGE table never
     re-exchanges across rounds (the only shuffle per round is the
-    contribution groupBy); pass False when the node dimension itself
-    exceeds the broadcast budget, and pre-partition edges by src so
-    every round reuses one shuffle layout.
+    contribution groupBy). The default (None) auto-gates: it compares
+    Catalyst's size estimate of the materialized rank table against
+    spark.sql.autoBroadcastJoinThreshold and broadcasts only when the
+    node dimension fits the budget — so at billions of vertices the
+    loop degrades to sort-merge joins by itself instead of OOMing an
+    executor on a forced broadcast (pre-partition edges by src then so
+    every round reuses one shuffle layout). Pass True/False to force.
 
     `dangling=True` redistributes dangling mass instead of dropping it
     (the at-scale-correct form: on real graphs a large rank fraction
@@ -435,6 +456,14 @@ def pagerank_int(
 
     n_nodes = nodes.count() if dangling else 0
     ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
+    if broadcast_tables is None:
+        # nodes is an eager localCheckpoint, so the estimate reflects
+        # the REAL materialized node dimension, not a plan guess. On
+        # estimator drift (None) keep the historical broadcast default —
+        # callers at known-huge node dims pass False explicitly.
+        est = _plan_size_estimate(ranks)
+        thr = _broadcast_threshold_bytes(edges.sparkSession)
+        broadcast_tables = True if est is None else (0 < est <= thr)
     rounds_run, converged = 0, False
     for it in range(iters):
         contrib = (
@@ -512,6 +541,71 @@ def pagerank_int(
         stats["rounds"] = rounds_run
         stats["converged"] = converged
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    orient: str = "id",
+) -> DataFrame:
+    """Total triangle count over an undirected edge list → one row
+    (n_triangles). Edges are oriented into a DAG first (u→v with u<v),
+    so each triangle is enumerated exactly once by the two-join pattern
+    e(u,v) ⋈ e(v,w) ⋈ e(u,w) — the standard compact-forward scheme; no
+    per-node adjacency materialization, everything is equi-joins Catalyst
+    can shuffle on edge keys.
+
+    `orient="id"` orders by vertex id — deterministic and
+    oracle-mirrorable in SQL. `orient="degree"` orders by (degree, id),
+    the at-scale variant: the wedge join e(v,·)⋈e(v,·) is quadratic in
+    the max OUT-degree, and degree-orientation bounds every out-degree
+    by O(√|E|) regardless of skew (a celebrity node's edges all point
+    INTO it). Both orientations count the same triangles — a pytest
+    pins the equality — so the suite uses "id" for the oracle and a
+    100 TB caller flips to "degree"."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.filter(F.col("u") != F.col("v")).distinct()
+    if orient == "degree":
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        ranked = (
+            e.join(deg.withColumnsRenamed({"u": "u_", "d": "du"}),
+                   F.col("u") == F.col("u_"))
+            .join(deg.withColumnsRenamed({"u": "v_", "d": "dv"}),
+                  F.col("v") == F.col("v_"))
+            .select(
+                "u", "v",
+                (
+                    (F.col("du") < F.col("dv"))
+                    | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+                ).alias("fwd"),
+            )
+        )
+        dag = ranked.filter("fwd").select("u", "v")
+    else:
+        dag = e.filter(F.col("u") < F.col("v"))
+    dag = dag.persist()
+    wedges = (
+        dag.alias("e1")
+        .join(dag.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    out = (
+        wedges.join(
+            dag.alias("e3"),
+            (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    from .util import materialize_and_release
+
+    return materialize_and_release(out, dag)
 
 
 def connected_components(

@@ -535,6 +535,50 @@ def _cell_cosine(vec: Column, vnorm: Column, c: Column) -> Column:
     return dot(vec, c["cv"]) / (vnorm * c["cn"])
 
 
+# Above this k the parse-once centroid literal stops being the right
+# vehicle: a 10^5-centroid SemDeDup quantizer (k ≈ √n at 100 TB) would
+# be a ~100 MB expression tree evaluated per row by the interpreter.
+# Past the cutoff `ivf_assign` switches to an executor-broadcast numpy
+# matrix + one Arrow matmul per batch (the d05 banding precedent) —
+# same argmax/tie semantics, zero shuffle, centroids shipped once per
+# executor instead of once per expression.
+CENTROID_LITERAL_MAX = 256
+
+
+def _ivf_assign_matmul(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+) -> DataFrame:
+    """Large-k nearest-centroid assignment: scores = (V @ Cᵀ) /
+    (|v|·|c|) for a whole Arrow batch at once; `np.argmax` takes the
+    FIRST maximum, i.e. ties go to the smaller cell id exactly like the
+    literal path's (cosine, -cell) struct-max. Float64 matmul may
+    differ from the sequential fold in the last ulp, so near-exact-tie
+    assignments can differ between the two paths — acceptable at the
+    scale that forces this path (quantizer cells are arbitrary), and
+    the small-k oracle-checked path never takes it."""
+    import numpy as np
+
+    sc = emb.sparkSession.sparkContext
+    C = np.asarray(centroids, dtype=np.float64)
+    bc = sc.broadcast((C, np.sqrt((C * C).sum(axis=1))))
+
+    @F.pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        mat, norms = bc.value
+        V = np.asarray(np.stack(vecs.to_numpy()), dtype=np.float64)
+        vn = np.sqrt((V * V).sum(axis=1))
+        scores = (V @ mat.T) / (vn[:, None] * norms[None, :])
+        return pd.Series(np.argmax(scores, axis=1).astype("int32"))
+
+    return emb.withColumn("centroid_id", nearest(F.col(vec_col)))
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: list[list[float]],
@@ -543,12 +587,16 @@ def ivf_assign(
 ) -> DataFrame:
     """Nearest-centroid assignment by cosine: transform over the literal
     centroid array, argmax via `array_max` (struct ordering: cosine
-    first, then -cell so ties go to the smaller cell id).
+    first, then -cell so ties go to the smaller cell id). Above
+    CENTROID_LITERAL_MAX centroids the assignment runs as a broadcast
+    numpy matmul instead (see `_ivf_assign_matmul`).
 
     The row norm is materialized as a COLUMN before the lambda — an
     inlined expression would be re-evaluated per array element (Spark's
     subexpression elimination does not cross HOF lambda boundaries; same
     pitfall as tokens() in dedup.shingle_sets)."""
+    if len(centroids) > CENTROID_LITERAL_MAX:
+        return _ivf_assign_matmul(emb, centroids, vec_col)
     scored = F.transform(
         _cents_lit(centroids),
         lambda c: F.struct(

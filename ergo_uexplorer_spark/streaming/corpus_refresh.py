@@ -36,13 +36,69 @@ def seed_base(docs: DataFrame, base_path: str) -> None:
     docs.write.mode("overwrite").parquet(f"{base_path}/batch={SEED_BATCH}")
 
 
-def read_base(spark: SparkSession, base_path: str) -> DataFrame | None:
+def read_base(
+    spark: SparkSession,
+    base_path: str,
+    exclude_batch: str | None = None,
+) -> DataFrame | None:
     """The accepted corpus across all committed batches (None before
-    any seed/commit)."""
+    any seed/commit).
+
+    ``exclude_batch`` drops one ``batch=<id>`` partition from the read:
+    on foreachBatch redelivery (at-least-once) the first attempt may
+    already have written the in-flight batch's own directory, and
+    screening the batch against its own prior output would make every
+    accepted doc near-dup itself and be silently dropped. Only
+    AnalysisException (path missing) maps to None — real read failures
+    (corrupt files, permissions) propagate so the batch retries instead
+    of being accepted unscreened.
+    """
+    from pyspark.errors import AnalysisException
+
     try:
-        return spark.read.parquet(base_path).drop("batch")
-    except Exception:  # AnalysisException: path missing / empty
+        base = spark.read.option("basePath", base_path).parquet(base_path)
+    except AnalysisException:  # path missing / empty: no base yet
         return None
+    if exclude_batch is not None:
+        base = base.filter(F.col("batch").cast("string") != F.lit(exclude_batch))
+    return base.drop("batch")
+
+
+def process_batch(
+    batch: DataFrame,
+    batch_id: int,
+    base_path: str,
+    decisions_path: str | None = None,
+    num: int = 4,
+    den: int = 5,
+) -> None:
+    """One refresh step: screen `batch` against the accepted base and
+    commit survivors to ``batch=<id>``. Idempotent under foreachBatch
+    redelivery: the base read excludes the in-flight batch's own
+    partition, so a re-run screens against exactly the pre-batch base
+    and rewrites the same directory with the same decisions."""
+    spark = batch.sparkSession
+    base = read_base(spark, base_path, exclude_batch=str(batch_id))
+    if base is None:
+        decisions = batch.select(
+            "doc_id",
+            F.lit(None).cast("long").alias("dup_of"),
+            F.lit(True).alias("keep"),
+        )
+    else:
+        decisions = incremental_dedup(
+            batch, base.select(*batch.columns), num=num, den=den
+        )
+    kept = batch.join(
+        decisions.filter(F.col("keep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    kept.write.mode("overwrite").parquet(f"{base_path}/batch={batch_id}")
+    if decisions_path:
+        decisions.write.mode("overwrite").parquet(
+            f"{decisions_path}/batch={batch_id}"
+        )
 
 
 def corpus_refresh_stream(
@@ -60,28 +116,10 @@ def corpus_refresh_stream(
     `decisions_path` with the same idempotent batch=<id> layout."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        base = read_base(spark, base_path)
-        if base is None:
-            decisions = batch.select(
-                "doc_id",
-                F.lit(None).cast("long").alias("dup_of"),
-                F.lit(True).alias("keep"),
-            )
-        else:
-            decisions = incremental_dedup(
-                batch, base.select(*batch.columns), num=num, den=den
-            )
-        kept = batch.join(
-            decisions.filter(F.col("keep")).select("doc_id"),
-            "doc_id",
-            "left_semi",
+        process_batch(
+            batch, batch_id, base_path,
+            decisions_path=decisions_path, num=num, den=den,
         )
-        kept.write.mode("overwrite").parquet(f"{base_path}/batch={batch_id}")
-        if decisions_path:
-            decisions.write.mode("overwrite").parquet(
-                f"{decisions_path}/batch={batch_id}"
-            )
 
     return (
         docs_stream.writeStream.foreachBatch(process)

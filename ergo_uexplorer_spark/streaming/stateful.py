@@ -1,6 +1,6 @@
 """Custom stateful streaming operator via applyInPandasWithState:
 gap-based sessionization (the streaming twin of suite.temporal
-e01_sessionization — same semantics, unbounded input).
+zz_e01_sessionization — same semantics, unbounded input).
 
 State per user: (last_event_ts, sessions_so_far). Each micro-batch
 sorts its rows (file/kafka sources don't guarantee order within a

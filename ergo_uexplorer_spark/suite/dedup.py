@@ -80,7 +80,7 @@ _HASHED_JACCARD_SQL = f"""
 
 
 @register(
-    "d02_dedup_ngram_jaccard",
+    "zz_d02_dedup_ngram_jaccard",
     # prefix filtering is LOSSLESS, so the oracle is plain all-pairs
     # Jaccard over the same hashed shingle sets — identical result, and
     # the quadratic work stays on the oracle side only.
@@ -88,7 +88,7 @@ _HASHED_JACCARD_SQL = f"""
     survey_ref="LLM-pipeline: n-gram Jaccard near-dup (prefix-filtered)",
     tags=("dedup", "join"),
 )
-def d02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_d02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     return D.jaccard_prefix_pairs(docs, num=4, den=5)
 
@@ -141,13 +141,13 @@ def _minhash_sql() -> str:
 
 
 @register(
-    "d03_dedup_minhash_lsh",
+    "zz_d03_dedup_minhash_lsh",
     sql=_minhash_sql(),
     survey_ref="LLM-pipeline: MinHash+LSH near-dup (scale path)",
     tags=("dedup", "sketch", "join"),
     bench=True,
 )
-def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, num=4, den=5)
 
@@ -179,12 +179,12 @@ _SIMHASH_SQL = f"""
 
 
 @register(
-    "d04_dedup_simhash",
+    "zz_d04_dedup_simhash",
     sql=_SIMHASH_SQL,
     survey_ref="LLM-pipeline: SimHash near-dup",
     tags=("dedup", "sketch"),
 )
-def d04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_d04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     return D.simhash_pairs(D.simhash(docs), max_hamming=3)
 
@@ -221,13 +221,13 @@ def _clean_corpus_sql() -> str:
 
 
 @register(
-    "c01_clean_corpus",
+    "zz_c01_clean_corpus",
     sql=_clean_corpus_sql(),
     survey_ref="LLM-pipeline: composed cleaning (dedup→near-dup→quality)",
     tags=("dedup", "pipeline"),
     bench=True,
 )
-def c01_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_c01_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import clean_corpus
 
     (docs,) = load(spark, sf_dir, "documents")
@@ -262,12 +262,12 @@ _CLUSTERS_SQL = f"""
 
 
 @register(
-    "d06_dedup_clusters",
+    "zz_d06_dedup_clusters",
     sql=_CLUSTERS_SQL,
     survey_ref="LLM-pipeline: near-dup clusters (connected components)",
     tags=("dedup", "graph"),
 )
-def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     return D.dedup_clusters(docs, num=4, den=5)
 
@@ -529,6 +529,7 @@ def z30_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_ref="LLM-pipeline: near-dup cluster size histogram",
     tags=("dedup", "graph", "agg"),
+    bench=True,
 )
 def z31_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")

@@ -17,7 +17,7 @@ _HOUR_NS = 3_600_000_000_000.0
 
 
 @register(
-    "u01_user_value_trend",
+    "zz_u01_user_value_trend",
     sql=f"""
     WITH e AS (
       SELECT user_id,
@@ -37,7 +37,7 @@ _HOUR_NS = 3_600_000_000_000.0
     survey_ref="grouped-map analytics (applyInPandas)",
     tags=("grouped", "pandas"),
 )
-def u01_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_u01_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = load(spark, sf_dir, "events")
     prepared = events.select(
         "user_id",

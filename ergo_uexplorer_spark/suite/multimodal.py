@@ -18,7 +18,7 @@ _TYPES = ("image", "audio", "video")
 
 
 @register(
-    "m01_multimodal_features",
+    "zz_m01_multimodal_features",
     sql=f"""
     SELECT doc_id AS media_id,
            ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]
@@ -33,7 +33,7 @@ _TYPES = ("image", "audio", "video")
     survey_ref="LLM-pipeline: multimodal columns (mapInPandas feature extraction)",
     tags=("multimodal", "pandas"),
 )
-def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),

@@ -20,7 +20,7 @@ def _cents(col):
 # (BoxService.scala:13-26); one joined DataFrame answers all keys at once.
 # --------------------------------------------------------------------------
 @register(
-    "q10_multi_key_fanout",
+    "zz_q10_multi_key_fanout",
     sql="""
     SELECT o_custkey, count(*) AS n_orders,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -31,7 +31,7 @@ def _cents(col):
     survey_ref="Q10 BoxService.scala:13-26",
     tags=("agg", "broadcast"),
 )
-def q10_multi_key_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_q10_multi_key_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = load(spark, sf_dir, "orders")
     keys = spark.range(50).select(F.col("id").alias("o_custkey"))
     return (
@@ -51,7 +51,7 @@ _EVENT_IDS = (0, 7, 42, 99, 123, 456)
 
 
 @register(
-    "q12_event_inlist",
+    "zz_q12_event_inlist",
     sql=f"""
     SELECT event_id, user_id, event_type
     FROM events WHERE event_id IN {_EVENT_IDS}
@@ -59,7 +59,7 @@ _EVENT_IDS = (0, 7, 42, 99, 123, 456)
     survey_ref="Q12 PersistentBlockRepo.scala:43-62",
     tags=("filter", "pushdown"),
 )
-def q12_event_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_q12_event_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = load(spark, sf_dir, "events")
     return events.filter(F.col("event_id").isin(*_EVENT_IDS)).select(
         "event_id", "user_id", "event_type"
@@ -71,7 +71,7 @@ def q12_event_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # suppliers = addr → tx → addr in the tx graph)
 # --------------------------------------------------------------------------
 @register(
-    "q19_graph_two_hop",
+    "zz_q19_graph_two_hop",
     sql="""
     SELECT DISTINCT o_custkey AS src, l_suppkey AS neighbor
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -80,7 +80,7 @@ def q12_event_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="Q19 StreamExecutor.scala:37-41 / TxGraphWriter",
     tags=("join", "graph"),
 )
-def q19_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_q19_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
     hop1 = orders.filter(F.col("o_custkey") < 10).select(
         "o_custkey", "o_orderkey"
@@ -128,12 +128,12 @@ _G02_SQL = f"""
 
 
 @register(
-    "g02_graph_k_hop",
+    "zz_g02_graph_k_hop",
     sql=_G02_SQL,
     survey_ref="Q19 general traversal — StreamExecutor.scala:37-41 (Gremlin)",
     tags=("graph", "iterative"),
 )
-def g02_graph_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_g02_graph_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import k_hop_neighbors
 
     orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
@@ -184,13 +184,13 @@ _Z01_SQL = """
 
 
 @register(
-    "z01_motif_find",
+    "zz_z01_motif_find",
     sql=_Z01_SQL,
     survey_ref="Q19 motif DSL — StreamExecutor.scala:37-41 (Gremlin find)",
     tags=("graph", "motif", "anti-join"),
     bench=True,
 )
-def z01_motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_z01_motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import motif_find
 
     orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
@@ -250,7 +250,7 @@ def z01_motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rollup: free Spark built-in the reference lacks (SURVEY §2.6)
 # --------------------------------------------------------------------------
 @register(
-    "b02_rollup_summary",
+    "zz_b02_rollup_summary",
     sql="""
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -261,7 +261,7 @@ def z01_motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="SURVEY §2.6: grouping sets via built-ins",
     tags=("agg", "rollup"),
 )
-def b02_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_b02_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load(spark, sf_dir, "lineitem")
     return lineitem.rollup("l_returnflag", "l_linestatus").agg(
         F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("sum_qty"),
@@ -608,7 +608,7 @@ def zz_a01_distinct_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q14b_topk_salted",
+    "zz_q14b_topk_salted",
     sql="""
     SELECT o_custkey, count(*) AS n_orders
     FROM orders GROUP BY o_custkey
@@ -618,7 +618,7 @@ def zz_a01_distinct_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="Q14 + supernode salting (SuperNodeMvMap.scala:18-247)",
     tags=("agg", "topk", "skew"),
 )
-def q14b_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_q14b_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identical semantics to q14 through the two-phase salted
     aggregation — the explicit skew-proof plan for supernode keys."""
     from ..operators.stats import salted_count_by_key
@@ -634,7 +634,7 @@ def q14b_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a04_exact_percentile",
+    "zz_a04_exact_percentile",
     sql="""
     SELECT l_returnflag,
            CAST(round(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT)
@@ -646,7 +646,7 @@ def q14b_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="exact percentiles (SURVEY §2.6 gap, Spark built-in)",
     tags=("agg", "percentile"),
 )
-def a04_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_a04_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load(spark, sf_dir, "lineitem")
     return lineitem.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)") * 100)
@@ -659,7 +659,7 @@ def a04_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "g01_degree_distribution",
+    "zz_g01_degree_distribution",
     sql="""
     WITH deg AS (
       SELECT o_custkey, count(DISTINCT l_suppkey) AS degree
@@ -672,7 +672,7 @@ def a04_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="graph analytics: degree distribution over P2 edges",
     tags=("graph", "agg"),
 )
-def g01_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_g01_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
     deg = (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
@@ -686,7 +686,7 @@ _A02_RSD = 0.02
 
 
 @register(
-    "a02_approx_distinct",
+    "zz_a02_approx_distinct",
     sql="""
     SELECT l_suppkey,
            CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
@@ -696,7 +696,7 @@ _A02_RSD = 0.02
     survey_ref="readme.md:226 sketches TODO — approx_count_distinct",
     tags=("agg", "sketch"),
 )
-def a02_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_a02_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ estimates are engine-specific, so the deterministic contract
     is: exact distinct count + `within_tol` asserting the sketch landed
     inside 5·rsd of exact (with an absolute-1 floor for tiny groups).
@@ -729,7 +729,7 @@ def a02_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a03_approx_percentile",
+    "zz_a03_approx_percentile",
     sql="""
     SELECT l_returnflag,
            CAST(round(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT)
@@ -744,7 +744,7 @@ def a02_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="readme.md:226 sketches TODO — approx_percentile",
     tags=("agg", "sketch"),
 )
-def a03_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_a03_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar columns only (an array column crashes order-insensitive
     canonicalizers). Deterministic contract: exact interpolated
     percentiles (match DuckDB quantile_cont) + `approx_in_band` checking

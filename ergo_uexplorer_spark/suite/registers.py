@@ -54,12 +54,12 @@ def _zz1(v: Column) -> Column:
 
 
 @register(
-    "r01_register_decode",
+    "zz_r01_register_decode",
     sql=_R01_SQL,
     survey_ref="T6 RegistersParser.scala:20-89 / TokenPropsParser.scala:14-19",
     tags=("registers", "crypto"),
 )
-def r01_register_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_r01_register_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EIP-4 Coll[Byte] strip via the JVM path PLUS the full sigma
     constant decoder over pair and general-tuple registers built from
     the row's own numbers (symmetric pair code 0x58, TupleTypeCode 0x60)

@@ -114,7 +114,7 @@ def zz_q04_keyed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ((Utxo|Box) ⋈ ErgoTree ⋈ Block — PersistentBoxRepo.scala:72-102)
 # --------------------------------------------------------------------------
 @register(
-    "q05_three_way_join",
+    "zz_q05_three_way_join",
     sql="""
     SELECT c_custkey, c_name, n_name, r_name
     FROM customer
@@ -126,7 +126,7 @@ def zz_q04_keyed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "broadcast"),
     bench=True,
 )
-def q05_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_q05_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, nation, region = load(spark, sf_dir, "customer", "nation", "region")
     return (
         customer.join(
@@ -143,7 +143,7 @@ def q05_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ((Utxo|Box) ⟕ Asset2Box — PersistentAssetRepo.scala:18-166)
 # --------------------------------------------------------------------------
 @register(
-    "q06_left_join_agg",
+    "zz_q06_left_join_agg",
     sql="""
     SELECT o_orderkey,
            count(l_orderkey) AS n_items,
@@ -156,7 +156,7 @@ def q05_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg"),
     bench=True,
 )
-def q06_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_q06_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
     return (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "left")
@@ -199,7 +199,7 @@ def zz_q07_join_ids_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference computes this client-side; in-engine it is a left_anti join.
 # --------------------------------------------------------------------------
 @register(
-    "q08_spent_anti_join",
+    "zz_q08_spent_anti_join",
     sql="""
     SELECT c_custkey, c_name
     FROM customer
@@ -209,7 +209,7 @@ def zz_q07_join_ids_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("anti-join",),
     bench=True,
 )
-def q08_spent_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_q08_spent_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders = load(spark, sf_dir, "customer", "orders")
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
@@ -230,7 +230,7 @@ def filter_by_keys(df: DataFrame, params: dict, columns: list[str]) -> DataFrame
 
 
 @register(
-    "q09_dynamic_predicate",
+    "zz_q09_dynamic_predicate",
     sql="""
     SELECT l_orderkey, l_linenumber, CAST(round(l_quantity) AS BIGINT) AS qty
     FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'
@@ -238,7 +238,7 @@ def filter_by_keys(df: DataFrame, params: dict, columns: list[str]) -> DataFrame
     survey_ref="Q9 BoxService.scala:370-371",
     tags=("filter", "pushdown"),
 )
-def q09_dynamic_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_q09_dynamic_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load(spark, sf_dir, "lineitem")
     out = filter_by_keys(
         lineitem.withColumn("qty", F.round(F.col("l_quantity")).cast("bigint")),
@@ -274,12 +274,12 @@ def zz_q11_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q13 emptiness probe (take(1).isEmpty — PersistentBlockRepo.scala:64-71)
 # --------------------------------------------------------------------------
 @register(
-    "q13_emptiness_probe",
+    "zz_q13_emptiness_probe",
     sql="SELECT (count(*) = 0) AS is_empty FROM lineitem WHERE l_quantity < 0",
     survey_ref="Q13 PersistentBlockRepo.scala:64-71",
     tags=("agg",),
 )
-def q13_emptiness_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_q13_emptiness_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load(spark, sf_dir, "lineitem")
     return (
         lineitem.filter(F.col("l_quantity") < 0)
@@ -294,7 +294,7 @@ def q13_emptiness_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact groupBy (partial agg map-side, AQE handles skew).
 # --------------------------------------------------------------------------
 @register(
-    "q14_topk_by_count",
+    "zz_q14_topk_by_count",
     sql="""
     SELECT o_custkey, count(*) AS n_orders
     FROM orders GROUP BY o_custkey
@@ -305,7 +305,7 @@ def q13_emptiness_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "topk"),
     bench=True,
 )
-def q14_topk_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_q14_topk_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = load(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_custkey")
@@ -320,7 +320,7 @@ def q14_topk_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q15 top-K addresses by Σ value (StatsService.scala:24-35)
 # --------------------------------------------------------------------------
 @register(
-    "q15_topk_by_sum",
+    "zz_q15_topk_by_sum",
     sql="""
     SELECT o_custkey,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -332,7 +332,7 @@ def q14_topk_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "topk"),
     bench=True,
 )
-def q15_topk_by_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_q15_topk_by_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = load(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_custkey")
@@ -346,12 +346,12 @@ def q15_topk_by_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q16 info endpoint: max height (BlockTapirRoutes.scala:16-36)
 # --------------------------------------------------------------------------
 @register(
-    "q16_max_key",
+    "zz_q16_max_key",
     sql="SELECT max(o_orderkey) AS max_key, count(*) AS n_rows FROM orders",
     survey_ref="Q16 BlockTapirRoutes.scala:16-36",
     tags=("agg",),
 )
-def q16_max_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_q16_max_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = load(spark, sf_dir, "orders")
     return orders.agg(
         F.max("o_orderkey").alias("max_key"), F.count(F.lit(1)).alias("n_rows")
@@ -364,7 +364,7 @@ def q16_max_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BoxService.scala:59-365). One function, parameters, not 42 endpoints.
 # --------------------------------------------------------------------------
 @register(
-    "q17_unspent_by_segment",
+    "zz_q17_unspent_by_segment",
     sql="""
     SELECT o.o_orderkey, o.o_custkey
     FROM orders o
@@ -379,7 +379,7 @@ def q16_max_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "anti-join"),
     bench=True,
 )
-def q17_unspent_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_q17_unspent_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, customer, lineitem = load(
         spark, sf_dir, "orders", "customer", "lineitem"
     )
@@ -400,7 +400,7 @@ def q17_unspent_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a deterministic string on both engines.
 # --------------------------------------------------------------------------
 @register(
-    "q18_response_assembly",
+    "zz_q18_response_assembly",
     sql="""
     SELECT l_orderkey,
            count(*) AS n_items,
@@ -412,7 +412,7 @@ def q17_unspent_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="Q18 LightBlockModel.scala:31-87",
     tags=("agg", "collect"),
 )
-def q18_response_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_q18_response_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load(spark, sf_dir, "lineitem")
     return lineitem.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_items"),
@@ -427,7 +427,7 @@ def q18_response_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # C11 mempool diff: set difference on ids (MempoolSyncer.scala:23-33)
 # --------------------------------------------------------------------------
 @register(
-    "c11_set_diff",
+    "zz_c11_set_diff",
     sql="""
     SELECT event_id FROM events WHERE value > 50
     EXCEPT
@@ -436,7 +436,7 @@ def q18_response_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="C11 MempoolSyncer.scala:23-33",
     tags=("set-op",),
 )
-def c11_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_c11_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = load(spark, sf_dir, "events")
     new = events.filter(F.col("value") > 50).select("event_id")
     old = events.filter(F.col("event_type") == "error").select("event_id")
@@ -448,7 +448,7 @@ def c11_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # non-excluded outputs over a threshold.
 # --------------------------------------------------------------------------
 @register(
-    "p01_high_value_detector",
+    "zz_p01_high_value_detector",
     sql="""
     SELECT l_orderkey,
            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
@@ -460,7 +460,7 @@ def c11_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="P1 HighValueDetector.scala:19-62",
     tags=("filter", "agg"),
 )
-def p01_high_value_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_p01_high_value_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load(spark, sf_dir, "lineitem")
     return (
         lineitem.filter(F.col("l_returnflag") != "A")
@@ -475,7 +475,7 @@ def p01_high_value_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
 # value per (src,dst) pair.
 # --------------------------------------------------------------------------
 @register(
-    "p02_graph_edges",
+    "zz_p02_graph_edges",
     sql="""
     SELECT o_custkey AS src, l_suppkey AS dst,
            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
@@ -488,7 +488,7 @@ def p01_high_value_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "graph"),
     bench=True,
 )
-def p02_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_p02_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
     return (
         orders.select("o_orderkey", "o_custkey")
@@ -753,38 +753,22 @@ def z15_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_ref="SURVEY §2.6: window functions (sliding frame)",
     tags=("window",),
+    bench=True,
 )
 def z34_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     (orders,) = load(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
-        .rowsBetween(-6, 0)
-    )
     o = orders.select(
         "o_custkey",
         "o_orderkey",
         _cents(F.col("o_totalprice")).alias("total_cents"),
         "o_orderdate",
     )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        "total_cents",
-        (
-            F.sum("total_cents").over(w).cast("long")
-            / F.count(F.lit(1)).over(w).cast("long")
-        ).cast("long").alias("__drop"),
-    ).drop("__drop").withColumn(
-        "ma7_cents",
-        F.expr(
-            "sum(total_cents) OVER (PARTITION BY o_custkey "
-            "ORDER BY o_orderdate ASC, o_orderkey ASC "
-            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) div "
-            "count(1) OVER (PARTITION BY o_custkey "
-            "ORDER BY o_orderdate ASC, o_orderkey ASC "
-            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
-        ),
+    frame = (
+        "OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate ASC, o_orderkey ASC "
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
     )
+    return o.withColumn(
+        "ma7_cents",
+        F.expr(f"sum(total_cents) {frame} div count(1) {frame}"),
+    ).select("o_custkey", "o_orderkey", "total_cents", "ma7_cents")

@@ -47,13 +47,13 @@ _BRUTE_SQL = f"""
 
 
 @register(
-    "s01_ann_bruteforce_cosine",
+    "zz_s01_ann_bruteforce_cosine",
     sql=_BRUTE_SQL,
     survey_ref="LLM-pipeline: exact cosine top-k",
     tags=("similarity", "topk"),
     bench=True,
 )
-def s01_ann_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_s01_ann_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
     out = S.brute_force_topk(
         emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=10
@@ -106,12 +106,12 @@ def _near_dup_sql() -> str:
 
 
 @register(
-    "d05_dedup_embedding_cosine",
+    "zz_d05_dedup_embedding_cosine",
     sql=_near_dup_sql(),
     survey_ref="LLM-pipeline: embedding-cosine near-dup (banded LSH + verify)",
     tags=("dedup", "similarity"),
 )
-def d05_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_d05_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
     out = S.near_dup_pairs(emb, threshold=_NEAR_DUP_T)
     return out.select("vec_a", "vec_b", F.round("cos_sim", 3).alias("cos_sim"))
@@ -178,12 +178,12 @@ def _lsh_sql() -> str:
 
 
 @register(
-    "s02_ann_lsh_bucketed",
+    "zz_s02_ann_lsh_bucketed",
     sql=_lsh_sql(),
     survey_ref="LLM-pipeline: hyperplane multi-probe LSH ANN (scale path)",
     tags=("similarity", "sketch", "topk"),
 )
-def s02_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_s02_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
     out = S.lsh_topk(emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=5)
     return out.select("q_id", "n_id", F.round("cos_sim", 3).alias("cos_sim"))
@@ -385,13 +385,13 @@ def _ivfpq_sql() -> str:
 
 
 @register(
-    "z02_ann_ivfpq",
+    "zz_z02_ann_ivfpq",
     sql=_ivfpq_sql(),
     survey_ref="LLM-pipeline: IVF-PQ ANN (codes scan + ADC + exact re-rank)",
     tags=("similarity", "topk", "sketch"),
     bench=True,
 )
-def z02_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_z02_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         (emb,) = load(spark, sf_dir, "embeddings")
         idx = _built_index(

@@ -21,7 +21,7 @@ DAY_NS = 86_400_000_000_000
 # batch form of a session window (streaming: window(..., "session"))
 # --------------------------------------------------------------------------
 @register(
-    "e01_sessionization",
+    "zz_e01_sessionization",
     sql=f"""
     WITH l AS (
       SELECT user_id, event_id, epoch_ns(ts) AS tsn,
@@ -45,7 +45,7 @@ DAY_NS = 86_400_000_000_000
     tags=("window", "temporal"),
     bench=True,
 )
-def e01_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_e01_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -109,7 +109,7 @@ def zz_e02_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle = correlated top-1, same semantics)
 # --------------------------------------------------------------------------
 @register(
-    "j01_asof_join",
+    "zz_j01_asof_join",
     sql="""
     SELECT e.event_id, e.user_id AS key_user,
            (SELECT o.o_orderkey FROM orders o
@@ -121,7 +121,7 @@ def zz_e02_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "temporal", "asof"),
     bench=True,
 )
-def j01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_j01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events, orders = load(spark, sf_dir, "events", "orders")
     right = orders.select(
         "o_custkey",

@@ -17,7 +17,7 @@ _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''
 # token counting
 # --------------------------------------------------------------------------
 @register(
-    "x01_token_stats",
+    "zz_x01_token_stats",
     sql=f"""
     SELECT doc_id,
            len(t) AS n_tokens,
@@ -29,7 +29,7 @@ _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''
     tags=("text",),
     bench=True,
 )
-def x01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_x01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     tok = T.tokens(F.col("text"))
     return docs.select(
@@ -48,7 +48,7 @@ _EN_STOP = list(T.STOPWORDS["en"])
 
 
 @register(
-    "x02_quality_score",
+    "zz_x02_quality_score",
     sql=f"""
     SELECT doc_id, n_tokens, total_token_chars, n_punct, n_stop,
            (n_tokens >= 10 AND n_stop * 20 >= n_tokens) AS is_quality
@@ -67,7 +67,7 @@ _EN_STOP = list(T.STOPWORDS["en"])
     tags=("text",),
     bench=True,
 )
-def x02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_x02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     # materialize the token array before the aggregate/filter lambdas —
     # CSE does not cross HOF lambda boundaries (re-split per element)
@@ -102,7 +102,7 @@ def x02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # language ID: stopword-hit argmax over literal per-language lists
 # --------------------------------------------------------------------------
 @register(
-    "x03_lang_id",
+    "zz_x03_lang_id",
     sql=f"""
     SELECT doc_id, {T.sql_lang_pred("td")} AS lang_pred
     FROM (SELECT doc_id, list_distinct({_TOKS}) AS td FROM documents)
@@ -111,7 +111,7 @@ def x02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
     bench=True,
 )
-def x03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_x03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     scores = T.lang_scores(F.col("td"))
     return docs.select(
@@ -123,7 +123,7 @@ def x03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus-level n-gram statistics: top bigrams with deterministic ties
 # --------------------------------------------------------------------------
 @register(
-    "x05_top_bigrams",
+    "zz_x05_top_bigrams",
     sql=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     bg AS (
@@ -139,7 +139,7 @@ def x03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "agg", "topk"),
     bench=True,
 )
-def x05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_x05_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     # token array materialized first: inlining tokens() into the
     # transform lambda re-splits the text per bigram element (~11x cost)
@@ -188,7 +188,7 @@ def zz_x04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window in round 5 so these entries get driver CORRECTNESS rows.
 # --------------------------------------------------------------------------
 @register(
-    "x06_deterministic_split",
+    "zz_x06_deterministic_split",
     sql="""
     WITH b AS (
       SELECT doc_id,
@@ -205,7 +205,7 @@ def zz_x04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="LLM-pipeline: reproducible train/val/test split",
     tags=("curation",),
 )
-def x06_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_x06_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import deterministic_split
 
     (docs,) = load(spark, sf_dir, "documents")
@@ -213,7 +213,7 @@ def x06_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x07_sequence_packing",
+    "zz_x07_sequence_packing",
     sql=f"""
     WITH t AS (
       SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
@@ -232,7 +232,7 @@ def x06_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="LLM-pipeline: per-shard greedy sequence packing",
     tags=("curation", "window"),
 )
-def x07_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_x07_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import sequence_packing
 
     (docs,) = load(spark, sf_dir, "documents")
@@ -244,7 +244,7 @@ def x07_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pair: x01 counts word tokens, this counts pre-tokenizer segments).
 # --------------------------------------------------------------------------
 @register(
-    "x08_bpe_token_count",
+    "zz_x08_bpe_token_count",
     sql=f"""
     SELECT doc_id,
            CAST({T.SQL_BPE_COUNT.format(col='text')} AS BIGINT)
@@ -256,7 +256,7 @@ def x07_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="LLM-pipeline: BPE-ish subword counting",
     tags=("text", "curation"),
 )
-def x08_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_x08_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -511,7 +511,7 @@ _URL_SQL = "https?://[^\\s]+"
 
 
 @register(
-    "x09_pattern_scrub",
+    "zz_x09_pattern_scrub",
     sql=f"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{_EMAIL_SQL}')) AS BIGINT)
@@ -526,7 +526,7 @@ _URL_SQL = "https?://[^\\s]+"
     survey_ref="LLM-pipeline: PII/pattern scrubbing",
     tags=("text", "curation"),
 )
-def x09_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_x09_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -784,6 +784,7 @@ _BIGRAMS = "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
     """,
     survey_ref="LLM-pipeline: lexical diversity (TTR / distinct-n)",
     tags=("text", "agg"),
+    bench=True,
 )
 def z33_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")

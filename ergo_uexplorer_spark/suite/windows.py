@@ -49,7 +49,7 @@ def zz_t03_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # T4 coinbase flag: last element per group (FullBlockBuilder.scala:86-88)
 # --------------------------------------------------------------------------
 @register(
-    "t04_last_in_group",
+    "zz_t04_last_in_group",
     sql="""
     SELECT l_orderkey, l_linenumber
     FROM (
@@ -61,7 +61,7 @@ def zz_t03_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="T4 FullBlockBuilder.scala:86-88",
     tags=("window",),
 )
-def t04_last_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_t04_last_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_linenumber"))
     return (
@@ -77,7 +77,7 @@ def t04_last_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators/cumulative.global_sequence.
 # --------------------------------------------------------------------------
 @register(
-    "t05_global_index",
+    "zz_t05_global_index",
     sql="""
     SELECT o_orderkey,
            row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS gix
@@ -87,7 +87,7 @@ def t04_last_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "scale"),
     bench=True,
 )
-def t05_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_t05_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = load(spark, sf_dir, "orders")
     out = global_sequence(
         orders, order_cols=["o_orderdate", "o_orderkey"], out_col="gix"
@@ -100,7 +100,7 @@ def t05_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (MvStorage.scala:231-251)
 # --------------------------------------------------------------------------
 @register(
-    "c06_fork_detect",
+    "zz_c06_fork_detect",
     sql="""
     SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date, count(*) AS n_at_height
     FROM orders
@@ -110,7 +110,7 @@ def t05_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="C6 MvStorage.scala:231-251",
     tags=("agg",),
 )
-def c06_fork_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_c06_fork_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = load(spark, sf_dir, "orders")
     return (
         orders.groupBy(
@@ -126,7 +126,7 @@ def c06_fork_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sequence + explode + left_anti.
 # --------------------------------------------------------------------------
 @register(
-    "c07_missing_keys",
+    "zz_c07_missing_keys",
     sql="""
     SELECT s.k AS missing_key
     FROM (SELECT unnest(range(0, (SELECT max(o_orderkey) + 1 FROM orders))) AS k) s
@@ -135,7 +135,7 @@ def c06_fork_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="C7 MvStorage.scala:284-290",
     tags=("anti-join", "generator"),
 )
-def c07_missing_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zz_c07_missing_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
     max_key = orders.agg(F.max("o_orderkey").alias("m"))
     # distributed range: spark.range would need the value driver-side;

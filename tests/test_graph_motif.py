@@ -134,9 +134,9 @@ def test_near_dup_operators_release_caches(spark):
     spark.catalog.clearCache()
     sf = "/root/testdata/sf0.001"
     for name in (
-        "d02_dedup_ngram_jaccard",
-        "d03_dedup_minhash_lsh",
-        "d05_dedup_embedding_cosine",
+        "zz_d02_dedup_ngram_jaccard",
+        "zz_d03_dedup_minhash_lsh",
+        "zz_d05_dedup_embedding_cosine",
     ):
         REGISTRY[name].fn(spark, sf).count()
     cm = spark._jsparkSession.sharedState().cacheManager()
@@ -352,3 +352,19 @@ def test_motif_results_invariant_under_reordering(spark):
     }
     assert got == {("c1", "o1", "s1"), ("c1", "o2", "s1"),
                    ("c2", "o1", "s1")}
+
+
+def test_triangle_count_orientation_invariant(spark):
+    """id-orientation (oracle path) and degree-orientation (the
+    skew-bounded 100 TB path) must count the same triangles; sanity
+    value pinned on a known graph (K4 = 4 triangles + a pendant)."""
+    from ergo_uexplorer_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    n_id = triangle_count(edges, orient="id").first()["n_triangles"]
+    n_deg = triangle_count(edges, orient="degree").first()["n_triangles"]
+    assert n_id == 4 and n_deg == 4

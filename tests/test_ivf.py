@@ -274,3 +274,37 @@ def test_opq_rotation_improves_error_and_recall(emb, centroids):
     a = {(r["q_id"], r["n_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.7, f"OPQ IVF-PQ recall {recall:.2f}"
+
+
+def test_ivf_assign_large_k_matmul_path(spark):
+    """Above CENTROID_LITERAL_MAX the assignment must switch to the
+    executor-broadcast Arrow matmul (ArrowEvalPython in the plan, no
+    join/literal blow-up), and the two paths must agree cell-for-cell
+    on the same quantizer (forced through both below the cutoff)."""
+    from ergo_uexplorer_spark.operators import similarity as S
+    from ergo_uexplorer_spark.plans.explain import formatted_plan
+    from ergo_uexplorer_spark.suite.base import load
+
+    (emb,) = load(spark, SF_DIR, "embeddings")
+    cents = list(S.FIXED_CENTROIDS)
+
+    lit = S.ivf_assign(emb, cents)
+    mat = S._ivf_assign_matmul(emb, cents, "embedding")
+    assert "ArrowEvalPython" not in formatted_plan(lit)
+    assert "ArrowEvalPython" in formatted_plan(mat)
+    assert "Join" not in formatted_plan(mat)
+
+    a = {r["vec_id"]: r["centroid_id"] for r in lit.collect()}
+    b = {r["vec_id"]: r["centroid_id"] for r in mat.collect()}
+    assert a == b
+
+    # the public entry point takes the matmul path past the cutoff
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = len(cents[0])
+    big = [
+        [float(v) for v in rng.standard_normal(dim)]
+        for _ in range(S.CENTROID_LITERAL_MAX + 1)
+    ]
+    assert "ArrowEvalPython" in formatted_plan(S.ivf_assign(emb, big))

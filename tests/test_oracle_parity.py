@@ -72,7 +72,7 @@ def test_temporal_parity_non_utc_session(spark):
     prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
-        for name in ("e01_sessionization", "j01_asof_join"):
+        for name in ("zz_e01_sessionization", "zz_j01_asof_join"):
             qd = REGISTRY[name]
             assert_matches_oracle(qd.fn(spark, SF_DIR), qd.sql, SF_DIR, name)
     finally:

@@ -32,25 +32,25 @@ def test_inlist_pushdown(spark):
 
 
 def test_dynamic_predicates_pushed(spark):
-    df = REGISTRY["q09_dynamic_predicate"].fn(spark, SF_DIR)
+    df = REGISTRY["zz_q09_dynamic_predicate"].fn(spark, SF_DIR)
     assert_filter_pushed(df, "l_returnflag")
     assert_filter_pushed(df, "l_linestatus")
     assert_column_pruned(df, "l_extendedprice")
 
 
 def test_dim_joins_broadcast(spark):
-    assert_broadcast_join(REGISTRY["q05_three_way_join"].fn(spark, SF_DIR))
+    assert_broadcast_join(REGISTRY["zz_q05_three_way_join"].fn(spark, SF_DIR))
     assert_broadcast_join(REGISTRY["zz_b03_shipping_priority"].fn(spark, SF_DIR))
 
 
 def test_ann_no_unbounded_cartesian(spark):
     # brute-force ANN is a *broadcast* nested loop (bounded query side),
     # never a shuffled cartesian
-    df = REGISTRY["s01_ann_bruteforce_cosine"].fn(spark, SF_DIR)
+    df = REGISTRY["zz_s01_ann_bruteforce_cosine"].fn(spark, SF_DIR)
     assert_no_cartesian(df)
 
 
-@pytest.mark.parametrize("name", ["s02_ann_lsh_bucketed", "zz_s03_ann_ivf_fixed"])
+@pytest.mark.parametrize("name", ["zz_s02_ann_lsh_bucketed", "zz_s03_ann_ivf_fixed"])
 def test_bucketed_ann_plans_are_equijoins(spark, name):
     """The bucketed ANN paths must candidate-join on the bucket/cell key
     — no cartesian and no nested-loop join; the corpus side is hash-
@@ -78,14 +78,14 @@ def _near_dup_raw_plans(spark):
 
     docs, emb = load(spark, SF_DIR, "documents", "embeddings")
     return {
-        "d02_dedup_ngram_jaccard": jaccard_prefix_pairs(
+        "zz_d02_dedup_ngram_jaccard": jaccard_prefix_pairs(
             docs, num=4, den=5, release=False
         ),
-        "d03_dedup_minhash_lsh": minhash_lsh_pairs(
+        "zz_d03_dedup_minhash_lsh": minhash_lsh_pairs(
             docs, num=4, den=5, release=False
         ),
-        "d04_dedup_simhash": REGISTRY["d04_dedup_simhash"].fn(spark, SF_DIR),
-        "d05_dedup_embedding_cosine": near_dup_pairs(
+        "zz_d04_dedup_simhash": REGISTRY["zz_d04_dedup_simhash"].fn(spark, SF_DIR),
+        "zz_d05_dedup_embedding_cosine": near_dup_pairs(
             emb, threshold=_NEAR_DUP_T, release=False
         ),
     }
@@ -94,10 +94,10 @@ def _near_dup_raw_plans(spark):
 @pytest.mark.parametrize(
     "name",
     [
-        "d02_dedup_ngram_jaccard",
-        "d03_dedup_minhash_lsh",
-        "d04_dedup_simhash",
-        "d05_dedup_embedding_cosine",
+        "zz_d02_dedup_ngram_jaccard",
+        "zz_d03_dedup_minhash_lsh",
+        "zz_d04_dedup_simhash",
+        "zz_d05_dedup_embedding_cosine",
     ],
 )
 def test_near_dup_plans_are_bucketed(spark, name):
@@ -160,6 +160,46 @@ def test_pagerank_round_broadcasts_rank_table(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_auto_gate_demotes_oversized_rank_table(spark):
+    """broadcast_tables=None (default) must compare the materialized
+    rank-table size against autoBroadcastJoinThreshold: under it the
+    per-round join is a BroadcastHashJoin; with broadcasting disabled
+    (threshold -1, i.e. "node dim exceeds budget") the SAME call must
+    demote to SortMergeJoin instead of forcing a broadcast — the
+    billions-of-vertices safety gate."""
+    from ergo_uexplorer_spark.operators.graph import pagerank_int
+    from ergo_uexplorer_spark.plans.explain import formatted_plan
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    under = formatted_plan(pagerank_int(edges, iters=1, checkpoint_every=0))
+    assert "BroadcastHashJoin" in under
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        over = formatted_plan(
+            pagerank_int(edges, iters=1, checkpoint_every=0)
+        )
+    finally:
+        spark.conf.set(key, prev)
+    assert "SortMergeJoin" in over
+    assert "BroadcastHashJoin" not in over
+    # explicit override still forces the broadcast
+    spark.conf.set(key, "-1")
+    try:
+        forced = formatted_plan(
+            pagerank_int(
+                edges, iters=1, checkpoint_every=0, broadcast_tables=True
+            )
+        )
+    finally:
+        spark.conf.set(key, prev)
+    assert "BroadcastHashJoin" in forced
 
 
 def test_incremental_dedup_plan_is_bucketed(spark):

@@ -377,3 +377,43 @@ def test_streaming_corpus_refresh_cross_batch_base(spark, tmp_path):
     assert dec[2]["keep"]
     assert not dec[3]["keep"] and dec[3]["dup_of"] == 2
     assert dec[4]["keep"]
+
+
+def test_streaming_corpus_refresh_redelivery_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-processing the SAME batch id
+    after its batch=<id> directory was already written must not screen
+    the batch against its own first-attempt output (which would make
+    every accepted doc near-dup itself and overwrite the directory with
+    an empty set). process_batch twice == process_batch once."""
+    from ergo_uexplorer_spark.streaming.corpus_refresh import (
+        process_batch,
+        read_base,
+        seed_base,
+    )
+
+    text_a = " ".join(f"a{i}" for i in range(120))
+    text_b = " ".join(f"b{i}" for i in range(120))
+    base_path = str(tmp_path / "base")
+    seed_base(
+        spark.createDataFrame([(100, text_a)], "doc_id long, text string"),
+        base_path,
+    )
+    batch = spark.createDataFrame(
+        [(1, text_a.replace("a50", "q50")), (2, text_b)],
+        "doc_id long, text string",
+    )
+    dec_path = str(tmp_path / "decisions")
+
+    process_batch(batch, 0, base_path, decisions_path=dec_path)
+    first = {r["doc_id"] for r in read_base(spark, base_path).collect()}
+    assert first == {100, 2}  # doc 1 near-dups the seed, doc 2 accepted
+
+    # redelivery: same batch, same id, base now contains batch=0
+    process_batch(batch, 0, base_path, decisions_path=dec_path)
+    again = {r["doc_id"] for r in read_base(spark, base_path).collect()}
+    assert again == first  # doc 2 must NOT be lost to self-dedup
+
+    dec = {
+        r["doc_id"]: r for r in spark.read.parquet(dec_path).collect()
+    }
+    assert dec[2]["keep"] and not dec[1]["keep"] and dec[1]["dup_of"] == 100

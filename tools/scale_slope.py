@@ -40,10 +40,10 @@ sys.path.insert(0, REPO)
 
 SF01 = "/root/testdata/sf0.1"
 QUERIES = (
-    "c01_clean_corpus",
-    "d03_dedup_minhash_lsh",
-    "d05_dedup_embedding_cosine",
-    "z01_motif_find",
+    "zz_c01_clean_corpus",
+    "zz_d03_dedup_minhash_lsh",
+    "zz_d05_dedup_embedding_cosine",
+    "zz_z01_motif_find",
     # iterative-algorithm slope: shared customers + per-copy suppliers
     # grow z08's graph edges ~linearly with the data
     "z08_pagerank",
