@@ -11,3 +11,4 @@ from . import temporal  # noqa: F401
 from . import grouped  # noqa: F401
 from . import registers  # noqa: F401
 from . import multimodal  # noqa: F401
+from . import extras  # noqa: F401

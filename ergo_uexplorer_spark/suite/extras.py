@@ -1,0 +1,880 @@
+"""Round-6 surface additions (z35–z52): the remaining SURVEY §2.6
+built-in categories (grouping sets, pivot/unpivot, sliding event-time
+distinct), robust/exact statistics (MAD outliers, mode, central
+moments, rational correlation), graph triangle counting, and
+LLM-pipeline curation diagnostics (Zipf/hapax, source Gini
+concentration, cross-source duplication, canonical first-seen,
+embedding norm QA, per-group top-k digests, reconciliation audits).
+
+Names sort after z34 and before the zz_ tail so every entry lands in
+the driver's recorded 50-name CORRECTNESS window this round (see
+PARITY.md on the r6 rotation).
+
+Exactness rules follow suite/base.py: integer cents everywhere, `div`
+floor division on both engines, DECIMAL(38,0)/HUGEINT for products
+that can pass int64 at sf≥1, interpolated medians doubled into exact
+integers (both engines use the (n−1)·q convention and the midpoint of
+two int64s is FP-exact), unique tiebreaks under every row_number.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import graph as G
+from ..operators import similarity as S
+from ..operators.dedup import normalized_text
+from ..operators.similarity import dot
+from .base import load, register
+from .dedup import _HASHED_JACCARD_SQL
+from .similarity import _DOT
+
+
+def _cents(col):
+    return F.round(col * F.lit(100)).cast("bigint")
+
+
+_CENTS_SQL = "CAST(round({col} * 100) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# z35: GROUPING SETS — the §2.6 multi-granularity aggregation family
+# member cube (z07) and rollup (zz_b02) don't cover: an arbitrary,
+# non-hierarchical set of granularities in ONE pass over the fact table
+# (Catalyst expands to a single Expand + hash-agg — no N scans).
+# grouping() flags disambiguate "NULL group value" from "aggregated
+# out", same contract as the reference-absent SQL surface Spark gives
+# for free.
+# --------------------------------------------------------------------------
+@register(
+    "z35_grouping_sets",
+    sql=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           count(*) AS n_orders,
+           CAST(sum({_CENTS_SQL.format(col='o_totalprice')}) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+    survey_ref="SURVEY §2.6: grouping sets (free via Spark built-ins)",
+    tags=("agg", "olap"),
+)
+def z35_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [
+            [F.col("o_orderstatus"), F.col("o_orderpriority")],
+            [F.col("o_orderstatus")],
+            [],
+        ],
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    ).agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# z36: pivot — long→wide with a FIXED value list (['O','F','P']), which
+# keeps the output schema static (a data-driven pivot would need an
+# extra distinct scan and make the schema nondeterministic under new
+# statuses — the wrong default at 100 TB).
+# --------------------------------------------------------------------------
+@register(
+    "z36_pivot_status",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+    FROM orders GROUP BY 1
+    """,
+    survey_ref="SURVEY §2.6: pivot (conditional-agg equivalence)",
+    tags=("agg", "olap"),
+)
+def z36_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    zero = F.lit(0).cast("bigint")
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), zero).alias("n_o"),
+        F.coalesce(F.col("F"), zero).alias("n_f"),
+        F.coalesce(F.col("P"), zero).alias("n_p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# z37: unpivot (melt) — wide→long, the inverse surface. One narrow
+# UNION-free Expand in the plan; values pre-cast to one type because
+# unpivot requires a common value column type.
+# --------------------------------------------------------------------------
+@register(
+    "z37_unpivot_part_metrics",
+    sql=f"""
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS BIGINT) AS val
+    FROM part WHERE p_partkey < 512
+    UNION ALL
+    SELECT p_partkey, 'retail_cents', {_CENTS_SQL.format(col='p_retailprice')}
+    FROM part WHERE p_partkey < 512
+    """,
+    survey_ref="SURVEY §2.6: unpivot/melt (free via Spark built-ins)",
+    tags=("olap",),
+)
+def z37_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = load(spark, sf_dir, "part")
+    wide = part.filter(F.col("p_partkey") < 512).select(
+        "p_partkey",
+        F.col("p_size").cast("bigint").alias("size"),
+        _cents(F.col("p_retailprice")).alias("retail_cents"),
+    )
+    return wide.unpivot(["p_partkey"], ["size", "retail_cents"], "metric", "val")
+
+
+# --------------------------------------------------------------------------
+# z38: sliding event-time windows with EXACT distinct users — the
+# overlapping-window companion to zz_e02's tumbling windows. F.window
+# assigns each event to its 4 covering (1h, slide 15m) windows; the
+# oracle derives the same 4 epoch-aligned starts arithmetically. Window
+# starts surface as BIGINT ns so the contract is timezone-proof.
+# --------------------------------------------------------------------------
+@register(
+    "z38_sliding_window_distinct",
+    sql="""
+    WITH e AS (SELECT epoch_ns(ts) AS tns, user_id FROM events),
+    w AS (
+      SELECT (tns // 900000000000 - k) * 900000000000 AS window_start_ns,
+             user_id
+      FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) t(k)
+    )
+    SELECT window_start_ns,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           count(*) AS n_events
+    FROM w GROUP BY 1
+    """,
+    survey_ref="SURVEY §2.6: event-time windows (sliding, exact distinct)",
+    tags=("window", "agg"),
+    bench=True,
+)
+def z38_sliding_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    ts = events.withColumn(
+        "__t", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return (
+        ts.groupBy(F.window("__t", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            (F.unix_micros(F.col("w.start")) * F.lit(1000)).alias(
+                "window_start_ns"
+            ),
+            "n_users",
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# z39: MAD outliers — the ROBUST companion to z29's mean/stddev
+# z-scores (one far outlier inflates σ and masks the rest; the median
+# absolute deviation doesn't break down until 50% contamination).
+# Exactness: med2 = 2·median and mad4 = 2·median(|2x − med2|) are exact
+# int64 (midpoint of two int64s is FP-exact; both engines interpolate
+# at (n−1)·q), and the 3-MAD rule |x−med| > 3·MAD becomes the pure
+# integer comparison 4·dev2 > 3·mad4.
+# --------------------------------------------------------------------------
+@register(
+    "z39_mad_outliers",
+    sql=f"""
+    WITH v AS (SELECT event_type,
+                      {_CENTS_SQL.format(col='value')} AS c FROM events),
+    m AS (SELECT event_type,
+                 CAST(2 * quantile_cont(c, 0.5) AS BIGINT) AS med2
+          FROM v GROUP BY 1),
+    d AS (SELECT v.event_type, abs(2 * c - med2) AS dev2, med2
+          FROM v JOIN m USING (event_type)),
+    s AS (SELECT event_type,
+                 CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4,
+                 max(med2) AS med2, count(*) AS n
+          FROM d GROUP BY 1)
+    SELECT d.event_type, s.med2, s.mad4, s.n,
+           CAST(sum(CASE WHEN 4 * dev2 > 3 * mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN s USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    """,
+    survey_ref="LLM-pipeline: robust outlier gate (median/MAD)",
+    tags=("agg", "quality"),
+)
+def z39_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    v = events.select("event_type", _cents(F.col("value")).alias("c"))
+    med = v.groupBy("event_type").agg(
+        (F.percentile("c", F.lit(0.5)) * 2).cast("bigint").alias("med2")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(2 * F.col("c") - F.col("med2")).alias("dev2"),
+        "med2",
+    )
+    stats = dev.groupBy("event_type").agg(
+        (F.percentile("dev2", F.lit(0.5)) * 2).cast("bigint").alias("mad4"),
+        F.max("med2").alias("med2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        dev.select("event_type", "dev2")
+        .join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "med2", "mad4", "n")
+        .agg(
+            F.sum(
+                F.when(4 * F.col("dev2") > 3 * F.col("mad4"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# z40: per-group mode with a DETERMINISTIC tiebreak (smallest id among
+# the maximally-frequent) — built-in mode() is tie-nondeterministic in
+# both engines, so the contract is max(struct(count, -id)) on the Spark
+# side and the count-equality join on the oracle side.
+# --------------------------------------------------------------------------
+@register(
+    "z40_group_mode",
+    sql="""
+    WITH c AS (SELECT event_type, user_id, count(*) AS n
+               FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, max(n) AS mx FROM c GROUP BY 1)
+    SELECT c.event_type, min(user_id) AS mode_user,
+           CAST(max(c.n) AS BIGINT) AS n_events
+    FROM c JOIN m ON c.event_type = m.event_type AND c.n = m.mx
+    GROUP BY 1
+    """,
+    survey_ref="SURVEY §2.6: aggregate surface (deterministic mode)",
+    tags=("agg",),
+)
+def z40_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    cnt = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best = cnt.groupBy("event_type").agg(
+        F.max(F.struct(F.col("n"), (-F.col("user_id")).alias("nu"))).alias("b")
+    )
+    return best.select(
+        "event_type",
+        (-F.col("b.nu")).alias("mode_user"),
+        F.col("b.n").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# z41: central-moment components as DECIMAL(38,0) — the exact-integer
+# building blocks for skewness/kurtosis (engine built-ins disagree on
+# sample-vs-population formulas AND drift on FP reduction order, so the
+# contract is the raw power sums; Σx³ passes int64 at scale, hence
+# 128-bit: Spark decimal, DuckDB HUGEINT, both surfaced as
+# DECIMAL(38,0)).
+# --------------------------------------------------------------------------
+@register(
+    "z41_central_moments",
+    sql=f"""
+    WITH v AS (SELECT o_orderstatus,
+                      CAST({_CENTS_SQL.format(col='o_totalprice')} AS HUGEINT)
+                          AS x
+               FROM orders)
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(x) AS DECIMAL(38, 0)) AS sum_x,
+           CAST(sum(x * x) AS DECIMAL(38, 0)) AS sum_x2,
+           CAST(sum(x * x * x) AS DECIMAL(38, 0)) AS sum_x3
+    FROM v GROUP BY 1
+    """,
+    survey_ref="SURVEY §2.6: aggregate surface (exact moment sums)",
+    tags=("agg", "stats"),
+)
+def z41_central_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    x = _cents(F.col("o_totalprice")).cast("decimal(38,0)")
+    v = orders.select("o_orderstatus", x.alias("x"))
+    return v.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sum_x"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sum_x2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sum_x3"),
+    )
+
+
+# --------------------------------------------------------------------------
+# z42: triangle counting over the supplier co-occurrence graph
+# (suppliers sharing an order). Edges oriented u<v so each triangle is
+# enumerated once; the operator's orient="degree" variant is the
+# skew-bounded 100 TB path (see graph.triangle_count) and a pytest pins
+# the two orientations equal.
+# --------------------------------------------------------------------------
+@register(
+    "z42_triangle_count",
+    sql="""
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    )
+    SELECT (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(*)
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+               AS n_triangles
+    """,
+    survey_ref="graph analytics: triangle count (compact-forward)",
+    tags=("graph", "join"),
+    bench=True,
+)
+def z42_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    a, b = lineitem.alias("a"), lineitem.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    tri = G.triangle_count(edges)
+    return F.broadcast(n_edges).crossJoin(tri)
+
+
+# --------------------------------------------------------------------------
+# z43: Zipf/hapax diagnostics per source — type counts, hapax share of
+# the vocabulary, and the head token's corpus share: the standard
+# quick-look for "is this source natural language or boilerplate/spam"
+# (natural text ≈ 40–60% hapax, head share ~ permille-scale; templated
+# text collapses both).
+# --------------------------------------------------------------------------
+@register(
+    "z43_hapax_zipf",
+    sql="""
+    WITH base AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text),
+                                                   '[^a-z0-9]+'),
+                    x -> x <> '')) AS g
+      FROM documents
+    ),
+    tf AS (SELECT source, g, count(*) AS f FROM base GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(f) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           CAST(1000 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) // count(*)
+                AS BIGINT) AS hapax_permille,
+           CAST(1000 * max(f) // sum(f) AS BIGINT) AS top_share_permille
+    FROM tf GROUP BY 1
+    """,
+    survey_ref="LLM-pipeline: Zipf/hapax source diagnostics",
+    tags=("text", "agg"),
+)
+def z43_hapax_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import tokens
+
+    (docs,) = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("g"))
+        .groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return tf.groupBy("source").agg(
+        F.sum("f").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.expr(
+            "CAST(1000 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)"
+            " div count(1) AS BIGINT)"
+        ).alias("hapax_permille"),
+        F.expr("CAST(1000 * max(f) div sum(f) AS BIGINT)").alias(
+            "top_share_permille"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# z44: full-outer reconciliation audit — fact-vs-detail integrity in one
+# pass (matched / header-only / orphan-detail counts + the value at
+# risk). The shape every large pipeline runs after a backfill; a
+# single-row result regardless of input size.
+# --------------------------------------------------------------------------
+@register(
+    "z44_order_reconciliation",
+    sql=f"""
+    WITH l AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    j AS (
+      SELECT o.o_orderkey, l.l_orderkey,
+             {_CENTS_SQL.format(col='o.o_totalprice')} AS cents
+      FROM orders o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT
+      CAST(sum(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_orders_without_lines,
+      CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_orphan_lines,
+      CAST(sum(CASE WHEN l_orderkey IS NULL THEN cents ELSE 0 END)
+           AS BIGINT) AS unmatched_cents
+    FROM j
+    """,
+    survey_ref="C9-adjacent: cross-table consistency audit",
+    tags=("join", "audit"),
+)
+def z44_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    keys = lineitem.select("l_orderkey").distinct()
+    j = orders.select(
+        "o_orderkey", _cents(F.col("o_totalprice")).alias("cents")
+    ).join(keys, F.col("o_orderkey") == F.col("l_orderkey"), "full_outer")
+    has_o = F.col("o_orderkey").isNotNull()
+    has_l = F.col("l_orderkey").isNotNull()
+    return j.agg(
+        F.sum((has_o & has_l).cast("long")).alias("n_matched"),
+        F.sum((~has_l).cast("long")).alias("n_orders_without_lines"),
+        F.sum((~has_o).cast("long")).alias("n_orphan_lines"),
+        F.sum(F.when(~has_l, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("unmatched_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# z45: inter-order gap histogram — lag() over each customer's order
+# history bucketed to weeks. The lag/lead family member the suite
+# didn't cover (t03/z34 are frame aggregates). Dates compared as DATE
+# on both engines, so the session timezone can't shift a bucket.
+# --------------------------------------------------------------------------
+@register(
+    "z45_order_gap_histogram",
+    sql="""
+    WITH g AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             lag(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC) AS pd
+      FROM orders
+    )
+    SELECT CAST((d - pd) // 7 AS BIGINT) AS gap_weeks,
+           count(*) AS n_gaps
+    FROM g WHERE pd IS NOT NULL GROUP BY 1
+    """,
+    survey_ref="SURVEY §2.6: window functions (lag/lead)",
+    tags=("window", "agg"),
+)
+def z45_order_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    g = orders.select(
+        F.to_date("o_orderdate").alias("d"),
+        F.lag(F.to_date("o_orderdate")).over(w).alias("pd"),
+    )
+    return (
+        g.filter(F.col("pd").isNotNull())
+        .select(
+            F.expr("CAST(datediff(d, pd) div 7 AS BIGINT)").alias("gap_weeks")
+        )
+        .groupBy("gap_weeks")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )
+
+
+# --------------------------------------------------------------------------
+# z46: per-group top-k digest — each supplier's top-3 parts by revenue
+# folded into one ordered string (rank via row_number with a unique
+# tiebreak; the digest via sort_array over (rank, item) structs so the
+# collect order can't leak in). The "summary column" shape dashboards
+# and feature stores ask for.
+# --------------------------------------------------------------------------
+@register(
+    "z46_topk_digest",
+    sql=f"""
+    WITH r AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(sum({_CENTS_SQL.format(col='l_extendedprice')}) AS BIGINT)
+                 AS rev
+      FROM lineitem WHERE l_suppkey < 50 GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY l_suppkey ORDER BY rev DESC, l_partkey ASC) AS rn
+      FROM r
+    )
+    SELECT l_suppkey,
+           string_agg(l_partkey || ':' || rev, ',' ORDER BY rn) AS top_parts
+    FROM t WHERE rn <= 3 GROUP BY 1
+    """,
+    survey_ref="Q14/Q15-adjacent: per-group top-k digest column",
+    tags=("window", "agg"),
+)
+def z46_topk_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    r = (
+        lineitem.filter(F.col("l_suppkey") < 50)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("rev"))
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("rev"), F.asc("l_partkey")
+    )
+    t = r.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    return (
+        t.groupBy("l_suppkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rn", "l_partkey", "rev"))
+            ).alias("xs")
+        )
+        .select(
+            "l_suppkey",
+            F.array_join(
+                F.transform(
+                    F.col("xs"),
+                    lambda x: F.concat_ws(
+                        ":",
+                        x["l_partkey"].cast("string"),
+                        x["rev"].cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("top_parts"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# z47: fixed-width value histogram ($5000 buckets over order totals) —
+# integer div bucketing, one hash-agg, the width_bucket shape without
+# the FP boundary hazard.
+# --------------------------------------------------------------------------
+@register(
+    "z47_value_histogram",
+    sql=f"""
+    WITH v AS (SELECT {_CENTS_SQL.format(col='o_totalprice')} AS c
+               FROM orders)
+    SELECT CAST(c // 500000 AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(min(c) AS BIGINT) AS min_cents,
+           CAST(max(c) AS BIGINT) AS max_cents
+    FROM v GROUP BY 1
+    """,
+    survey_ref="SURVEY §2.6: aggregate surface (histogram)",
+    tags=("agg",),
+)
+def z47_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    v = orders.select(_cents(F.col("o_totalprice")).alias("c"))
+    return (
+        v.withColumn("bucket", F.expr("CAST(c div 500000 AS BIGINT)"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# z48: Gini concentration of document length per source — the mixture-
+# balance diagnostic ("is one crawl bucket dominated by a few huge
+# docs?"). Exact integer rational: with lengths ascending (unique
+# doc_id tiebreak), G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx); Σi·xᵢ is
+# invariant to tie order, so the permille floor is engine-identical.
+# --------------------------------------------------------------------------
+@register(
+    "z48_source_gini",
+    sql="""
+    WITH r AS (
+      SELECT source, n_chars AS v,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars ASC, doc_id ASC) AS i
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(v) AS BIGINT) AS total_chars,
+           CAST((1000 * (2 * sum(i * v) - (count(*) + 1) * sum(v)))
+                // (count(*) * sum(v)) AS BIGINT) AS gini_permille
+    FROM r GROUP BY 1
+    """,
+    survey_ref="LLM-pipeline: mixture concentration (Gini per source)",
+    tags=("agg", "quality"),
+)
+def z48_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.asc("v"), F.asc("doc_id"))
+    r = docs.select(
+        "source", F.col("n_chars").alias("v"), "doc_id"
+    ).withColumn("i", F.row_number().over(w)).drop("doc_id")
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("v").alias("total_chars"),
+            F.sum(F.col("i").cast("long") * F.col("v")).alias("__s1"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.expr(
+                "CAST((1000 * (2 * __s1 - (n_docs + 1) * total_chars))"
+                " div (n_docs * total_chars) AS BIGINT)"
+            ).alias("gini_permille"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# z49: cross-source duplication matrix — near-dup pairs (the zz_d02
+# prefix-filtered engine, lossless) attributed to ordered source pairs:
+# the "which crawls copy which" diagnostic that decides what to
+# de-prioritize at ingest. Reuses the exact pair semantics, so the
+# oracle nests the shared _HASHED_JACCARD_SQL.
+# --------------------------------------------------------------------------
+@register(
+    "z49_cross_source_dup",
+    sql=f"""
+    WITH hits AS ({_HASHED_JACCARD_SQL}),
+    lab AS (
+      SELECT least(da.source, db.source) AS src_a,
+             greatest(da.source, db.source) AS src_b
+      FROM hits
+      JOIN documents da ON hits.doc_a = da.doc_id
+      JOIN documents db ON hits.doc_b = db.doc_id
+    )
+    SELECT src_a, src_b, count(*) AS n_pairs FROM lab GROUP BY 1, 2
+    """,
+    survey_ref="LLM-pipeline: cross-source near-dup attribution",
+    tags=("dedup", "join"),
+    bench=True,
+)
+def z49_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_prefix_pairs(docs, num=4, den=5).select(
+        "doc_a", "doc_b"
+    )
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+    )
+    return lab.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+# --------------------------------------------------------------------------
+# z50: exact correlation components per brand — n, Σx, Σy, Σxy, Σx²,
+# Σy², and the covariance numerator n·Σxy − Σx·Σy. corr() built-ins
+# drift on FP reduction order; the raw sums are exact and sufficient to
+# reconstruct r² downstream. Products of sums pass int64 at sf≥1, so
+# they are 128-bit (Spark decimal / DuckDB HUGEINT → DECIMAL(38,0)).
+# --------------------------------------------------------------------------
+@register(
+    "z50_corr_components",
+    sql=f"""
+    WITH v AS (
+      SELECT p.p_brand,
+             CAST(l.l_quantity AS HUGEINT) AS x,
+             CAST({_CENTS_SQL.format(col='l.l_extendedprice')} AS HUGEINT)
+                 AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT p_brand, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x * y) AS DECIMAL(38, 0)) AS sum_xy,
+           CAST(sum(x * x) AS DECIMAL(38, 0)) AS sum_x2,
+           CAST(sum(y * y) AS DECIMAL(38, 0)) AS sum_y2,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DECIMAL(38, 0))
+               AS cov_num
+    FROM v GROUP BY 1
+    """,
+    survey_ref="SURVEY §2.6: aggregate surface (exact correlation sums)",
+    tags=("agg", "stats", "join"),
+)
+def z50_corr_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = load(spark, sf_dir, "lineitem", "part")
+    v = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        lineitem.l_partkey == part.p_partkey,
+    ).select(
+        "p_brand",
+        F.col("l_quantity").cast("long").alias("x"),
+        _cents(F.col("l_extendedprice")).alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = v.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+        F.sum(dec(F.col("x")) * dec(F.col("y")))
+        .cast("decimal(38,0)")
+        .alias("sum_xy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x")))
+        .cast("decimal(38,0)")
+        .alias("sum_x2"),
+        F.sum(dec(F.col("y")) * dec(F.col("y")))
+        .cast("decimal(38,0)")
+        .alias("sum_y2"),
+    )
+    return agg.select(
+        "p_brand",
+        "n",
+        "sum_x",
+        "sum_y",
+        "sum_xy",
+        "sum_x2",
+        "sum_y2",
+        (
+            dec(F.col("n")) * F.col("sum_xy")
+            - dec(F.col("sum_x")) * dec(F.col("sum_y"))
+        )
+        .cast("decimal(38,0)")
+        .alias("cov_num"),
+    )
+
+
+# --------------------------------------------------------------------------
+# z51: canonical first-seen attribution — exact-dup groups (zz_d01's
+# normalized-md5 contract) enriched with HOW WIDE each duplicate spreads
+# (distinct sources) and WHERE the canonical copy lives: the lineage
+# record a dedup pipeline keeps when it drops the non-canonical copies.
+# --------------------------------------------------------------------------
+@register(
+    "z51_canonical_first_seen",
+    sql="""
+    WITH h AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                 AS text_hash,
+             doc_id, source
+      FROM documents
+    ),
+    c AS (
+      SELECT text_hash, min(doc_id) AS canonical_id,
+             count(*) AS n_copies,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM h GROUP BY 1
+    )
+    SELECT c.text_hash, c.canonical_id, c.n_copies, c.n_sources,
+           h.source AS canonical_source
+    FROM c JOIN h ON h.doc_id = c.canonical_id
+    """,
+    survey_ref="LLM-pipeline: dedup lineage (canonical attribution)",
+    tags=("dedup", "agg"),
+)
+def z51_canonical_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    h = docs.select(
+        F.md5(normalized_text(F.col("text"))).alias("text_hash"),
+        "doc_id",
+        "source",
+    )
+    c = h.groupBy("text_hash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    return c.join(
+        h.select(
+            F.col("doc_id").alias("canonical_id"),
+            F.col("source").alias("canonical_source"),
+        ),
+        "canonical_id",
+    ).select(
+        "text_hash", "canonical_id", "n_copies", "n_sources",
+        "canonical_source",
+    )
+
+
+# --------------------------------------------------------------------------
+# z52: embedding norm QA per label — catches the classic pipeline
+# failures (zero vectors, un-normalized batches, scale drift between
+# encoder versions) before they poison ANN recall. Norms as floored
+# micro-units: the dot fold is the same sequential order both engines
+# use everywhere else in the suite, sqrt is IEEE-correctly-rounded, so
+# the integers are engine-identical.
+# --------------------------------------------------------------------------
+@register(
+    "z52_embedding_norm_stats",
+    sql=f"""
+    WITH v AS (
+      SELECT label,
+             CAST(floor(1000000 * sqrt(
+               {_DOT.format(dim=S.EMB_DIM, a='embedding', b='embedding')}
+             )) AS BIGINT) AS nm
+      FROM embeddings
+    )
+    SELECT label, count(*) AS n,
+           CAST(min(nm) AS BIGINT) AS min_norm_micros,
+           CAST(max(nm) AS BIGINT) AS max_norm_micros,
+           CAST(sum(nm) // count(*) AS BIGINT) AS avg_norm_micros
+    FROM v GROUP BY 1
+    """,
+    survey_ref="LLM-pipeline: embedding QA (norm distribution)",
+    tags=("similarity", "agg"),
+)
+def z52_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label",
+        F.floor(
+            F.lit(1_000_000)
+            * F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        )
+        .cast("bigint")
+        .alias("nm"),
+    )
+    return v.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("nm").alias("min_norm_micros"),
+        F.max("nm").alias("max_norm_micros"),
+        F.expr("CAST(sum(nm) div count(1) AS BIGINT)").alias(
+            "avg_norm_micros"
+        ),
+    )
