@@ -89,6 +89,27 @@ TREE_SEGREGATION_FLAG = 0x10
 P2SH_TEMPLATE_HEX = "ea02d193b4cbe4e3"
 P2SH_HASH_LEN = 24
 
+# Serialized ConstantPlaceholder(0): the whole template of a
+# constant-segregated P2PK tree ("sigmaProp(proveDlog(pk))" with the
+# prop segregated out). ErgoTreeParser.scala:44-46 maps this root back
+# to ProveDlogProp and emits NO T8 for it; fromProposition renders it
+# as the P2PK address, same as the non-segregated 0008cd form.
+SEGREGATED_P2PK_TEMPLATE_HEX = "7300"
+
+
+def _segregated_p2pk_point(n, consts, template) -> bytes | None:
+    """33-byte curve point iff (n, consts, template) is the segregated
+    P2PK shape: exactly one ProveDlog SigmaProp constant and a
+    placeholder-only template."""
+    if (
+        n == 1
+        and consts[0][0] == "SSigmaProp"
+        and len(consts[0][1]) == 66
+        and template.hex() == SEGREGATED_P2PK_TEMPLATE_HEX
+    ):
+        return bytes.fromhex(consts[0][1])
+    return None
+
 
 def _vlq_hex(n: int) -> str:
     out = bytearray()
@@ -160,6 +181,9 @@ def _tree_to_address(tree_hex: str) -> str:
                 return _address_from_content(
                     P2SH_PREFIX, bytes.fromhex(consts[0][1])
                 )
+            point = _segregated_p2pk_point(n, consts, template)
+            if point is not None:
+                return _address_from_content(P2PK_PREFIX, point)
         except ValueError:
             pass  # unparseable script: still addressable as raw P2S
         return _address_from_content(P2S_PREFIX, raw)
@@ -172,14 +196,20 @@ def _tree_t8(tree_hex: str) -> str | None:
     .scala:25-28,36-55): T8 exists iff the tree has segregated constants
     (isErgoTreeT8 = constants.nonEmpty); the template is everything
     after them. Non-segregated P2PK trees and malformed/unsupported
-    trees → None (the reference's fallback)."""
+    trees → None (the reference's fallback). Constant-segregated P2PK
+    trees are EXCLUDED like the reference's
+    SigmaPropConstant(ProveDlogProp) root case (ErgoTreeParser
+    .scala:44-46): the placeholder-only template carries no script
+    structure worth indexing."""
     if not tree_hex or tree_hex.startswith("0008cd"):
         return None
     try:
-        n, _consts, template = _parse_tree(bytes.fromhex(tree_hex))
+        n, consts, template = _parse_tree(bytes.fromhex(tree_hex))
     except (ValueError, IndexError):
         return None
     if n == 0 or not template:
+        return None
+    if _segregated_p2pk_point(n, consts, template) is not None:
         return None
     return template.hex()
 

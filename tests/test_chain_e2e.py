@@ -488,3 +488,30 @@ def test_initializer_modes(spark):
 
     # resume above the SLOWER store: utxo tip 2 < block tip 3
     assert initialize(blocks, utxo) == {"mode": "resume", "from_height": 3}
+
+
+def test_segregated_p2pk_tree_form():
+    """Constant-segregated P2PK (header 0x10/0x18, one ProveDlog
+    SigmaProp constant, placeholder-only template '7300') must resolve
+    to the SAME P2PK address as the plain 0008cd form and emit NO T8 —
+    the reference's SigmaPropConstant(ProveDlogProp) root case
+    (ErgoTreeParser.scala:44-46). A segregated NON-P2PK tree keeps its
+    template, so the exclusion is shape-targeted."""
+    from ergo_uexplorer_spark.functions.crypto import (
+        _tree_t8,
+        _tree_to_address,
+    )
+
+    pt = "02" + "ab" * 32
+    plain = "0008cd" + pt
+    payload = "01" + "08cd" + pt + "7300"
+    seg = "10" + payload
+    sized = "18" + format(len(payload) // 2, "02x") + payload
+
+    addrs = {_tree_to_address(t) for t in (plain, seg, sized)}
+    assert len(addrs) == 1 and next(iter(addrs)).startswith("9")
+    assert all(_tree_t8(t) is None for t in (plain, seg, sized))
+
+    # two-constant segregated tree: not the P2PK shape → template kept
+    other = "10" + "02" + "08cd" + pt + "0402" + "d19373007301"
+    assert _tree_t8(other) == "d19373007301"
