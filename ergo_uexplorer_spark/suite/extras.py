@@ -11,10 +11,13 @@ the driver's recorded 50-name CORRECTNESS window this round (see
 PARITY.md on the r6 rotation).
 
 Exactness rules follow suite/base.py: integer cents everywhere, `div`
-floor division on both engines, DECIMAL(38,0)/HUGEINT for products
-that can pass int64 at sf≥1, interpolated medians doubled into exact
-integers (both engines use the (n−1)·q convention and the midpoint of
-two int64s is FP-exact), unique tiebreaks under every row_number.
+floor division on both engines, 128-bit arithmetic (Spark decimal /
+DuckDB HUGEINT) surfaced as digit STRINGS for products that can pass
+int64 at sf≥1 (pandas/duckdb degrade DECIMAL(38,0) to float64 at the
+compare layer, so a decimal output column can never strict-match),
+interpolated medians doubled into exact integers (both engines use the
+(n−1)·q convention and the midpoint of two int64s is FP-exact), unique
+tiebreaks under every row_number.
 """
 
 from __future__ import annotations
@@ -287,12 +290,13 @@ def z40_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# z41: central-moment components as DECIMAL(38,0) — the exact-integer
-# building blocks for skewness/kurtosis (engine built-ins disagree on
-# sample-vs-population formulas AND drift on FP reduction order, so the
-# contract is the raw power sums; Σx³ passes int64 at scale, hence
-# 128-bit: Spark decimal, DuckDB HUGEINT, both surfaced as
-# DECIMAL(38,0)).
+# z41: central-moment components — the exact-integer building blocks
+# for skewness/kurtosis (engine built-ins disagree on sample-vs-
+# population formulas AND drift on FP reduction order, so the contract
+# is the raw power sums). Σx² and Σx³ pass int64 at scale, hence
+# 128-bit internally (Spark decimal, DuckDB HUGEINT) and surfaced as
+# DIGIT STRINGS: pandas/duckdb degrade DECIMAL(38,0) to float64 on
+# .df() conversion, which would destroy exactness at the compare layer.
 # --------------------------------------------------------------------------
 @register(
     "z41_central_moments",
@@ -302,9 +306,9 @@ def z40_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AS x
                FROM orders)
     SELECT o_orderstatus, count(*) AS n,
-           CAST(sum(x) AS DECIMAL(38, 0)) AS sum_x,
-           CAST(sum(x * x) AS DECIMAL(38, 0)) AS sum_x2,
-           CAST(sum(x * x * x) AS DECIMAL(38, 0)) AS sum_x3
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(x * x) AS VARCHAR) AS sum_x2,
+           CAST(sum(x * x * x) AS VARCHAR) AS sum_x3
     FROM v GROUP BY 1
     """,
     survey_ref="SURVEY §2.6: aggregate surface (exact moment sums)",
@@ -316,10 +320,14 @@ def z41_central_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = orders.select("o_orderstatus", x.alias("x"))
     return v.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("decimal(38,0)").alias("sum_x"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sum_x2"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum(F.col("x") * F.col("x"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("sum_x2"),
         F.sum(F.col("x") * F.col("x") * F.col("x"))
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("sum_x3"),
     )
 
@@ -713,7 +721,8 @@ def z49_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Σy², and the covariance numerator n·Σxy − Σx·Σy. corr() built-ins
 # drift on FP reduction order; the raw sums are exact and sufficient to
 # reconstruct r² downstream. Products of sums pass int64 at sf≥1, so
-# they are 128-bit (Spark decimal / DuckDB HUGEINT → DECIMAL(38,0)).
+# they are 128-bit internally and surfaced as DIGIT STRINGS (see z41:
+# .df() would degrade DECIMAL(38,0) to float64 at the compare layer).
 # --------------------------------------------------------------------------
 @register(
     "z50_corr_components",
@@ -728,10 +737,10 @@ def z49_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_brand, count(*) AS n,
            CAST(sum(x) AS BIGINT) AS sum_x,
            CAST(sum(y) AS BIGINT) AS sum_y,
-           CAST(sum(x * y) AS DECIMAL(38, 0)) AS sum_xy,
-           CAST(sum(x * x) AS DECIMAL(38, 0)) AS sum_x2,
-           CAST(sum(y * y) AS DECIMAL(38, 0)) AS sum_y2,
-           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DECIMAL(38, 0))
+           CAST(sum(x * y) AS VARCHAR) AS sum_xy,
+           CAST(sum(x * x) AS VARCHAR) AS sum_x2,
+           CAST(sum(y * y) AS VARCHAR) AS sum_y2,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS VARCHAR)
                AS cov_num
     FROM v GROUP BY 1
     """,
@@ -755,27 +764,28 @@ def z50_corr_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("sum_y"),
         F.sum(dec(F.col("x")) * dec(F.col("y")))
         .cast("decimal(38,0)")
-        .alias("sum_xy"),
+        .alias("__xy"),
         F.sum(dec(F.col("x")) * dec(F.col("x")))
         .cast("decimal(38,0)")
-        .alias("sum_x2"),
+        .alias("__x2"),
         F.sum(dec(F.col("y")) * dec(F.col("y")))
         .cast("decimal(38,0)")
-        .alias("sum_y2"),
+        .alias("__y2"),
     )
     return agg.select(
         "p_brand",
         "n",
         "sum_x",
         "sum_y",
-        "sum_xy",
-        "sum_x2",
-        "sum_y2",
+        F.col("__xy").cast("string").alias("sum_xy"),
+        F.col("__x2").cast("string").alias("sum_x2"),
+        F.col("__y2").cast("string").alias("sum_y2"),
         (
-            dec(F.col("n")) * F.col("sum_xy")
+            dec(F.col("n")) * F.col("__xy")
             - dec(F.col("sum_x")) * dec(F.col("sum_y"))
         )
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("cov_num"),
     )
 

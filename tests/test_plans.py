@@ -281,3 +281,28 @@ def test_chain_pipeline_plan(spark, tmp_path):
     resumed = read_blocks(spark, path, from_height=30)
     plan = resumed.select(F.col("header.height")).columns  # force analysis
     assert plan == ["height"]
+
+
+def test_r6_extras_plans_have_no_unbounded_products(spark):
+    """Every z35–z52 entry must be free of cartesian/nested-loop joins.
+    The single exception is z42's final scalar crossJoin (two one-row
+    aggregates, a bounded broadcast product by construction), checked
+    separately."""
+    from ergo_uexplorer_spark.plans.explain import formatted_plan
+
+    names = [n for n in REGISTRY if n.startswith("z") and "z35" <= n[:3] <= "z52"]
+    assert len(names) == 18
+    for name in names:
+        plan = formatted_plan(REGISTRY[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        if name != "z42_triangle_count":
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        else:
+            # only the scalar n_edges × n_triangles join may nest
+            # (formatted explain prints each node twice: tree + detail)
+            import re as _re
+
+            nodes = set(
+                _re.findall(r"\(\d+\)\s+BroadcastNestedLoopJoin", plan)
+            )
+            assert len(nodes) <= 1
