@@ -241,20 +241,39 @@ def ngram_diversity(docs):
     tripwire (templated sources shows normal TTR but collapsed bigram
     diversity). Integer permille via int64 div; distincts are exact
     (count_distinct over the aggregated gram table)."""
-    base = docs.select(
+    from .dedup import _ensure_parallelism
+
+    # tokenize+shingle is CPU-bound string work: a single-file corpus
+    # scan would pin one core through BOTH explode branches (19.7 s vs
+    # ~1 s at sf0.1 on local[32]) — same spread as the dedup family.
+    # explode_outer, not explode: plain explode infers a size(...)>0
+    # pruning predicate that predicate-pushdown drags BELOW the
+    # repartition with the whole tokenize+shingle expression inlined —
+    # the entire corpus then tokenizes twice inside a single-task
+    # Filter on the unsplit scan (12.8 s of the observed 19.7 s at
+    # sf0.1). outer explode generates no such predicate; the null row
+    # an empty array produces is dropped by a cheap post-explode
+    # filter instead.
+    base = _ensure_parallelism(docs).select(
         "source", tokens(F.col("text")).alias("t")
     ).select("source", "t", shingles(F.col("t"), 2).alias("bg"))
-    uni = base.select("source", F.explode("t").alias("g")).groupBy(
-        "source"
-    ).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.count_distinct("g").alias("d_uni"),
+    uni = (
+        base.select("source", F.explode_outer("t").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct("g").alias("d_uni"),
+        )
     )
-    bi = base.select("source", F.explode("bg").alias("g")).groupBy(
-        "source"
-    ).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.count_distinct("g").alias("d_bi"),
+    bi = (
+        base.select("source", F.explode_outer("bg").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count_distinct("g").alias("d_bi"),
+        )
     )
     return (
         uni.join(bi, "source")
