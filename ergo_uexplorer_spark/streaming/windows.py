@@ -139,3 +139,38 @@ def dedup_stream(
         .withWatermark("event_time", watermark)
         .dropDuplicatesWithinWatermark([*id_cols])
     )
+
+
+def sliding_distinct_users(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window EXACT distinct users — the streaming twin of the
+    batch z38 entry. Streaming aggregation forbids count_distinct
+    directly (distinct state would be unbounded per group), so this is
+    the canonical two-stage form: watermark-bounded dropDuplicates on
+    (window, user) collapses each user to one row per window, then a
+    plain count per window — two chained stateful operators (Spark 4.x
+    propagates the event-time watermark through the dedup into the
+    aggregation), each with state bounded by the watermark horizon.
+    Append mode: a window's count emits exactly once, after the
+    watermark passes its end."""
+    e = with_event_time(events, ts_col).withWatermark(
+        "event_time", watermark
+    )
+    per_user = e.select(
+        F.window("event_time", window_len, slide).alias("w"), "user_id"
+    ).dropDuplicates(["w", "user_id"])
+    return (
+        per_user.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            (F.unix_micros(F.col("w.start")) * F.lit(1000)).alias(
+                "window_start_ns"
+            ),
+            "n_users",
+        )
+    )

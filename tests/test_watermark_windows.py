@@ -222,3 +222,60 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(300)
     got = [r["event_id"] for r in spark.sql("select * from dd_out").collect()]
     assert len(got) == len(set(got)) == 9  # 6 + 3 new, redelivery deduped
+
+
+def test_sliding_distinct_users_matches_batch(spark, tmp_path):
+    """Streaming sliding-window exact distinct (two chained stateful
+    operators: watermarked dedup → count) equals the batch computation
+    for every FINALIZED window; users seen twice in one window count
+    once; the final far-future event advances the watermark so the
+    early windows emit."""
+    import time as _time
+
+    from ergo_uexplorer_spark.streaming.windows import (
+        sliding_distinct_users,
+    )
+
+    Q_NS = 900_000_000_000  # 15 min
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src / "b0.json", [
+        (1, "click", BASE + 1, 1.0),
+        (1, "click", BASE + 2 * Q_NS, 1.0),   # same user, same windows
+        (2, "view", BASE + Q_NS, 1.0),
+        (3, "view", BASE + 3 * Q_NS + 5, 1.0),
+    ])
+    _time.sleep(1.1)
+    _write(src / "b1.json", [(9, "click", BASE + 30 * HOUR_NS, 1.0)])
+    out = _run_stream(
+        spark, src, tmp_path / "ck",
+        lambda s: sliding_distinct_users(s), "wm_sliding",
+    )
+    streamed = {
+        (r["window_start_ns"], r["n_users"]) for r in out.collect()
+    }
+    assert streamed, "no windows finalized"
+
+    # batch truth over the SAME rows, same window spec (drop the last
+    # far-future row's own windows: still open at stream end)
+    batch = spark.createDataFrame(
+        [(1, BASE + 1), (1, BASE + 2 * Q_NS), (2, BASE + Q_NS),
+         (3, BASE + 3 * Q_NS + 5), (9, BASE + 30 * HOUR_NS)],
+        "user_id long, ts long",
+    )
+    expected = {
+        (r["window_start_ns"], r["n_users"])
+        for r in (
+            with_event_time(batch)
+            .groupBy(F.window("event_time", "1 hour", "15 minutes").alias("w"))
+            .agg(F.count_distinct("user_id").alias("n_users"))
+            .select(
+                (F.unix_micros(F.col("w.start")) * F.lit(1000)).alias(
+                    "window_start_ns"
+                ),
+                "n_users",
+            )
+        ).collect()
+        if r["window_start_ns"] < BASE + 29 * HOUR_NS
+    }
+    assert streamed == expected

@@ -62,6 +62,13 @@ QUERIES = (
     "z23_semantic_dedup",
     # budget selection: bounded score-domain decomposition → ~linear
     "z24_token_budget_select",
+    # r6 additions — per-copy supplier/doc universes keep these honest:
+    # triangle edges replicate per copy (offset suppkeys) → ~linear
+    "z42_triangle_count",
+    # cross-source near-dup pairs: disjoint shingle universes → ~linear
+    "z49_cross_source_dup",
+    # two exact distinct-aggs over suffixed per-copy grams → ~linear
+    "z33_ngram_diversity",
 )
 
 
