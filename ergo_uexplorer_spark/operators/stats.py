@@ -242,3 +242,65 @@ def group_zscore_outliers(
             (lhs > rhs).alias("is_outlier"),
         )
     )
+
+
+def topk_rows_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    tiebreak_col: str | None = None,
+    ascending: bool = False,
+) -> DataFrame:
+    """Exact top-k ROWS per group with a map-side combiner Spark lacks
+    natively: the standard `row_number() <= k` window shuffles EVERY
+    row to its group's reducer, and `collect_list`-based partials
+    buffer and ship everything too — at 100 TB the shuffle is the whole
+    cost. This prunes each input partition to ≤ k rows per group first
+    (one Arrow-batched pass, no shuffle, state = k rows per group seen
+    in that partition), so the window's exchange carries at most
+    k × num_partitions rows per group regardless of input size — the
+    combiner-style reduction groupBy count/sum get for free.
+
+    Exactness needs a total order: `tiebreak_col` (default: first group
+    col is NOT enough — pass a unique column) breaks order_col ties the
+    same way in the local prune and the global window, so the survivor
+    set provably contains the global top-k. Equality with the plain
+    window is pinned by pytest."""
+    import pandas as pd
+
+    tb = tiebreak_col
+    cols = list(df.columns)
+    asc = ascending
+
+    def prune(batches):
+        best: dict = {}
+        for pdf in batches:
+            pool = (
+                pd.concat([*best.values(), pdf])
+                if best
+                else pdf
+            )
+            by = pool.groupby(group_cols, sort=False, dropna=False)
+            keep = by.apply(
+                lambda g: g.sort_values(
+                    [order_col] + ([tb] if tb else []),
+                    ascending=[asc] + ([True] if tb else []),
+                ).head(k)
+            ).reset_index(drop=True)
+            best = {0: keep}
+        if best:
+            yield best[0][cols]
+
+    from pyspark.sql import Window
+
+    survivors = df.mapInPandas(prune, schema=df.schema)
+    order = [
+        F.asc(order_col) if asc else F.desc(order_col),
+    ] + ([F.asc(tb)] if tb else [])
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
