@@ -814,3 +814,103 @@ def test_containment_catches_subset_quote_jaccard_misses(spark):
     assert cont[0]["cont_permille"] == 1000  # every quote shingle shared
     jac = jaccard_prefix_pairs(df, num=4, den=5).collect()
     assert jac == []
+
+
+mad_values = st.lists(
+    st.integers(min_value=-10**7, max_value=10**7), min_size=1, max_size=60
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=mad_values)
+def test_doubled_median_and_mad_are_exact_integers(spark, vals):
+    """The z39 exactness claim on arbitrary int inputs: 2·percentile(x,
+    0.5) equals the exact doubled median (sum of the two middle order
+    statistics) as an int64 — no FP residue — and the derived MAD
+    quantities match a pure-Python reference."""
+    import statistics
+
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    med2 = df.selectExpr(
+        "CAST(2 * percentile(c, 0.5) AS BIGINT) AS m"
+    ).first()["m"]
+    srt = sorted(vals)
+    n = len(srt)
+    exact2 = (
+        2 * srt[n // 2] if n % 2 else srt[n // 2 - 1] + srt[n // 2]
+    )
+    assert med2 == exact2
+
+    dev2 = sorted(abs(2 * v - med2) for v in vals)
+    mad4 = (
+        2 * dev2[n // 2] if n % 2 else dev2[n // 2 - 1] + dev2[n // 2]
+    )
+    got_mad4 = (
+        df.selectExpr(f"abs(2 * c - {med2}) AS d")
+        .selectExpr("CAST(2 * percentile(d, 0.5) AS BIGINT) AS m")
+        .first()["m"]
+    )
+    assert got_mad4 == mad4
+    # sanity vs statistics.median (float) on the halved quantities
+    assert med2 / 2 == statistics.median(vals)
+
+
+gini_docs = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=2, max_size=50
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lens=gini_docs)
+def test_source_gini_matches_bruteforce(spark, lens):
+    """z48's rank formula vs the O(n²) mean-absolute-difference Gini
+    definition: floor(1000·G) must agree exactly whenever Σx > 0, and
+    Σi·xᵢ must be invariant to tie order (the formula's determinism
+    claim)."""
+    from hypothesis import assume
+
+    from ergo_uexplorer_spark.suite import REGISTRY  # noqa: F401
+
+    assume(sum(lens) > 0)
+    n = len(lens)
+    srt = sorted(lens)
+    s0 = sum(srt)
+    s1 = sum((i + 1) * x for i, x in enumerate(srt))
+    formula = (1000 * (2 * s1 - (n + 1) * s0)) // (n * s0)
+    # brute force: G = Σᵢⱼ|xᵢ−xⱼ| / (2n²·mean) = Σᵢⱼ|xᵢ−xⱼ| / (2n·Σx)
+    num = sum(abs(a - b) for a in lens for b in lens)
+    brute = (1000 * num) // (2 * n * s0)
+    assert formula == brute
+
+    rows = [("s", v, i) for i, v in enumerate(lens)]
+    df = spark.createDataFrame(rows, "source string, n_chars long, doc_id long")
+    from ergo_uexplorer_spark.suite.extras import z48_source_gini  # noqa: F401
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("source").orderBy(F.asc("v"), F.asc("doc_id"))
+    r = df.select(
+        "source", F.col("n_chars").alias("v"), "doc_id"
+    ).withColumn("i", F.row_number().over(w))
+    got = (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("v").alias("total_chars"),
+            F.sum(F.col("i").cast("long") * F.col("v")).alias("__s1"),
+        )
+        .selectExpr(
+            "CAST((1000 * (2 * __s1 - (n_docs + 1) * total_chars))"
+            " div (n_docs * total_chars) AS BIGINT) AS g"
+        )
+        .first()["g"]
+    )
+    assert got == formula
