@@ -203,3 +203,34 @@ def sequence_packing(
         (start / window_tokens).cast("bigint").alias("pack_id"),
         start.alias("start_offset"),
     )
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    stride: int,
+    order_cols: list[str],
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT floating-point keys:
+    classic systematic (cumulative-stride) selection. Rows are laid on
+    the integer weight axis by a running sum over a total order; a row
+    is selected iff its weight span [cum − w, cum) crosses a stride
+    boundary — so selection probability is proportional to weight,
+    expected sample size is Σw / stride, and every quantity is exact
+    int64 (the A-ES exponential-key scheme needs pow/log, whose last-ulp
+    behavior differs between engines — this contract hash-matches).
+
+    Distributed via `cumulative.ordered_prefix` (range partition + one
+    tiny per-partition offset collect) — no single-task global window at
+    any scale. Output keeps all input columns plus `cum`."""
+    from .cumulative import ordered_prefix
+
+    with_cum = ordered_prefix(
+        df, order_cols=order_cols, sum_cols={"cum": weight_col}
+    )
+    # integer `div`, not `/` + cast: float division loses exactness
+    # once cum passes 2^53 (a few PB of token-weight), div never does
+    return with_cum.filter(
+        F.expr(f"cum div {int(stride)}")
+        > F.expr(f"(cum - CAST({weight_col} AS BIGINT)) div {int(stride)}")
+    )

@@ -896,3 +896,84 @@ def z52_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_norm_micros"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# zx entries sort AFTER the z03–z52 recorded window (tail evidence via
+# strict-parity, rotating into the window in a future round).
+#
+# zx1: deterministic weighted sampling — systematic cumulative-stride
+# selection (probability ∝ weight, exact int64; the A-ES exponential-
+# key scheme needs pow/log whose last-ulp differs between engines).
+# Distributed prefix sums via cumulative.ordered_prefix — the same
+# machinery as T5's global output index, reused on the curation side.
+# --------------------------------------------------------------------------
+_WS_STRIDE = 5_000
+
+
+@register(
+    "zx1_weighted_sample",
+    sql=f"""
+    WITH c AS (
+      SELECT doc_id, source, n_chars,
+             sum(n_chars) OVER (ORDER BY doc_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, CAST(cum AS BIGINT) AS cum
+    FROM c
+    WHERE cum // {_WS_STRIDE} > (cum - n_chars) // {_WS_STRIDE}
+    """,
+    survey_ref="LLM-pipeline: weighted sampling (systematic, exact)",
+    tags=("curation", "sampling"),
+)
+def zx1_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import systematic_weighted_sample
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return systematic_weighted_sample(
+        docs.select("doc_id", "source", "n_chars"),
+        weight_col="n_chars",
+        stride=_WS_STRIDE,
+        order_cols=["doc_id"],
+    ).select("doc_id", "source", "n_chars", "cum")
+
+
+# --------------------------------------------------------------------------
+# zx2: language-ID confusion matrix — the x03 heuristic evaluated
+# against the labeled `lang` column: per (truth, prediction) counts,
+# the eval artifact a pipeline publishes when it swaps language models.
+# --------------------------------------------------------------------------
+from ..operators.textops import sql_lang_pred as _sql_lang_pred
+
+_ZX2_TOKS = (
+    "list_distinct(list_filter(string_split_regex(lower(text),"
+    " '[^a-z0-9]+'), x -> x <> ''))"
+)
+
+
+@register(
+    "zx2_lang_confusion",
+    sql=f"""
+    WITH p AS (
+      SELECT lang, {_sql_lang_pred("td")} AS lang_pred
+      FROM (SELECT lang, {_ZX2_TOKS} AS td FROM documents)
+    )
+    SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2
+    """,
+    survey_ref="LLM-pipeline: language-ID evaluation (confusion matrix)",
+    tags=("text", "agg"),
+)
+def zx2_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textops as T
+
+    (docs,) = load(spark, sf_dir, "documents")
+    scores = T.lang_scores(F.col("td"))
+    return (
+        docs.select(
+            "lang", F.array_distinct(T.tokens(F.col("text"))).alias("td")
+        )
+        .select("lang", T.lang_pred(scores).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
