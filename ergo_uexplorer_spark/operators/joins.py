@@ -110,3 +110,48 @@ def range_join_count(
     return joined.groupBy(left_id_col, l["__key"].alias(key_col)).agg(
         F.count(r["__rt"]).alias("n_in_range")
     )
+
+
+def resample_gap_fill(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Regularize a sparse per-key time series onto a dense integer
+    bucket grid and forward-fill the gaps — the hypertable
+    resample/locf shape. Input: one row per (key, bucket) with the
+    bucket-level aggregates already computed (integer buckets from
+    `ts div bucket_ns`). Output: every bucket in [min, max] per key;
+    missing buckets carry the most recent observed values (`observed`
+    marks real rows).
+
+    Distributed shape: the grid is sequence+explode off a per-key
+    min/max agg (grid size = span/bucket, data-bounded, never a global
+    cross join); the fill is one `last(ignorenulls)` window per key —
+    the same union-free forward-fill as `asof_join`, one shuffle on
+    (key). Leading gaps before a key's first observation stay null by
+    construction (nothing to carry)."""
+    spans = df.groupBy(key_col).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias(
+            bucket_col
+        ),
+    )
+    joined = grid.join(
+        df.withColumn("__obs", F.lit(True)), [key_col, bucket_col], "left"
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.asc(bucket_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = joined
+    for c in value_cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out.withColumn(
+        "observed", F.coalesce(F.col("__obs"), F.lit(False))
+    ).drop("__obs")

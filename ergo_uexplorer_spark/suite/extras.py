@@ -977,3 +977,55 @@ def zx2_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# zx3: resample + gap-fill (LOCF) — sparse per-type event series onto a
+# dense hourly grid, forward-filling gaps: the hypertable
+# time_bucket_gapfill/locf shape. Oracle via DuckDB's native ASOF JOIN
+# (latest observation ≤ each grid bucket ≡ the engine's
+# last-ignorenulls forward fill).
+# --------------------------------------------------------------------------
+@register(
+    "zx3_resample_gap_fill",
+    sql="""
+    WITH obs AS (
+      SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket,
+             count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+              FROM obs GROUP BY 1),
+    grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS bucket
+             FROM spans)
+    SELECT g.event_type, g.bucket,
+           CAST(o.n_events AS BIGINT) AS n_events,
+           o.value_cents,
+           (o.bucket = g.bucket) AS observed
+    FROM grid g ASOF LEFT JOIN obs o
+      ON g.event_type = o.event_type AND g.bucket >= o.bucket
+    """,
+    survey_ref="SURVEY §2.6: time-series resample + gap-fill (LOCF)",
+    tags=("window", "temporal"),
+)
+def zx3_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import resample_gap_fill
+
+    (events,) = load(spark, sf_dir, "events")
+    obs = (
+        events.select(
+            "event_type",
+            F.expr("ts div 3600000000000").alias("bucket"),
+            _cents(F.col("value")).alias("c"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").alias("value_cents"),
+        )
+    )
+    return resample_gap_fill(
+        obs, "event_type", "bucket", ["n_events", "value_cents"]
+    )

@@ -223,3 +223,26 @@ def test_topk_rows_per_group_matches_window(spark):
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
 
     assert got.count() == want.count()
+
+
+def test_resample_gap_fill_locf_and_leading_nulls(spark):
+    """Planted gaps: filled buckets carry the last observation
+    (observed=False), leading buckets before a key's first observation
+    stay null, dense keys pass through unchanged. (The suite oracle's
+    events data is dense, so the fill path needs this targeted case.)"""
+    from ergo_uexplorer_spark.operators.joins import resample_gap_fill
+
+    obs = spark.createDataFrame(
+        [("a", 10, 5), ("a", 13, 7), ("b", 2, 1), ("b", 3, 2)],
+        "k string, bucket long, v long",
+    )
+    rows = {
+        (r["k"], r["bucket"]): (r["v"], r["observed"])
+        for r in resample_gap_fill(obs, "k", "bucket", ["v"]).collect()
+    }
+    assert rows[("a", 10)] == (5, True)
+    assert rows[("a", 11)] == (5, False)   # filled forward
+    assert rows[("a", 12)] == (5, False)
+    assert rows[("a", 13)] == (7, True)
+    assert rows[("b", 2)] == (1, True) and rows[("b", 3)] == (2, True)
+    assert len(rows) == 6  # no buckets invented outside [min, max]
