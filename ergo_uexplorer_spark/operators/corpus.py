@@ -522,3 +522,124 @@ def tfidf_top_terms(
         .filter(F.col("rn") <= k)
         .select(id_col, "term", "tf", "df", "score")
     )
+
+
+def hashed_ngram_importance(
+    docs: DataFrame,
+    target_filter,
+    n_buckets: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style data-selection scoring over hashed bigram features
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — the hashed-ngram feature space, with the log-ratio
+    replaced by the linear target-minus-raw form so the score is
+    integer-exact and oracle-checkable; the ranking it induces is the
+    standard fastText-style linear importance score over the same
+    features).
+
+    Features: word bigrams hashed into `n_buckets` buckets with the
+    portable 60-bit hash. The RAW distribution is the whole corpus, the
+    TARGET distribution is `docs.filter(target_filter)`; both are
+    bucket-probability vectors in integer ppm (1e6 × cnt div total).
+    Per-document score = Σ_b n_b × (target_ppm_b − raw_ppm_b): positive
+    ⇒ the doc's features look more like the target than the corpus.
+
+    Output: (doc_id, n_grams, score). Documents with < 2 tokens have no
+    bigram features and are absent (no evidence either way).
+
+    Scale shape: the bucket dimension is ≤ n_buckets rows — built with
+    one map-side-combinable agg over the exploded grams and broadcast
+    back; the per-doc pass is a second partial agg on (doc, bucket).
+    Nothing driver-side, no shuffle wider than the gram explode, and
+    the same two-agg plan holds at any corpus size.
+    """
+    grams = (
+        D._ensure_parallelism(docs)
+        .withColumn("__target", F.coalesce(target_filter, F.lit(False)))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            "__target",
+            T.tokens(F.col(text_col)).alias("t"),
+        )
+        .select(
+            "doc_id",
+            "__target",
+            F.explode(T.shingles(F.col("t"), 2)).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "__target",
+            (T.portable_hash(F.col("g")) % n_buckets).alias("bucket"),
+        )
+    )
+    dim = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("s_cnt"),
+        F.sum(F.when(F.col("__target"), 1).otherwise(0)).alias("t_cnt"),
+    )
+    # totals folded into the ≤n_buckets-row dim via an unpartitioned
+    # window over that tiny relation (not over the gram table)
+    dim = dim.select(
+        "bucket",
+        F.expr(
+            "s_cnt * 1000000 div greatest(1, sum(s_cnt) over ())"
+        ).alias("s_ppm"),
+        F.expr(
+            "t_cnt * 1000000 div greatest(1, sum(t_cnt) over ())"
+        ).alias("t_ppm"),
+    )
+    per_doc = grams.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_doc.join(F.broadcast(dim), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_grams"),
+            F.sum(F.col("n") * (F.col("t_ppm") - F.col("s_ppm"))).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty: the permille of a document's
+    DISTINCT word n-grams whose global first occurrence (minimum doc_id
+    over the corpus) is this document. The curation diagnostic for
+    ordered ingestion — a crawl snapshot appended after an existing
+    corpus scores near zero unless it brings genuinely new text, and
+    the novelty curve over doc_id reveals where a dataset stops adding
+    information (Lee et al. 2022's dedup analyses read this curve).
+
+    Output: (doc_id, n_distinct_grams, n_novel, novelty_permille) for
+    documents with ≥ n tokens.
+
+    Scale shape: distinct hashed shingles shuffle once on the 8-byte
+    gram hash; first-owners are a min-agg on that same key (map-side
+    combinable, stays co-partitioned for the join back); the final agg
+    shuffles on doc_id. No broadcast of anything corpus-sized, no
+    skew beyond what AQE handles on hot grams.
+    """
+    pairs = D.hashed_shingle_sets(docs, id_col, text_col, n)
+    first = pairs.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        pairs.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_permille",
+            F.expr("n_novel * 1000 div n_distinct_grams"),
+        )
+    )

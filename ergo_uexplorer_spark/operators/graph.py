@@ -392,6 +392,7 @@ def pagerank_int(
     checkpoint_every: int = 3,
     dangling: bool = False,
     early_stop: bool = False,
+    convergence_check_every: int = 1,
     stats: dict | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in INTEGER arithmetic → (id, rank).
@@ -439,6 +440,12 @@ def pagerank_int(
     valid against a convergence-stopped engine. Costs one node-dim
     join + scalar agg per round. `stats` (optional dict) receives
     `{"rounds": r, "converged": bool}` for callers/tests.
+
+    `convergence_check_every=k` amortizes the stop check: the Δ scan is
+    a driver ACTION per round (the dominant per-round latency on short
+    chains), and checking every k-th round stays exact — a fixpoint
+    reached between checks just runs ≤ k−1 identity rounds before the
+    next check sees Δ=0, so the returned vector is unchanged.
     """
     e = edges.select("src", "dst").distinct().persist()
     nodes = (
@@ -516,14 +523,18 @@ def pagerank_int(
         # small scale while a 3-round plan is still O(1)-deep.
         # checkpoint_every=0 disables truncation (plan-inspection /
         # tiny-graph use only — plan depth then grows with iters).
+        check_now = early_stop and (
+            (it + 1) % max(1, convergence_check_every) == 0
+            or it == iters - 1
+        )
         if checkpoint_every and (
             it % checkpoint_every == checkpoint_every - 1
             or it == iters - 1
-            or early_stop
+            or check_now
         ):
             new_ranks = new_ranks.localCheckpoint(eager=True)
         rounds_run = it + 1
-        if early_stop:
+        if check_now:
             delta = (
                 new_ranks.alias("n")
                 .join(ranks.alias("o"), "id")

@@ -304,3 +304,59 @@ def topk_rows_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def spearman_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    tiebreak_col: str,
+    min_n: int = 2,
+) -> DataFrame:
+    """Exact per-group Spearman rank correlation in integer ppm.
+
+    Ranks are `row_number` over (value, tiebreak) — deterministic tie
+    resolution by the unique tiebreak key instead of average ranks, so
+    the statistic is integer-exact and engine-identical (average ranks
+    introduce .5 fractions; with a shared total order both engines
+    assign identical ranks). With d_i = rank_x(i) − rank_y(i):
+
+        rho_ppm = 1_000_000 − (6_000_000 · Σ d_i²) div (n·(n²−1))
+
+    The numerator passes int64 around n ≈ 10⁶ rows per group, so the
+    division runs in 128-bit (Spark DECIMAL(38,0) / oracle HUGEINT) and
+    only the small quotient is surfaced as BIGINT.
+
+    Output: (group, n, sum_d2, rho_ppm) for groups with ≥ min_n rows.
+
+    Scale shape: two window passes partitioned by the group key (state
+    = one group per partition, spilled sort if huge) + one group agg.
+    Skewed groups are a sort, not a collect; nothing is driver-side.
+    """
+    from pyspark.sql import Window
+
+    wx = Window.partitionBy(group_col).orderBy(
+        F.asc(x_col), F.asc(tiebreak_col)
+    )
+    wy = Window.partitionBy(group_col).orderBy(
+        F.asc(y_col), F.asc(tiebreak_col)
+    )
+    ranked = df.select(
+        F.col(group_col),
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+        ).alias("sum_d2"),
+    )
+    return agg.filter(F.col("n") >= min_n).withColumn(
+        "rho_ppm",
+        F.expr(
+            "CAST(1000000 - (6000000 * CAST(sum_d2 AS DECIMAL(38,0)))"
+            " div (CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)"
+        ),
+    )

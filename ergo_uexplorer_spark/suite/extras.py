@@ -1029,3 +1029,150 @@ def zx3_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_gap_fill(
         obs, "event_type", "bucket", ["n_events", "value_cents"]
     )
+
+
+# --------------------------------------------------------------------------
+# zx4: DSIR-style hashed-ngram importance scoring (Xie et al. 2023) —
+# data selection for pretraining: score every document by how much its
+# hashed-bigram feature distribution looks like a TARGET subset (here
+# the lang='en' slice) versus the raw corpus. Linear target-minus-raw
+# form in integer ppm (see operators/corpus.hashed_ngram_importance)
+# so the score — and hence the induced selection ranking — is
+# integer-exact on both engines. (zx-name: sorts after the z03–z52
+# driver window this round; rotates in next.)
+# --------------------------------------------------------------------------
+_ZX_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_ZX_BIGRAMS = "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
+_ZX_HASH_G = "(('0x' || substr(md5(g), 1, 15))::BIGINT)"
+
+
+@register(
+    "zx4_dsir_importance",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, lang, {_ZX_TOKS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, lang = 'en' AS tgt, {_ZX_HASH_G} % 128 AS bucket
+      FROM (SELECT doc_id, lang, unnest({_ZX_BIGRAMS}) AS g FROM toks)
+    ),
+    dim AS (
+      SELECT bucket,
+             count(*) * 1000000
+               // greatest(1, sum(count(*)) OVER ()) AS s_ppm,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) * 1000000
+               // greatest(1, sum(sum(CASE WHEN tgt THEN 1 ELSE 0 END))
+                               OVER ()) AS t_ppm
+      FROM grams GROUP BY bucket
+    ),
+    pd AS (SELECT doc_id, bucket, count(*) AS n FROM grams GROUP BY 1, 2)
+    SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+           CAST(sum(n * (t_ppm - s_ppm)) AS BIGINT) AS score
+    FROM pd JOIN dim USING (bucket) GROUP BY doc_id
+    """,
+    survey_ref="LLM-pipeline: DSIR hashed-ngram importance (Xie et al. 2023)",
+    tags=("text", "curation"),
+    bench=True,
+)
+def zx4_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import hashed_ngram_importance
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return hashed_ngram_importance(
+        docs, target_filter=F.col("lang") == F.lit("en"), n_buckets=128
+    )
+
+
+# --------------------------------------------------------------------------
+# zx5: per-document n-gram novelty — permille of a doc's distinct
+# trigrams first seen (min doc_id) in that doc. The ordered-ingestion
+# diagnostic: where does an append-ordered corpus stop adding new text?
+# --------------------------------------------------------------------------
+_ZX_SHINGLES3 = (
+    "list_transform(range(1, len(t) - 1),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+)
+_ZX_HASH_S = "(('0x' || substr(md5(s), 1, 15))::BIGINT)"
+
+
+@register(
+    "zx5_ngram_novelty",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {_ZX_TOKS} AS t FROM documents),
+    sh0 AS (SELECT doc_id, unnest({_ZX_SHINGLES3}) AS s FROM toks),
+    hs AS (SELECT DISTINCT doc_id, {_ZX_HASH_S} AS h FROM sh0),
+    first AS (SELECT h, min(doc_id) AS first_doc FROM hs GROUP BY h)
+    SELECT doc_id,
+           count(*) AS n_distinct_grams,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000
+                AS BIGINT) // count(*) AS novelty_permille
+    FROM hs JOIN first USING (h)
+    GROUP BY doc_id
+    """,
+    survey_ref="LLM-pipeline: n-gram novelty curve (dedup analyses, "
+    "Lee et al. 2022)",
+    tags=("text", "curation"),
+    bench=True,
+)
+def zx5_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import ngram_novelty
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=3)
+
+
+# --------------------------------------------------------------------------
+# zx6: exact Spearman rank correlation per nation between customer
+# balance and order activity — the robust-stats family member z50's
+# Pearson components don't cover (rank-based, outlier-immune).
+# row_number ranks with the unique custkey tiebreak keep the statistic
+# integer-exact; the rho division runs 128-bit (DECIMAL/HUGEINT).
+# --------------------------------------------------------------------------
+@register(
+    "zx6_spearman_by_nation",
+    sql=f"""
+    WITH oc AS (SELECT o_custkey, count(*) AS n_orders
+                FROM orders GROUP BY 1),
+    base AS (
+      SELECT c_nationkey, c_custkey,
+             {_CENTS_SQL.format(col='c_acctbal')} AS bal,
+             COALESCE(n_orders, 0) AS n_orders
+      FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+    ),
+    r AS (
+      SELECT c_nationkey,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY bal ASC, c_custkey ASC) AS rx,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY n_orders ASC, c_custkey ASC) AS ry
+      FROM base
+    )
+    SELECT c_nationkey, count(*) AS n,
+           CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+           CAST(1000000 -
+                (6000000 * CAST(sum((rx - ry) * (rx - ry)) AS HUGEINT))
+                // (CAST(count(*) AS HUGEINT) * count(*) * count(*)
+                    - count(*))
+                AS BIGINT) AS rho_ppm
+    FROM r GROUP BY 1 HAVING count(*) >= 2
+    """,
+    survey_ref="SURVEY §2.6: robust statistics (rank correlation)",
+    tags=("stats", "agg"),
+)
+def zx6_spearman_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import spearman_by_group
+
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    oc = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    base = (
+        customer.join(oc, customer.c_custkey == oc.o_custkey, "left")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            _cents(F.col("c_acctbal")).alias("bal"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
+    )
+    return spearman_by_group(
+        base, "c_nationkey", "bal", "n_orders", "c_custkey", min_n=2
+    )

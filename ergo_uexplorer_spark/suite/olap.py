@@ -412,6 +412,7 @@ def z20_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_Z20_ITERS,
         dangling=True,
         early_stop=True,
+        convergence_check_every=2,
     )
 
 
