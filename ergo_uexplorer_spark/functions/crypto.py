@@ -184,6 +184,14 @@ def _tree_to_address(tree_hex: str) -> str:
             point = _segregated_p2pk_point(n, consts, template)
             if point is not None:
                 return _address_from_content(P2PK_PREFIX, point)
+            # sized-header P2PK (ErgoTreeParser.scala:36-55 root match /
+            # fromProposition): a v0 tree serialized WITH the explicit
+            # size field (header 0x08) and no segregation still roots at
+            # SigmaPropConstant(ProveDlog) — same proposition as the
+            # canonical 0008cd form, so it renders as the P2PK address
+            # of its point, not as P2S of the raw bytes.
+            if n == 0 and len(template) == 35 and template[:2] == b"\x08\xcd":
+                return _address_from_content(P2PK_PREFIX, template[2:])
         except ValueError:
             pass  # unparseable script: still addressable as raw P2S
         return _address_from_content(P2S_PREFIX, raw)

@@ -515,3 +515,27 @@ def test_segregated_p2pk_tree_form():
     # two-constant segregated tree: not the P2PK shape → template kept
     other = "10" + "02" + "08cd" + pt + "0402" + "d19373007301"
     assert _tree_t8(other) == "d19373007301"
+
+
+def test_sized_header_p2pk_form():
+    """A v0 P2PK tree serialized WITH the explicit size field (header
+    0x08, no segregation) roots at the same SigmaPropConstant(ProveDlog)
+    proposition as the canonical 0008cd twin (ErgoTreeParser.scala:36-55
+    / fromProposition), so it must render the same P2PK address — not a
+    P2S of the raw bytes — and must carry no T8 either way."""
+    from ergo_uexplorer_spark.functions.crypto import (
+        _tree_t8,
+        _tree_to_address,
+        _vlq_hex,
+    )
+
+    point = "02" + "ab" * 32
+    canonical = "0008cd" + point
+    body = "08cd" + point
+    sized = "08" + _vlq_hex(len(body) // 2) + body
+    assert _tree_to_address(sized) == _tree_to_address(canonical)
+    assert _tree_to_address(sized).startswith("9")  # mainnet P2PK prefix
+    assert _tree_t8(sized) is None
+    assert _tree_t8(canonical) is None
+    # truncated sized tree: size mismatch → parse fails → P2S fallback
+    assert _tree_to_address(sized[:-2]) != _tree_to_address(canonical)
