@@ -514,6 +514,29 @@ def incremental_dedup(
     cand = bn.join(bb, ["band", "bsig"]).select("new_id", "base_id").distinct()
     if release:
         cand = cand.localCheckpoint(eager=True)
+    nb = sh_base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    out = screen_cross_candidates(
+        new_docs, sh_new, sh_base, nb, cand, num, den, id_col=id_col
+    )
+    return materialize_and_release(out, sh_new, sh_base) if release else out
+
+
+def screen_cross_candidates(
+    new_docs: DataFrame,
+    sh_new: DataFrame,
+    sh_base: DataFrame,
+    nb: DataFrame,
+    cand: DataFrame,
+    num: int,
+    den: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shared verification tail of the incremental screens: exact
+    Jaccard over the candidate (new_id, base_id) pairs, decisions over
+    the full new batch. `sh_base` may be pre-pruned to candidate docs
+    (the signature-store path prunes it to candidate shards before the
+    semi-join); `nb` is the per-base-doc shingle count (doc_id, nb) —
+    derived inline or read from the store's counts table."""
     a = sh_new.join(
         cand.select(F.col("new_id").alias("doc_id")).distinct(),
         "doc_id",
@@ -533,7 +556,6 @@ def incremental_dedup(
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     na = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
-    nb = sh_base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
     verified = (
         shared.join(cand, ["new_id", "base_id"], "left_semi")
         .join(na.withColumnRenamed("doc_id", "new_id"), "new_id")
@@ -544,7 +566,7 @@ def incremental_dedup(
         )
         .select("new_id", "base_id")
     )
-    out = (
+    return (
         new_docs.select(F.col(id_col).alias("doc_id"))
         .join(
             verified.groupBy("new_id").agg(F.min("base_id").alias("dup_of")),
@@ -553,7 +575,6 @@ def incremental_dedup(
         )
         .select("doc_id", "dup_of", F.col("dup_of").isNull().alias("keep"))
     )
-    return materialize_and_release(out, sh_new, sh_base) if release else out
 
 
 # ---------------------------------------------------------------------------

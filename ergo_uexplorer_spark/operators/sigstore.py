@@ -1,0 +1,208 @@
+"""Persisted MinHash signature store: the 100 TB corpus-refresh posture.
+
+`incremental_dedup` derives the base corpus's shingle sets and banded
+signatures inline on every call — self-contained, but at 100 TB the
+derivation (tokenize → shingle → hash → 12 min-aggs) is the dominant
+cost and it never changes for already-accepted documents. This module
+makes those artifacts a STORED, incrementally-appended dataset, exactly
+what `incremental_dedup`'s docstring promises ("at scale the base
+signatures are a precomputed artifact written at accept time"):
+
+  {path}/meta               one-row parquet: shingle n, shards, hash
+                            config fingerprint — validated on every use
+  {path}/bands/batch=<id>   (doc_id, band, bsig) banded signatures
+  {path}/shingles/batch=<id>, shard=<s>
+                            (doc_id, h) hashed shingle sets, sharded by
+                            a hash of doc_id for candidate-pruned reads
+  {path}/counts/batch=<id>  (doc_id, nb) per-doc shingle counts
+
+Layout invariants:
+  * every write lands under its own ``batch=<label>`` partition with
+    mode=overwrite — the same idempotent-commit layout as
+    streaming/corpus_refresh.process_batch, so at-least-once redelivery
+    rewrites a batch directory instead of double-appending;
+  * the verification read prunes ``shingles`` to the shards that hold
+    candidate docs — the driver collects at most `shards` distinct
+    shard ids (bounded, default 64), and partition pruning drops every
+    other directory from the scan. Bands and counts are doc-dim-narrow
+    (NUM_HASHES longs / one long per doc) and read whole.
+
+Screening a batch then touches: the full (narrow) band table once for
+the cross-side band join, and only the candidate shards of the (wide)
+shingle table — never the base text, never non-candidate shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import (
+    LSH_BANDS,
+    MINHASH_A,
+    MINHASH_B,
+    NUM_HASHES,
+    banded_signatures,
+    hashed_shingle_sets,
+    minhash_signatures,
+    screen_cross_candidates,
+)
+
+DEFAULT_SHARDS = 64
+SEED_BATCH = "seed"
+
+
+def _hash_fingerprint() -> str:
+    """Identifies the minhash parameterization baked into stored
+    signatures, so a store written under different constants can never
+    be silently screened against."""
+    import hashlib
+
+    key = f"{NUM_HASHES}:{LSH_BANDS}:{MINHASH_A}:{MINHASH_B}"
+    return hashlib.md5(key.encode()).hexdigest()[:16]
+
+
+def _shard(col, n_shards: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_shards))
+
+
+def write_signature_store(
+    docs: DataFrame,
+    path: str,
+    batch: str = SEED_BATCH,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_shards: int = DEFAULT_SHARDS,
+) -> None:
+    """Write (or idempotently rewrite) one batch of dedup artifacts.
+
+    The first call (any batch label) also writes `{path}/meta`; later
+    calls validate against it, so appended batches can never mix
+    shingle sizes or shard counts."""
+    spark = docs.sparkSession
+    meta = _read_meta(spark, path)
+    if meta is None:
+        spark.createDataFrame(
+            [(n, n_shards, _hash_fingerprint())],
+            "n int, n_shards int, hash_fp string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    else:
+        n_meta, shards_meta, fp = meta
+        if (n_meta, shards_meta, fp) != (n, n_shards, _hash_fingerprint()):
+            raise ValueError(
+                f"signature store at {path} was written with "
+                f"(n={n_meta}, shards={shards_meta}, fp={fp}); "
+                f"got (n={n}, shards={n_shards}, fp={_hash_fingerprint()})"
+            )
+    sh = hashed_shingle_sets(docs, id_col, text_col, n).persist()
+    bands = banded_signatures(minhash_signatures(sh))
+    bands.write.mode("overwrite").parquet(f"{path}/bands/batch={batch}")
+    (
+        sh.withColumn("shard", _shard(F.col("doc_id"), n_shards))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{path}/shingles/batch={batch}")
+    )
+    (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/counts/batch={batch}")
+    )
+    sh.unpersist()
+
+
+def _read_meta(spark: SparkSession, path: str):
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.parquet(f"{path}/meta").head()
+    except AnalysisException:
+        return None
+    return (row["n"], row["n_shards"], row["hash_fp"])
+
+
+def _read_part(
+    spark: SparkSession, path: str, table: str, exclude_batch: str | None
+) -> DataFrame:
+    df = spark.read.option("basePath", f"{path}/{table}").parquet(
+        f"{path}/{table}"
+    )
+    if exclude_batch is not None:
+        df = df.filter(F.col("batch").cast("string") != F.lit(exclude_batch))
+    return df.drop("batch")
+
+
+def incremental_dedup_from_store(
+    new_docs: DataFrame,
+    path: str,
+    num: int = 4,
+    den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exclude_batch: str | None = None,
+) -> DataFrame:
+    """Screen a new batch against a signature store → (doc_id, dup_of,
+    keep), identical decisions to `incremental_dedup(new, base)` for
+    the base corpus the store was built from (equivalence pinned by
+    test_signature_store).
+
+    `exclude_batch` drops one batch partition from every read — the
+    redelivery guard when the in-flight batch's own artifacts may
+    already be committed (same contract as corpus_refresh.read_base).
+
+    The base side is never re-derived: bands stream out of the store
+    into the cross-side band join, and the shingle read is pruned to
+    candidate shards (a bounded ≤ n_shards driver collect turns into
+    parquet partition pruning)."""
+    spark = new_docs.sparkSession
+    meta = _read_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"no signature store at {path}")
+    n, n_shards, fp = meta
+    if fp != _hash_fingerprint():
+        raise ValueError(
+            f"signature store at {path} uses hash config {fp}, "
+            f"engine has {_hash_fingerprint()}"
+        )
+    sh_new = hashed_shingle_sets(new_docs, id_col, text_col, n).persist()
+    sig_new = minhash_signatures(sh_new).localCheckpoint(eager=True)
+    bn = banded_signatures(sig_new).select(
+        F.col("doc_id").alias("new_id"), "band", "bsig"
+    )
+    bb = _read_part(spark, path, "bands", exclude_batch).select(
+        F.col("doc_id").alias("base_id"), "band", "bsig"
+    )
+    cand = (
+        bn.join(bb, ["band", "bsig"])
+        .select("new_id", "base_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # bounded collect (≤ n_shards longs) → partition-pruned shingle read
+    shard_rows = (
+        cand.select(_shard(F.col("base_id"), n_shards).alias("s"))
+        .distinct()
+        .collect()
+    )
+    shards = [r["s"] for r in shard_rows]
+    if not shards:  # no band collisions: the whole batch is novel
+        sh_new.unpersist()
+        return new_docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(None).cast("long").alias("dup_of"),
+            F.lit(True).alias("keep"),
+        )
+    sh_base = (
+        _read_part(spark, path, "shingles", exclude_batch)
+        .filter(F.col("shard").isin(shards))
+        .drop("shard")
+    )
+    nb = _read_part(spark, path, "counts", exclude_batch)
+    out = screen_cross_candidates(
+        new_docs, sh_new, sh_base, nb, cand, num, den, id_col=id_col
+    )
+    out = out.localCheckpoint(eager=True)
+    sh_new.unpersist()
+    return out

@@ -1,0 +1,94 @@
+"""Signature store: persisted base-corpus dedup artifacts must screen
+identically to the inline incremental_dedup derivation, support
+idempotent per-batch appends, and refuse incompatible configurations."""
+
+from __future__ import annotations
+
+import pytest
+
+from ergo_uexplorer_spark.operators.dedup import incremental_dedup
+from ergo_uexplorer_spark.operators.sigstore import (
+    incremental_dedup_from_store,
+    write_signature_store,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def corpus(spark):
+    base_text = " ".join(f"w{i}" for i in range(200))
+    other_text = " ".join(f"v{i}" for i in range(150))
+    base1 = _docs(
+        spark,
+        [(100, base_text)]
+        + [(110 + i, " ".join(f"b{i}_{j}" for j in range(60))) for i in range(4)],
+    )
+    base2 = _docs(spark, [(200, other_text)])
+    new = _docs(
+        spark,
+        [
+            (1, base_text.replace("w100", "q100")),  # near-dup of base 100
+            (2, other_text.replace("v3", "u3")),  # near-dup of base 200
+            (3, " ".join(f"n3_{j}" for j in range(60))),  # fresh
+        ],
+    )
+    return base1, base2, new
+
+
+def _decisions(df):
+    return {r["doc_id"]: (r["dup_of"], r["keep"]) for r in df.collect()}
+
+
+def test_store_matches_inline_incremental(spark, tmp_path, corpus):
+    base1, base2, new = corpus
+    path = str(tmp_path / "store")
+    write_signature_store(base1, path)
+    got = _decisions(incremental_dedup_from_store(new, path))
+    want = _decisions(incremental_dedup(new, base1))
+    assert got == want
+    assert got[1] == (100, False) and got[3] == (None, True)
+
+
+def test_store_append_batches(spark, tmp_path, corpus):
+    base1, base2, new = corpus
+    path = str(tmp_path / "store")
+    write_signature_store(base1, path)
+    write_signature_store(base2, path, batch="b2")
+    got = _decisions(incremental_dedup_from_store(new, path))
+    want = _decisions(incremental_dedup(new, base1.unionByName(base2)))
+    assert got == want
+    assert got[2] == (200, False)
+    # redelivery of batch b2: same directory overwritten, same answer
+    write_signature_store(base2, path, batch="b2")
+    assert _decisions(incremental_dedup_from_store(new, path)) == want
+    # exclude_batch screens against exactly the pre-b2 base
+    got_excl = _decisions(
+        incremental_dedup_from_store(new, path, exclude_batch="b2")
+    )
+    assert got_excl == _decisions(incremental_dedup(new, base1))
+
+
+def test_store_rejects_config_mismatch(spark, tmp_path, corpus):
+    base1, _, _ = corpus
+    path = str(tmp_path / "store")
+    write_signature_store(base1, path, n=3)
+    with pytest.raises(ValueError, match="signature store"):
+        write_signature_store(base1, path, batch="x", n=4)
+    with pytest.raises(ValueError, match="no signature store"):
+        incremental_dedup_from_store(base1, str(tmp_path / "missing"))
+
+
+def test_store_all_novel_batch(spark, tmp_path, corpus):
+    """A batch with zero band collisions takes the no-candidate fast
+    path and keeps everything."""
+    base1, _, _ = corpus
+    path = str(tmp_path / "store")
+    write_signature_store(base1, path)
+    fresh = _docs(
+        spark, [(7, " ".join(f"z7_{j}" for j in range(60)))]
+    )
+    got = _decisions(incremental_dedup_from_store(fresh, path))
+    assert got == {7: (None, True)}
