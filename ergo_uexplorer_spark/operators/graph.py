@@ -437,8 +437,10 @@ def pagerank_int(
     finitely many rounds; once Σ|rankᵢ₊₁ − rankᵢ| = 0 every further
     round is the identity, and stopping early provably equals running
     all `iters` rounds — which is what keeps a fixed-round SQL oracle
-    valid against a convergence-stopped engine. Costs one node-dim
-    join + scalar agg per round. `stats` (optional dict) receives
+    valid against a convergence-stopped engine. The update carries the
+    previous rank through the checkpoint, so each check is a
+    projection-agg over the just-materialized table — no join with the
+    old rank table is scheduled. `stats` (optional dict) receives
     `{"rounds": r, "converged": bool}` for callers/tests.
 
     `convergence_check_every=k` amortizes the stop check: the Δ scan is
@@ -483,7 +485,7 @@ def pagerank_int(
                 ),
             )
         )
-        new_ranks = nodes.join(
+        new_ranks = ranks.select("id", F.col("rank").alias("__prev")).join(
             contrib.groupBy("id").agg(F.sum("c").alias("s")), "id", "left"
         )
         if dangling:
@@ -509,6 +511,7 @@ def pagerank_int(
             )
         new_ranks = new_ranks.select(
             "id",
+            "__prev",
             (
                 F.lit(base)
                 + F.col("__share")
@@ -534,19 +537,17 @@ def pagerank_int(
         ):
             new_ranks = new_ranks.localCheckpoint(eager=True)
         rounds_run = it + 1
+        ranks = new_ranks.drop("__prev")
         if check_now:
-            delta = (
-                new_ranks.alias("n")
-                .join(ranks.alias("o"), "id")
-                .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
-                .first()[0]
-            )
-            ranks = new_ranks
+            # Δ is a projection-agg over the row we just materialized —
+            # the update carries the previous rank through the
+            # checkpoint, so no join with the old table is scheduled.
+            delta = new_ranks.agg(
+                F.sum(F.abs(F.col("rank") - F.col("__prev")))
+            ).first()[0]
             if delta == 0:
                 converged = True
                 break
-        else:
-            ranks = new_ranks
     e.unpersist(blocking=False)
     if stats is not None:
         stats["rounds"] = rounds_run
