@@ -31,9 +31,18 @@ from ..operators.dedup import incremental_dedup
 SEED_BATCH = "seed"
 
 
-def seed_base(docs: DataFrame, base_path: str) -> None:
-    """Write the initial accepted corpus (batch=seed)."""
+def seed_base(
+    docs: DataFrame, base_path: str, store_path: str | None = None
+) -> None:
+    """Write the initial accepted corpus (batch=seed). With
+    `store_path`, also write its signature-store artifacts — the
+    at-scale posture where accepted docs' signatures are persisted at
+    accept time and later batches never re-derive the base side."""
     docs.write.mode("overwrite").parquet(f"{base_path}/batch={SEED_BATCH}")
+    if store_path is not None:
+        from ..operators.sigstore import write_signature_store
+
+        write_signature_store(docs, store_path, batch=SEED_BATCH)
 
 
 def read_base(
@@ -71,30 +80,61 @@ def process_batch(
     decisions_path: str | None = None,
     num: int = 4,
     den: int = 5,
+    store_path: str | None = None,
 ) -> None:
     """One refresh step: screen `batch` against the accepted base and
     commit survivors to ``batch=<id>``. Idempotent under foreachBatch
     redelivery: the base read excludes the in-flight batch's own
     partition, so a re-run screens against exactly the pre-batch base
-    and rewrites the same directory with the same decisions."""
+    and rewrites the same directory with the same decisions.
+
+    With `store_path` (seeded via `seed_base(..., store_path=)`), the
+    base side comes from the persisted signature store instead of being
+    re-derived from base text, and survivors' signatures are appended
+    to the store at accept time — every store write is its own
+    ``batch=<id>`` overwrite, so redelivery stays idempotent. This is
+    the 100 TB refresh shape: per batch the engine touches the narrow
+    band table plus candidate-shard shingles, never the base corpus."""
     spark = batch.sparkSession
-    base = read_base(spark, base_path, exclude_batch=str(batch_id))
-    if base is None:
-        decisions = batch.select(
-            "doc_id",
-            F.lit(None).cast("long").alias("dup_of"),
-            F.lit(True).alias("keep"),
-        )
+    if store_path is not None:
+        from ..operators.sigstore import _read_meta, incremental_dedup_from_store
+
+        if _read_meta(spark, store_path) is None:  # unseeded first batch
+            decisions = batch.select(
+                "doc_id",
+                F.lit(None).cast("long").alias("dup_of"),
+                F.lit(True).alias("keep"),
+            )
+        else:
+            decisions = incremental_dedup_from_store(
+                batch,
+                store_path,
+                num=num,
+                den=den,
+                exclude_batch=str(batch_id),
+            )
     else:
-        decisions = incremental_dedup(
-            batch, base.select(*batch.columns), num=num, den=den
-        )
+        base = read_base(spark, base_path, exclude_batch=str(batch_id))
+        if base is None:
+            decisions = batch.select(
+                "doc_id",
+                F.lit(None).cast("long").alias("dup_of"),
+                F.lit(True).alias("keep"),
+            )
+        else:
+            decisions = incremental_dedup(
+                batch, base.select(*batch.columns), num=num, den=den
+            )
     kept = batch.join(
         decisions.filter(F.col("keep")).select("doc_id"),
         "doc_id",
         "left_semi",
     )
     kept.write.mode("overwrite").parquet(f"{base_path}/batch={batch_id}")
+    if store_path is not None:
+        from ..operators.sigstore import write_signature_store
+
+        write_signature_store(kept, store_path, batch=str(batch_id))
     if decisions_path:
         decisions.write.mode("overwrite").parquet(
             f"{decisions_path}/batch={batch_id}"
@@ -109,16 +149,20 @@ def corpus_refresh_stream(
     num: int = 4,
     den: int = 5,
     available_now: bool = True,
+    store_path: str | None = None,
 ):
     """Start the refresh loop over a streaming documents DataFrame
     (doc_id, text, ...). Returns the StreamingQuery. Decisions
     (doc_id, dup_of, keep) are optionally recorded per batch under
-    `decisions_path` with the same idempotent batch=<id> layout."""
+    `decisions_path` with the same idempotent batch=<id> layout.
+    `store_path` switches the base side to the persisted signature
+    store (see `process_batch`)."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         process_batch(
             batch, batch_id, base_path,
             decisions_path=decisions_path, num=num, den=den,
+            store_path=store_path,
         )
 
     return (

@@ -914,3 +914,82 @@ def test_source_gini_matches_bruteforce(spark, lens):
         .first()["g"]
     )
     assert got == formula
+
+
+def test_spearman_exact_endpoints_and_monotone_invariance(spark):
+    """Perfectly concordant group → rho_ppm exactly 1_000_000; the
+    exact reversal → exactly −1_000_000 (Σd² = n(n²−1)/3); and rho
+    depends only on rank order, so any strictly monotone transform of
+    x leaves it unchanged."""
+    from pyspark.sql import functions as F
+
+    from ergo_uexplorer_spark.operators.stats import spearman_by_group
+
+    rows = [("up", i, 10 + i, 5 * i) for i in range(1, 9)]
+    rows += [("down", i, 10 + i, -3 * i) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "g string, k long, x long, y long")
+    got = {
+        r["g"]: r
+        for r in spearman_by_group(df, "g", "x", "y", "k").collect()
+    }
+    assert got["up"]["rho_ppm"] == 1_000_000
+    assert got["down"]["rho_ppm"] == -1_000_000
+    assert got["down"]["sum_d2"] == 8 * (64 - 1) // 3
+    transformed = df.withColumn("x", F.col("x") * 7 + 3)
+    got2 = {
+        r["g"]: r["rho_ppm"]
+        for r in spearman_by_group(transformed, "g", "x", "y", "k").collect()
+    }
+    assert got2 == {g: r["rho_ppm"] for g, r in got.items()}
+
+
+def test_ngram_novelty_duplicate_corpus(spark):
+    """The lowest-id copy of a text owns all its grams (novelty 1000);
+    an exact later copy owns none (novelty 0); a half-overlapping later
+    doc sits strictly between."""
+    from ergo_uexplorer_spark.operators.corpus import ngram_novelty
+
+    text = " ".join(f"w{i}" for i in range(40))
+    half_new = " ".join(f"w{i}" for i in range(20)) + " " + " ".join(
+        f"x{i}" for i in range(20)
+    )
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, half_new)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(df).collect()}
+    assert got[1]["novelty_permille"] == 1000
+    assert got[2]["novelty_permille"] == 0
+    assert 0 < got[3]["novelty_permille"] < 1000
+
+
+def test_dsir_importance_identical_docs_and_sign(spark):
+    """Docs with identical text get identical (n_grams, score); a doc
+    written purely in the target sublanguage scores strictly higher
+    than one written purely outside it (its buckets are target-heavy)."""
+    from pyspark.sql import functions as F
+
+    from ergo_uexplorer_spark.operators.corpus import hashed_ngram_importance
+
+    t_text = " ".join(f"t{i}" for i in range(50))
+    r_text = " ".join(f"r{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [
+            (1, t_text, "en"),
+            (2, t_text, "de"),  # same text, non-target label
+            (3, r_text, "de"),
+            (4, r_text, "de"),
+            (5, r_text, "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in hashed_ngram_importance(
+            df, target_filter=F.col("lang") == F.lit("en")
+        ).collect()
+    }
+    assert (got[1]["n_grams"], got[1]["score"]) == (
+        got[2]["n_grams"],
+        got[2]["score"],
+    )
+    assert got[1]["score"] > got[3]["score"]

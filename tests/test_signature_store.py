@@ -92,3 +92,55 @@ def test_store_all_novel_batch(spark, tmp_path, corpus):
     )
     got = _decisions(incremental_dedup_from_store(fresh, path))
     assert got == {7: (None, True)}
+
+
+def test_corpus_refresh_store_mode_matches_inline(spark, tmp_path):
+    """Store-backed process_batch (signatures read from and appended to
+    the store at accept time) must commit the same base corpus and the
+    same decisions as the inline mode, batch after batch — including
+    cross-batch screening (doc accepted in batch 0 catches a near-dup
+    in batch 1) and redelivery idempotency."""
+    from ergo_uexplorer_spark.streaming.corpus_refresh import (
+        process_batch,
+        read_base,
+        seed_base,
+    )
+
+    text_a = " ".join(f"a{i}" for i in range(120))
+    text_b = " ".join(f"b{i}" for i in range(120))
+    seed = _docs(spark, [(100, text_a)])
+    b0 = _docs(
+        spark, [(1, text_a.replace("a50", "q50")), (2, text_b)]
+    )
+    b1 = _docs(
+        spark,
+        [
+            (3, text_b.replace("b50", "q50")),  # near-dup of batch-0 doc 2
+            (4, " ".join(f"c{j}" for j in range(120))),
+        ],
+    )
+
+    def run(mode_store: bool):
+        tag = "s" if mode_store else "i"
+        base_path = str(tmp_path / f"base_{tag}")
+        store = str(tmp_path / f"store_{tag}") if mode_store else None
+        dec = str(tmp_path / f"dec_{tag}")
+        seed_base(seed, base_path, store_path=store)
+        process_batch(b0, 0, base_path, decisions_path=dec, store_path=store)
+        process_batch(b1, 1, base_path, decisions_path=dec, store_path=store)
+        if mode_store:  # redelivery of batch 1 must be a no-op rewrite
+            process_batch(
+                b1, 1, base_path, decisions_path=dec, store_path=store
+            )
+        ids = {r["doc_id"] for r in read_base(spark, base_path).collect()}
+        decs = {
+            r["doc_id"]: (r["dup_of"], r["keep"])
+            for r in spark.read.parquet(dec).collect()
+        }
+        return ids, decs
+
+    ids_inline, dec_inline = run(False)
+    ids_store, dec_store = run(True)
+    assert ids_store == ids_inline == {100, 2, 4}
+    assert dec_store == dec_inline
+    assert dec_store[3] == (2, False)  # cross-batch dup caught via store
