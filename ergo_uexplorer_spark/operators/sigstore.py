@@ -100,6 +100,10 @@ def write_signature_store(
     bands.write.mode("overwrite").parquet(f"{path}/bands/batch={batch}")
     (
         sh.withColumn("shard", _shard(F.col("doc_id"), n_shards))
+        # cluster by shard before the partitioned write: one task per
+        # shard → one file per shard dir instead of (tasks × shards)
+        # small files
+        .repartition(n_shards, "shard")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(f"{path}/shingles/batch={batch}")
