@@ -69,6 +69,12 @@ QUERIES = (
     "z49_cross_source_dup",
     # two exact distinct-aggs over suffixed per-copy grams → ~linear
     "z33_ngram_diversity",
+    # r6 additions: hashed-bigram features — two partial aggs + a
+    # ≤128-row broadcast dim → ~linear in gram volume
+    "zx4_dsir_importance",
+    # first-owner min-agg + co-partitioned join back on the gram hash;
+    # disjoint per-copy universes keep novelty structure per copy
+    "zx5_ngram_novelty",
 )
 
 
@@ -144,6 +150,11 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, ".scale", "sf1"))
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--skip-ingest", action="store_true")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names (subset of QUERIES) to time",
+    )
     args = ap.parse_args()
 
     from ergo_uexplorer_spark.session import get_spark
@@ -166,7 +177,8 @@ def main() -> None:
     _RAW = {"z23_semantic_dedup": _z23_raw}
 
     results = {}
-    for name in QUERIES:
+    names = QUERIES if not args.only else tuple(args.only.split(","))
+    for name in names:
         fn = _RAW.get(name) or REGISTRY[name].fn
         lo = time_query(
             lambda: fn(spark, SF01).write.format("noop").mode("overwrite").save()
