@@ -118,6 +118,26 @@ def main() -> None:
     print(f"[chunk] {chunks.count()} training windows from "
           f"{docs.count()} docs")
 
+    # 8. continuous corpus refresh against the persisted signature
+    # store: accepted docs' dedup artifacts are written at accept time,
+    # so screening a new crawl batch touches the narrow band table plus
+    # candidate-shard shingles — never the base text
+    from ergo_uexplorer_spark.streaming.corpus_refresh import (
+        process_batch,
+        read_base,
+        seed_base,
+    )
+
+    corpus_dir = os.path.join(work, "corpus")
+    store = os.path.join(work, "sigstore")
+    seed_base(docs.filter(F.col("doc_id") < 400), corpus_dir, store_path=store)
+    process_batch(
+        docs.filter(F.col("doc_id") >= 400), 0, corpus_dir, store_path=store
+    )
+    n_corpus = read_base(spark, corpus_dir).count()
+    print(f"[refresh] rolling corpus after store-screened batch: "
+          f"{n_corpus}/{docs.count()} docs accepted")
+
     spark.stop()
     print(f"[done] artifacts in {work}")
 
