@@ -485,7 +485,15 @@ def pagerank_int(
                 ),
             )
         )
-        new_ranks = ranks.select("id", F.col("rank").alias("__prev")).join(
+        # early_stop carries the previous rank through the update so the
+        # Δ check is a projection-agg (no join with the old table); the
+        # fixed-iteration path skips the extra column entirely.
+        lhs = (
+            ranks.select("id", F.col("rank").alias("__prev"))
+            if early_stop
+            else ranks.select("id")
+        )
+        new_ranks = lhs.join(
             contrib.groupBy("id").agg(F.sum("c").alias("s")), "id", "left"
         )
         if dangling:
@@ -511,7 +519,7 @@ def pagerank_int(
             )
         new_ranks = new_ranks.select(
             "id",
-            "__prev",
+            *(["__prev"] if early_stop else []),
             (
                 F.lit(base)
                 + F.col("__share")
