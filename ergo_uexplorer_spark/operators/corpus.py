@@ -549,11 +549,12 @@ def hashed_ngram_importance(
     Output: (doc_id, n_grams, score). Documents with < 2 tokens have no
     bigram features and are absent (no evidence either way).
 
-    Scale shape: the bucket dimension is ≤ n_buckets rows — built with
-    one map-side-combinable agg over the exploded grams and broadcast
-    back; the per-doc pass is a second partial agg on (doc, bucket).
-    Nothing driver-side, no shuffle wider than the gram explode, and
-    the same two-agg plan holds at any corpus size.
+    Scale shape: the gram explode is scanned ONCE — the (doc, bucket)
+    partial agg is materialized (doc×≤n_buckets rows, orders of
+    magnitude below the gram volume) and BOTH the ≤n_buckets-row
+    distribution dimension and the per-doc scores derive from it; the
+    dimension broadcasts back. Nothing driver-side, no shuffle wider
+    than the gram explode, and the same plan holds at any corpus size.
     """
     grams = (
         D._ensure_parallelism(docs)
@@ -574,9 +575,20 @@ def hashed_ngram_importance(
             (T.portable_hash(F.col("g")) % n_buckets).alias("bucket"),
         )
     )
-    dim = grams.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("s_cnt"),
-        F.sum(F.when(F.col("__target"), 1).otherwise(0)).alias("t_cnt"),
+    # __target is a per-doc constant, so keying the agg by it keeps one
+    # row per (doc, bucket); eager-checkpointing this table is what
+    # makes the corpus scan single-pass (both consumers below would
+    # otherwise recompute the explode through lineage)
+    per_doc = (
+        grams.groupBy("doc_id", "__target", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    dim = per_doc.groupBy("bucket").agg(
+        F.sum("n").alias("s_cnt"),
+        F.sum(F.when(F.col("__target"), F.col("n")).otherwise(0)).alias(
+            "t_cnt"
+        ),
     )
     # totals folded into the ≤n_buckets-row dim via an unpartitioned
     # window over that tiny relation (not over the gram table)
@@ -588,9 +600,6 @@ def hashed_ngram_importance(
         F.expr(
             "t_cnt * 1000000 div greatest(1, sum(t_cnt) over ())"
         ).alias("t_ppm"),
-    )
-    per_doc = grams.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("n")
     )
     return (
         per_doc.join(F.broadcast(dim), "bucket")
