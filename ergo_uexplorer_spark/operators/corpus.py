@@ -635,6 +635,14 @@ def ngram_novelty(
     combinable, stays co-partitioned for the join back); the final agg
     shuffles on doc_id. No broadcast of anything corpus-sized, no
     skew beyond what AQE handles on hot grams.
+
+    `pairs` feeds both the min-agg and the join, so lineage recomputes
+    the explode — deliberately: an A/B with `.persist()` measured
+    SLOWER at sf0.1 (1.19→1.58 s) AND at 10× data (1.97→2.68 s),
+    because here both consumers read the FULL corpus-scale shingle set
+    and the cache write+read costs more than re-running the codegen'd
+    tokenize/explode (unlike the dedup verify pipelines, whose persisted
+    sets are re-read selectively for candidates only).
     """
     pairs = D.hashed_shingle_sets(docs, id_col, text_col, n)
     first = pairs.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
