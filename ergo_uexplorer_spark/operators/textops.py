@@ -287,3 +287,66 @@ def ngram_diversity(docs):
             ),
         )
     )
+
+
+def collocations(
+    docs,
+    k: int = 50,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Top-k collocations (two-word phrases) by an exact-integer PMI
+    ratio: score = (c_xy · N · 10⁶) div (c_x · c_y) — the observed/
+    expected co-occurrence ratio, a strictly monotone transform of PMI
+    (log of the same ratio), so the induced ranking IS the PMI ranking
+    while every score stays an integer both engines agree on.
+    `min_count` is the standard support floor (PMI's rare-pair
+    pathology). Returns (w1, w2, c_xy, c_x, c_y, score_ppm), ranked
+    (score desc, w1, w2).
+
+    Scale shape: one bigram agg on (w1, w2) and one unigram agg, both
+    map-side combinable; the two frequency joins key on the word (vocab
+    dimension, co-partitioned); N arrives as a broadcast scalar; the
+    numerator runs 128-bit (DECIMAL(38,0) — c_xy·N·10⁶ passes int64
+    around N ≈ 10¹³ tokens) and the final top-k is
+    TakeOrderedAndProject (map-side partial top-k, the full ranking
+    never materializes). Output scores fit int64 for any corpus with
+    N·10⁶ div min_count < 2⁶³ (N ≈ 4·10¹³ at the default floor).
+    """
+    from pyspark.sql import functions as F
+
+    t = docs.select(tokens(F.col(text_col)).alias("t"))
+    uni = (
+        t.select(F.explode(F.col("t")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_row = uni.agg(F.sum("c").alias("N"))
+    bi = (
+        t.select(F.explode(shingles(F.col("t"), 2)).alias("g"))
+        .select(
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    scored = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(n_row))
+        .withColumn(
+            "score_ppm",
+            F.expr(
+                "CAST((CAST(c_xy AS DECIMAL(38,0)) * N * 1000000)"
+                " div (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        scored.select("w1", "w2", "c_xy", "c_x", "c_y", "score_ppm")
+        .orderBy(F.desc("score_ppm"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

@@ -789,3 +789,46 @@ _BIGRAMS = "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
 def z33_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     return T.ngram_diversity(docs)
+
+
+# --------------------------------------------------------------------------
+# zx7: collocation extraction — top-k two-word phrases by exact-integer
+# PMI ratio (observed/expected ×10⁶; a monotone transform of PMI so
+# the ranking is the PMI ranking with no logs/floats anywhere). The
+# corpus-linguistics counterpart of x05's raw bigram counts: "spark
+# streaming" ranks by surprise, not frequency. 128-bit numerator, see
+# operators/textops.collocations. (zx-name: sorts after the z03–z52
+# driver window this round; rotates in next.)
+# --------------------------------------------------------------------------
+@register(
+    "zx7_collocations",
+    sql=f"""
+    WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+    uni AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    n_tot AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM uni),
+    bi AS (
+      SELECT g[1] AS w1, g[2] AS w2, count(*) AS c_xy
+      FROM (SELECT unnest(list_transform(range(1, len(t)),
+                          i -> [t[i], t[i+1]])) AS g
+            FROM toks)
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT w1, w2, c_xy, x.c AS c_x, y.c AS c_y,
+           CAST((CAST(c_xy AS HUGEINT) * N * 1000000)
+                // (CAST(x.c AS HUGEINT) * y.c) AS BIGINT) AS score_ppm
+    FROM bi
+    JOIN uni x ON bi.w1 = x.w
+    JOIN uni y ON bi.w2 = y.w
+    CROSS JOIN n_tot
+    ORDER BY score_ppm DESC, w1 ASC, w2 ASC LIMIT 50
+    """,
+    survey_ref="LLM-pipeline: collocation extraction (integer PMI ratio)",
+    tags=("text", "agg", "topk"),
+    bench=True,
+)
+def zx7_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return T.collocations(docs, k=50, min_count=5)
