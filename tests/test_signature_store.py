@@ -144,3 +144,29 @@ def test_corpus_refresh_store_mode_matches_inline(spark, tmp_path):
     assert ids_store == ids_inline == {100, 2, 4}
     assert dec_store == dec_inline
     assert dec_store[3] == (2, False)  # cross-batch dup caught via store
+
+
+def test_corpus_refresh_store_mode_unseeded_first_batch(spark, tmp_path):
+    """Store mode without a seed: the first batch is accepted whole
+    (no meta yet), its store write creates the meta, and redelivery of
+    that same first batch — whose own partition is now the ONLY store
+    content — excludes it and still accepts everything."""
+    from ergo_uexplorer_spark.streaming.corpus_refresh import (
+        process_batch,
+        read_base,
+    )
+
+    base_path = str(tmp_path / "base")
+    store = str(tmp_path / "store")
+    b0 = _docs(
+        spark,
+        [
+            (1, " ".join(f"a{i}" for i in range(120))),
+            (2, " ".join(f"b{i}" for i in range(120))),
+        ],
+    )
+    process_batch(b0, 0, base_path, store_path=store)
+    first = {r["doc_id"] for r in read_base(spark, base_path).collect()}
+    assert first == {1, 2}
+    process_batch(b0, 0, base_path, store_path=store)  # redelivery
+    assert {r["doc_id"] for r in read_base(spark, base_path).collect()} == first
