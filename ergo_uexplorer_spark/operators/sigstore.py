@@ -14,7 +14,10 @@ signatures are a precomputed artifact written at accept time"):
   {path}/shingles/batch=<id>, shard=<s>
                             (doc_id, h) hashed shingle sets, sharded by
                             a hash of doc_id for candidate-pruned reads
-  {path}/counts/batch=<id>  (doc_id, nb) per-doc shingle counts
+  {path}/counts/batch=<id>, shard=<s>
+                            (doc_id, nb) per-doc shingle counts, same
+                            sharding (the nb join touches candidates
+                            only, so its read prunes identically)
 
 Layout invariants:
   * every write lands under its own ``batch=<label>`` partition with
@@ -111,7 +114,10 @@ def write_signature_store(
     (
         sh.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("nb"))
+        .withColumn("shard", _shard(F.col("doc_id"), n_shards))
+        .repartition(n_shards, "shard")
         .write.mode("overwrite")
+        .partitionBy("shard")
         .parquet(f"{path}/counts/batch={batch}")
     )
     sh.unpersist()
@@ -203,7 +209,13 @@ def incremental_dedup_from_store(
         .filter(F.col("shard").isin(shards))
         .drop("shard")
     )
-    nb = _read_part(spark, path, "counts", exclude_batch)
+    # counts carry the same sharding: the nb join only ever touches
+    # candidate base docs, so the read prunes to candidate shards too
+    nb = (
+        _read_part(spark, path, "counts", exclude_batch)
+        .filter(F.col("shard").isin(shards))
+        .drop("shard")
+    )
     out = screen_cross_candidates(
         new_docs, sh_new, sh_base, nb, cand, num, den, id_col=id_col
     )
