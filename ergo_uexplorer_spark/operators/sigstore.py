@@ -199,9 +199,10 @@ def incremental_dedup_from_store(
     shards = [r["s"] for r in shard_rows]
     if not shards:  # no band collisions: the whole batch is novel
         sh_new.unpersist()
+        id_type = dict(new_docs.dtypes)[id_col]
         return new_docs.select(
             F.col(id_col).alias("doc_id"),
-            F.lit(None).cast("long").alias("dup_of"),
+            F.lit(None).cast(id_type).alias("dup_of"),
             F.lit(True).alias("keep"),
         )
     sh_base = (

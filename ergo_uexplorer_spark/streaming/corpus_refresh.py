@@ -15,10 +15,12 @@ double-appending — the same per-batch-commit idea as
 streaming/incremental.UtxoState, with the directory name as the commit
 marker. The base read is partition-discovery over those directories.
 
-At 100 TB the base side's banded signatures would be a stored artifact
-(see incremental_dedup's docstring); here each batch derives them from
-the base parquet, which keeps this module self-contained and still
-touches base text only for candidate verification.
+Two base-side modes: the self-contained default re-derives the base's
+signatures from the base parquet each batch (touching base text only
+for candidate verification); `store_path=` switches to the persisted
+signature store (`operators/sigstore.py`) — the 100 TB posture, where
+accepted docs' artifacts are written once at accept time and screening
+never re-reads base text at all.
 """
 
 from __future__ import annotations
@@ -102,7 +104,7 @@ def process_batch(
         if _read_meta(spark, store_path) is None:  # unseeded first batch
             decisions = batch.select(
                 "doc_id",
-                F.lit(None).cast("long").alias("dup_of"),
+                F.lit(None).cast(dict(batch.dtypes)["doc_id"]).alias("dup_of"),
                 F.lit(True).alias("keep"),
             )
         else:
@@ -118,7 +120,7 @@ def process_batch(
         if base is None:
             decisions = batch.select(
                 "doc_id",
-                F.lit(None).cast("long").alias("dup_of"),
+                F.lit(None).cast(dict(batch.dtypes)["doc_id"]).alias("dup_of"),
                 F.lit(True).alias("keep"),
             )
         else:
