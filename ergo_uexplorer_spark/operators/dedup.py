@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .textops import portable_hash, shingles, tokens
+from .util import ensure_parallelism as _ensure_parallelism
 from .util import materialize_and_release
 
 # ---------------------------------------------------------------------------
@@ -54,23 +55,6 @@ SIMHASH_MOD = 1 << SIMHASH_BITS
 def normalized_text(col):
     """lower + collapse whitespace — exact-dup canonical form."""
     return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
-
-
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Tokenize/shingle stages are CPU-bound string work: a corpus that
-    arrives in few files (one 128 MB parquet = 1 partition) would pin a
-    single core. Spread it before exploding; no-op when the scan already
-    has enough splits (the 100 TB case).
-
-    Streaming frames pass through untouched (their parallelism is the
-    source's; `df.rdd` would throw). The batch probe via `df.rdd` is a
-    driver-side plan conversion only — no job runs."""
-    if df.isStreaming:
-        return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def exact_dup_groups(
@@ -519,6 +503,18 @@ def incremental_dedup(
         new_docs, sh_new, sh_base, nb, cand, num, den, id_col=id_col
     )
     return materialize_and_release(out, sh_new, sh_base) if release else out
+
+
+def all_keep_decisions(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, dup_of=NULL, keep=true) over `docs` — the decision frame
+    for a batch with no base or no candidates, dup_of typed like the id
+    column so both decision paths stay schema-identical."""
+    id_type = dict(docs.dtypes)[id_col]
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(None).cast(id_type).alias("dup_of"),
+        F.lit(True).alias("keep"),
+    )
 
 
 def screen_cross_candidates(

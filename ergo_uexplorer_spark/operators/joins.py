@@ -131,7 +131,17 @@ def resample_gap_fill(
     cross join); the fill is one `last(ignorenulls)` window per key —
     the same union-free forward-fill as `asof_join`, one shuffle on
     (key). Leading gaps before a key's first observation stay null by
-    construction (nothing to carry)."""
+    construction (nothing to carry).
+
+    Fill semantics match an ASOF self-join exactly (the zx3 oracle):
+    only grid-inserted rows are filled, and they carry the most recent
+    OBSERVED ROW's values — including a genuine NULL on that row. An
+    observed row is never rewritten (a `last(ignorenulls)` over the
+    raw column would fabricate a value on an observed-NULL row and
+    stamp it observed=true), which is why the carry wraps each
+    observed row's values in a struct: the struct is non-null whenever
+    the row was observed, so NULL values inside it survive the
+    ignorenulls carry."""
     spans = df.groupBy(key_col).agg(
         F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
     )
@@ -149,9 +159,22 @@ def resample_gap_fill(
         .orderBy(F.asc(bucket_col))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = joined
+    carry = F.last(
+        F.when(
+            F.col("__obs"),
+            F.struct(*[F.col(c).alias(c) for c in value_cols]),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    out = joined.withColumn("__carry", carry)
     for c in value_cols:
-        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    return out.withColumn(
-        "observed", F.coalesce(F.col("__obs"), F.lit(False))
-    ).drop("__obs")
+        out = out.withColumn(
+            c,
+            F.when(F.col("__obs").isNotNull(), F.col(c)).otherwise(
+                F.col("__carry")[c]
+            ),
+        )
+    return (
+        out.withColumn("observed", F.coalesce(F.col("__obs"), F.lit(False)))
+        .drop("__obs", "__carry")
+    )

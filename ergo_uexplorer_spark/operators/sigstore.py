@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from .dedup import (
     LSH_BANDS,
+    all_keep_decisions,
     MINHASH_A,
     MINHASH_B,
     NUM_HASHES,
@@ -75,23 +76,30 @@ def write_signature_store(
     batch: str = SEED_BATCH,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n: int = 3,
-    n_shards: int = DEFAULT_SHARDS,
+    n: int | None = None,
+    n_shards: int | None = None,
 ) -> None:
     """Write (or idempotently rewrite) one batch of dedup artifacts.
 
-    The first call (any batch label) also writes `{path}/meta`; later
-    calls validate against it, so appended batches can never mix
-    shingle sizes or shard counts."""
+    The first call (any batch label) also writes `{path}/meta`. On an
+    existing store, omitted `n`/`n_shards` ADOPT the store's meta (the
+    accept-time append path never has to restate the seed's
+    parameters); explicitly passed values that contradict the meta
+    raise, so appended batches can never mix shingle sizes or shard
+    counts."""
     spark = docs.sparkSession
     meta = _read_meta(spark, path)
     if meta is None:
+        n = 3 if n is None else n
+        n_shards = DEFAULT_SHARDS if n_shards is None else n_shards
         spark.createDataFrame(
             [(n, n_shards, _hash_fingerprint())],
             "n int, n_shards int, hash_fp string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     else:
         n_meta, shards_meta, fp = meta
+        n = n_meta if n is None else n
+        n_shards = shards_meta if n_shards is None else n_shards
         if (n_meta, shards_meta, fp) != (n, n_shards, _hash_fingerprint()):
             raise ValueError(
                 f"signature store at {path} was written with "
@@ -130,6 +138,8 @@ def _read_meta(spark: SparkSession, path: str):
         row = spark.read.parquet(f"{path}/meta").head()
     except AnalysisException:
         return None
+    if row is None:  # interrupted first write left an empty meta:
+        return None  # treat as absent so the next write self-heals
     return (row["n"], row["n_shards"], row["hash_fp"])
 
 
@@ -199,12 +209,7 @@ def incremental_dedup_from_store(
     shards = [r["s"] for r in shard_rows]
     if not shards:  # no band collisions: the whole batch is novel
         sh_new.unpersist()
-        id_type = dict(new_docs.dtypes)[id_col]
-        return new_docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.lit(None).cast(id_type).alias("dup_of"),
-            F.lit(True).alias("keep"),
-        )
+        return all_keep_decisions(new_docs, id_col)
     sh_base = (
         _read_part(spark, path, "shingles", exclude_batch)
         .filter(F.col("shard").isin(shards))

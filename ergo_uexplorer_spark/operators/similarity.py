@@ -545,6 +545,30 @@ def _cell_cosine(vec: Column, vnorm: Column, c: Column) -> Column:
 CENTROID_LITERAL_MAX = 256
 
 
+_BCAST_CACHE: dict = {}
+
+
+def _centroid_broadcast(sc, centroids: list[list[float]]):
+    """One (matrix, norms) broadcast per distinct centroid set per JVM:
+    the matmul paths exist precisely for LARGE quantizers (10⁵×64
+    float64 ≈ 50 MB), and a fresh broadcast per call would accumulate
+    un-reclaimed copies on driver and executors across a multi-query
+    session. Same keying discipline as `_memo_expr` (JVM identity so a
+    restarted gateway re-broadcasts instead of using stale handles)."""
+    import hashlib
+
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    digest = hashlib.md5(C.tobytes() + str(C.shape).encode()).hexdigest()
+    key = (id(sc._jsc), digest)
+    bc = _BCAST_CACHE.get(key)
+    if bc is None:
+        bc = sc.broadcast((C, np.sqrt((C * C).sum(axis=1))))
+        _BCAST_CACHE[key] = bc
+    return bc
+
+
 def _ivf_assign_matmul(
     emb: DataFrame,
     centroids: list[list[float]],
@@ -558,11 +582,7 @@ def _ivf_assign_matmul(
     assignments can differ between the two paths — acceptable at the
     scale that forces this path (quantizer cells are arbitrary), and
     the small-k oracle-checked path never takes it."""
-    import numpy as np
-
-    sc = emb.sparkSession.sparkContext
-    C = np.asarray(centroids, dtype=np.float64)
-    bc = sc.broadcast((C, np.sqrt((C * C).sum(axis=1))))
+    bc = _centroid_broadcast(emb.sparkSession.sparkContext, centroids)
 
     @F.pandas_udf("int")
     def nearest(vecs: pd.Series) -> pd.Series:
@@ -629,17 +649,13 @@ def ivf_index(
     )
 
 
-def _probe_cells_matmul(centroids: list[list[float]], n_probes: int):
+def _probe_cells_matmul(sc, centroids: list[list[float]], n_probes: int):
     """Pandas UDF ranking the `n_probes` nearest cells by cosine for a
     whole Arrow batch of query vectors (large-k companion of
-    `_ivf_assign_matmul`; returned order = cosine desc, cell asc)."""
-    import numpy as np
-
-    from pyspark import SparkContext
-
-    sc = SparkContext._active_spark_context
-    C = np.asarray(centroids, dtype=np.float64)
-    bcast = sc.broadcast((C, np.sqrt((C * C).sum(axis=1))))
+    `_ivf_assign_matmul`; returned order = cosine desc, cell asc).
+    `sc` is the caller's SparkContext (from its DataFrame's session —
+    no reach into SparkContext._active_spark_context)."""
+    bcast = _centroid_broadcast(sc, centroids)
 
     @F.pandas_udf("array<int>")
     def probe(vecs: pd.Series) -> pd.Series:
@@ -683,7 +699,10 @@ def ivf_topk(
         # instead (stable argsort: ties fall to the smaller cell id,
         # matching _best_cell_first's (cosine desc, cell asc) order).
         probes = q.withColumn(
-            "cells", _probe_cells_matmul(centroids, n_probes)(F.col("qv"))
+            "cells",
+            _probe_cells_matmul(
+                queries.sparkSession.sparkContext, centroids, n_probes
+            )(F.col("qv")),
         ).select("q_id", "qv", F.explode("cells").alias("cell"))
     else:
         scored_cells = F.transform(

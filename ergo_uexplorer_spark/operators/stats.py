@@ -281,13 +281,20 @@ def topk_rows_per_group(
                 if best
                 else pdf
             )
-            by = pool.groupby(group_cols, sort=False, dropna=False)
-            keep = by.apply(
-                lambda g: g.sort_values(
+            # global sort then groupby.head(k): vectorized (no per-group
+            # Python lambda) and immune to pandas 3's include_groups
+            # flip, which breaks groupby.apply callbacks that read the
+            # grouping columns
+            keep = (
+                pool.sort_values(
                     [order_col] + ([tb] if tb else []),
                     ascending=[asc] + ([True] if tb else []),
-                ).head(k)
-            ).reset_index(drop=True)
+                    kind="mergesort",
+                )
+                .groupby(group_cols, sort=False, dropna=False)
+                .head(k)
+                .reset_index(drop=True)
+            )
             best = {0: keep}
         if best:
             yield best[0][cols]

@@ -316,7 +316,9 @@ def collocations(
     """
     from pyspark.sql import functions as F
 
-    t = docs.select(tokens(F.col(text_col)).alias("t"))
+    from .util import ensure_parallelism
+
+    t = ensure_parallelism(docs).select(tokens(F.col(text_col)).alias("t"))
     uni = (
         t.select(F.explode(F.col("t")).alias("w"))
         .groupBy("w")

@@ -25,3 +25,20 @@ def materialize_and_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     for df in cached:
         df.unpersist(blocking=False)
     return out
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Tokenize/shingle stages are CPU-bound string work: a corpus that
+    arrives in few files (one 128 MB parquet = 1 partition) would pin a
+    single core. Spread it before exploding; no-op when the scan already
+    has enough splits (the 100 TB case).
+
+    Streaming frames pass through untouched (their parallelism is the
+    source's; `df.rdd` would throw). The batch probe via `df.rdd` is a
+    driver-side plan conversion only — no job runs."""
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -28,9 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import incremental_dedup
-
-SEED_BATCH = "seed"
+from ..operators.dedup import all_keep_decisions, incremental_dedup
+from ..operators.sigstore import SEED_BATCH
 
 
 def seed_base(
@@ -102,11 +101,7 @@ def process_batch(
         from ..operators.sigstore import _read_meta, incremental_dedup_from_store
 
         if _read_meta(spark, store_path) is None:  # unseeded first batch
-            decisions = batch.select(
-                "doc_id",
-                F.lit(None).cast(dict(batch.dtypes)["doc_id"]).alias("dup_of"),
-                F.lit(True).alias("keep"),
-            )
+            decisions = all_keep_decisions(batch)
         else:
             decisions = incremental_dedup_from_store(
                 batch,
@@ -118,11 +113,7 @@ def process_batch(
     else:
         base = read_base(spark, base_path, exclude_batch=str(batch_id))
         if base is None:
-            decisions = batch.select(
-                "doc_id",
-                F.lit(None).cast(dict(batch.dtypes)["doc_id"]).alias("dup_of"),
-                F.lit(True).alias("keep"),
-            )
+            decisions = all_keep_decisions(batch)
         else:
             decisions = incremental_dedup(
                 batch, base.select(*batch.columns), num=num, den=den

@@ -422,10 +422,14 @@ def z42_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def z43_hapax_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textops import tokens
+    from ..operators.util import ensure_parallelism
 
     (docs,) = load(spark, sf_dir, "documents")
     tf = (
-        docs.select("source", F.explode(tokens(F.col("text"))).alias("g"))
+        # spread the single-file scan before the corpus-wide explode —
+        # same single-task hotspot class as z33 (see 0e5c85c)
+        ensure_parallelism(docs)
+        .select("source", F.explode(tokens(F.col("text"))).alias("g"))
         .groupBy("source", "g")
         .agg(F.count(F.lit(1)).alias("f"))
     )

@@ -246,3 +246,24 @@ def test_resample_gap_fill_locf_and_leading_nulls(spark):
     assert rows[("a", 13)] == (7, True)
     assert rows[("b", 2)] == (1, True) and rows[("b", 3)] == (2, True)
     assert len(rows) == 6  # no buckets invented outside [min, max]
+
+
+def test_resample_gap_fill_preserves_observed_nulls(spark):
+    """An observed row whose value is genuinely NULL must stay NULL
+    (observed=true) — not be overwritten by the previous bucket's value
+    — and a gap AFTER it carries that NULL forward (the most recent
+    observed row's value), exactly like the ASOF-join oracle."""
+    from ergo_uexplorer_spark.operators.joins import resample_gap_fill
+
+    obs = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, None), ("a", 4, 9)],
+        "k string, bucket long, v long",
+    )
+    rows = {
+        (r["k"], r["bucket"]): (r["v"], r["observed"])
+        for r in resample_gap_fill(obs, "k", "bucket", ["v"]).collect()
+    }
+    assert rows[("a", 1)] == (5, True)
+    assert rows[("a", 2)] == (None, True)   # observed NULL survives
+    assert rows[("a", 3)] == (None, False)  # gap carries the NULL row
+    assert rows[("a", 4)] == (9, True)

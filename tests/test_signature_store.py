@@ -170,3 +170,18 @@ def test_corpus_refresh_store_mode_unseeded_first_batch(spark, tmp_path):
     assert first == {1, 2}
     process_batch(b0, 0, base_path, store_path=store)  # redelivery
     assert {r["doc_id"] for r in read_base(spark, base_path).collect()} == first
+
+
+def test_store_append_adopts_meta_params(spark, tmp_path, corpus):
+    """The accept-time append path (process_batch) never restates the
+    seed's parameters — an append with defaults against a store seeded
+    with non-default n must adopt the meta instead of raising."""
+    base1, base2, _ = corpus
+    path = str(tmp_path / "store")
+    write_signature_store(base1, path, n=4)
+    write_signature_store(base2, path, batch="b2")  # defaults: adopt n=4
+    from ergo_uexplorer_spark.operators.sigstore import _read_meta
+
+    assert _read_meta(spark, path)[0] == 4
+    with pytest.raises(ValueError, match="signature store"):
+        write_signature_store(base2, path, batch="b3", n=5)  # explicit clash
