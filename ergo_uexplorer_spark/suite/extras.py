@@ -1186,3 +1186,63 @@ def zx6_spearman_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_by_group(
         base, "c_nationkey", "bal", "n_orders", "c_custkey", min_n=2
     )
+
+
+# --------------------------------------------------------------------------
+# zx8: exact per-group OLS trend — the algebraic, oracle-exact twin of
+# u01's grouped-map (applyInPandas) linear trend: slope of hourly value
+# on time from the closed-form normal equations, every term an integer.
+#   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+# x = hour bucket, y = value cents; products run 128-bit (Spark
+# DECIMAL(38,0) / DuckDB HUGEINT); the big power sums surface as digit
+# STRINGS (z41 convention — pandas degrades DECIMAL(38,0) to float64
+# at the compare layer) and the slope itself as integer micro-units
+# per hour (small quotient → BIGINT). (zx-name: rotates in next round.)
+# --------------------------------------------------------------------------
+@register(
+    "zx8_linear_trend_exact",
+    sql=f"""
+    WITH v AS (
+      SELECT event_type,
+             CAST(epoch_ns(ts) // 3600000000000 AS HUGEINT) AS x,
+             CAST({_CENTS_SQL.format(col='value')} AS HUGEINT) AS y
+      FROM events
+    )
+    SELECT event_type, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x * y) AS VARCHAR) AS sum_xy,
+           CAST(sum(x * x) AS VARCHAR) AS sum_x2,
+           CAST((1000000 * (count(*) * sum(x * y) - sum(x) * sum(y)))
+                // (count(*) * sum(x * x) - sum(x) * sum(x))
+                AS BIGINT) AS slope_micro_per_hour
+    FROM v GROUP BY 1
+    """,
+    survey_ref="LLM-pipeline / SURVEY §2.6: exact closed-form OLS trend "
+    "(algebraic twin of u01's grouped-map)",
+    tags=("agg", "stats"),
+)
+def zx8_linear_trend_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    v = events.select(
+        "event_type",
+        F.expr("CAST(ts div 3600000000000 AS DECIMAL(38,0))").alias("x"),
+        _cents(F.col("value")).cast("decimal(38,0)").alias("y"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("sum_x2"),
+        F.expr(
+            "CAST((1000000 * (count(1) * sum(x * y) - sum(x) * sum(y)))"
+            " div (count(1) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)"
+        ).alias("slope_micro_per_hour"),
+    )
