@@ -673,6 +673,58 @@ def _probe_cells_matmul(sc, centroids: list[list[float]], n_probes: int):
     return probe
 
 
+def _probe_df(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    n_probes: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(q_id, qv, cell) — each query exploded onto its `n_probes`
+    nearest cells (cosine desc, cell asc; see the matmul-path comment
+    for the large-k tie discipline)."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    if len(centroids) > CENTROID_LITERAL_MAX:
+        # same cutoff as ivf_assign: at SemDeDup-scale k the literal
+        # probe ranking becomes a 10^5-element interpreted sort per
+        # query row — rank cells with one Arrow matmul per batch
+        # instead (stable argsort: ties fall to the smaller cell id,
+        # matching _best_cell_first's (cosine desc, cell asc) order).
+        return q.withColumn(
+            "cells",
+            _probe_cells_matmul(
+                queries.sparkSession.sparkContext, centroids, n_probes
+            )(F.col("qv")),
+        ).select("q_id", "qv", F.explode("cells").alias("cell"))
+    scored_cells = F.transform(
+        _cents_lit(centroids),
+        lambda c: F.struct(
+            cosine(F.col("qv"), c["cv"]).alias("c"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    return q.withColumn(
+        "cells",
+        F.slice(F.array_sort(scored_cells, _best_cell_first), 1, n_probes),
+    ).select("q_id", "qv", F.explode("cells.cell").alias("cell"))
+
+
+def _rank_in_cells(probes: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
+    """Exact cosine ranking of each query inside its probed cells."""
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "cos_sim")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -688,46 +740,78 @@ def ivf_topk(
     them. The join key is the cell id, so at scale each query touches
     ~n_probes/n_centroids of the corpus (same shape as lsh_topk, but the
     cells are data-adaptive). Pass `corpus=` (a prebuilt/persisted
-    `ivf_index` result) to search an existing index."""
+    `ivf_index` result) to search an existing index; for an index ON
+    DISK with partition-pruned probes use `ivf_topk_from_index`."""
     if corpus is None:
         corpus = ivf_index(emb, centroids, id_col, vec_col)
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
-    if len(centroids) > CENTROID_LITERAL_MAX:
-        # same cutoff as ivf_assign: at SemDeDup-scale k the literal
-        # probe ranking becomes a 10^5-element interpreted sort per
-        # query row — rank cells with one Arrow matmul per batch
-        # instead (stable argsort: ties fall to the smaller cell id,
-        # matching _best_cell_first's (cosine desc, cell asc) order).
-        probes = q.withColumn(
-            "cells",
-            _probe_cells_matmul(
-                queries.sparkSession.sparkContext, centroids, n_probes
-            )(F.col("qv")),
-        ).select("q_id", "qv", F.explode("cells").alias("cell"))
-    else:
-        scored_cells = F.transform(
-            _cents_lit(centroids),
-            lambda c: F.struct(
-                cosine(F.col("qv"), c["cv"]).alias("c"),
-                c["cell"].alias("cell"),
-            ),
-        )
-        probes = q.withColumn(
-            "cells",
-            F.slice(F.array_sort(scored_cells, _best_cell_first), 1, n_probes),
-        ).select("q_id", "qv", F.explode("cells.cell").alias("cell"))
-    scored = (
-        F.broadcast(probes)
-        .join(corpus, "cell")
-        .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("nv")))
+    probes = _probe_df(queries, centroids, n_probes, id_col, vec_col)
+    return _rank_in_cells(probes, corpus, k)
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index as a CELL-PARTITIONED dataset plus its
+    centroid table — the build-once / search-many posture on disk:
+
+      {path}/cells/cell=<c>/   (n_id, nv) — one directory per cell
+      {path}/centroids         (cell, cv) — the quantizer, read back by
+                               `ivf_topk_from_index` so searches never
+                               need the training-time centroid list
+
+    The cell directories are what make disk-side probing cheap: a
+    search's probed-cell filter becomes parquet PARTITION PRUNING, so
+    only ~n_probes/n_centroids of the stored corpus is ever read."""
+    spark = emb.sparkSession
+    idx = ivf_index(emb, centroids, id_col, vec_col)
+    (
+        # cluster by cell first: one task per cell writes one file per
+        # cell directory (same small-files discipline as the signature
+        # store's shard write)
+        idx.repartition(max(len(centroids) // 4, 1), "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("q_id", "n_id", "cos_sim")
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_from_index(
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index (`write_ivf_index`) with
+    partition-pruned reads: the union of all queries' probed cells is
+    collected driver-side (bounded by ≤ n_queries × n_probes ints, and
+    by the centroid count) and pushed as a partition filter, so the
+    scan touches ONLY the probed cell directories — the on-disk
+    realization of IVF's ~n_probes/n_centroids read fraction. Results
+    are identical to `ivf_topk` over the same corpus and quantizer
+    (pinned by test_ivf)."""
+    spark = queries.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centroids = [list(r["cv"]) for r in cent]
+    probes = _probe_df(
+        queries, centroids, n_probes, id_col, vec_col
+    ).localCheckpoint(eager=True)
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    corpus = (
+        spark.read.option("basePath", f"{path}/cells")
+        .parquet(f"{path}/cells")
+        .filter(F.col("cell").isin(cells))
     )
+    return _rank_in_cells(probes, corpus, k)
 
 
 def _pq_cb_lit(m: int, codebooks=None) -> Column:

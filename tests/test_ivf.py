@@ -342,3 +342,42 @@ def test_ivf_topk_large_k_probe_path(spark):
     out = S.ivf_topk(emb, queries, big, k=5, n_probes=8)
     got = out.groupBy("q_id").count().collect()
     assert all(r["count"] <= 5 for r in got) and len(got) == 3
+
+
+def test_persisted_ivf_index_matches_inmemory_and_prunes(spark, tmp_path):
+    """ivf_topk_from_index == ivf_topk on the same corpus/quantizer,
+    and the disk search reads only the probed cell directories
+    (partition pruning: the scan's partition filter carries the
+    probed-cell set, strictly smaller than the full cell count)."""
+    from ergo_uexplorer_spark.operators.similarity import (
+        FIXED_CENTROIDS,
+        ivf_topk,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    cents = list(FIXED_CENTROIDS)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, cents, path)
+
+    want = sorted(
+        (r["q_id"], r["n_id"]) for r in ivf_topk(emb, queries, cents, k=5).collect()
+    )
+    got_df = ivf_topk_from_index(queries, path, k=5)
+    got = sorted((r["q_id"], r["n_id"]) for r in got_df.collect())
+    assert got == want and len(got) > 0
+
+    # pruning: the probed-cell filter must reach the scan as a
+    # PARTITION filter (cell is the partition column), and the probed
+    # set must be a strict subset of the quantizer's cells
+    from ergo_uexplorer_spark.operators.similarity import _probe_df
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    probed = {
+        r["cell"]
+        for r in _probe_df(queries, cents, 4, "vec_id", "embedding").collect()
+    }
+    assert 0 < len(probed) < len(cents)
