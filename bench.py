@@ -74,7 +74,71 @@ def _z23_raw(spark, sf_dir):
     return S.semantic_dedup(emb, list(S.FIXED_CENTROIDS), threshold=_SEMDEDUP_T)
 
 
-_RAW_FN = {"z23_semantic_dedup": _z23_raw}
+def _s03_raw(spark, sf_dir):
+    """IVF search against the (session-cached) prebuilt index — the
+    operational steady-state shape. The registered entry checkpoints its
+    RESULT too, so best-of-2 on it would time a no-op; this re-runs the
+    probe + in-cell ranking every call."""
+    from pyspark.sql import functions as F
+
+    from ergo_uexplorer_spark.operators import similarity as S
+    from ergo_uexplorer_spark.suite.base import load
+    from ergo_uexplorer_spark.suite.similarity import (
+        _IVF_PROBES,
+        _N_QUERIES,
+        _built_index,
+    )
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    idx = _built_index(
+        spark, sf_dir, "ivf", lambda: S.ivf_index(emb, list(S.FIXED_CENTROIDS))
+    )
+    return S.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        list(S.FIXED_CENTROIDS),
+        k=5,
+        n_probes=_IVF_PROBES,
+        corpus=idx,
+    ).select("q_id", "n_id", F.round("cos_sim", 3).alias("cos_sim"))
+
+
+def _z02_raw(spark, sf_dir):
+    """IVF-PQ search against the prebuilt codes index (see _s03_raw)."""
+    from pyspark.sql import functions as F
+
+    from ergo_uexplorer_spark.operators import similarity as S
+    from ergo_uexplorer_spark.suite.base import load
+    from ergo_uexplorer_spark.suite.similarity import (
+        _IVF_PROBES,
+        _N_QUERIES,
+        _PQ_REFINE,
+        _built_index,
+    )
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    idx = _built_index(
+        spark,
+        sf_dir,
+        "ivfpq",
+        lambda: S.ivf_pq_index(emb, list(S.FIXED_CENTROIDS)),
+    )
+    return S.ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        list(S.FIXED_CENTROIDS),
+        k=5,
+        n_probes=_IVF_PROBES,
+        refine=_PQ_REFINE,
+        corpus=idx,
+    ).select("q_id", "n_id", F.round("cos_sim", 3).alias("cos_sim"))
+
+
+_RAW_FN = {
+    "zz_z23_semantic_dedup": _z23_raw,
+    "zz_s03_ann_ivf_fixed": _s03_raw,
+    "zz_z02_ann_ivfpq": _z02_raw,
+}
 
 
 def main() -> None:
@@ -82,7 +146,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("uexplorer-bench")
 
-    names = [n for n, qd in sorted(REGISTRY.items()) if qd.bench]
+    # time the ENTIRE registry (r6 verdict #7: every entry needs timed
+    # evidence, not only the bench=True headline set — the flag still
+    # marks the headline queries for narrative, but coverage is total)
+    names = list(sorted(REGISTRY))
     # warm the JVM/codegen path once with the cheapest query; a failure
     # here must not kill the run (we still want the other timings)
     try:

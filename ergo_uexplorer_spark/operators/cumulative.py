@@ -143,3 +143,67 @@ def running_totals(
     for out, col in sums.items():
         df = df.withColumn(out, F.sum(col).over(w))
     return df
+
+
+def ewma_int(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    a_num: int = 1,
+    a_den: int = 4,
+) -> DataFrame:
+    """Exact-integer exponentially weighted moving average per group →
+    (group, n, ewma): s₀ = v₀, sᵢ = (a_num·vᵢ + (a_den−a_num)·sᵢ₋₁)
+    div a_den, folded over the group's rows in (order_cols) order.
+
+    EWMA is a LINEAR RECURRENCE — no window frame expresses it, and a
+    per-row Python loop doesn't distribute. Spark-first shape: one
+    hash-agg collects each group's (order, value) rows into an array,
+    `array_sort` orders it, and a single JVM-side `aggregate` fold runs
+    the recurrence — no shuffle beyond the one groupBy, no Python in
+    the loop. State is one int64. Group size is the only constraint
+    (rows per entity, bounded for real keys — same posture as
+    grouped.per_group_linear_trend); values must be ≥ 0 so `div`
+    truncation ≡ floor division and the result is engine-identical
+    (the DuckDB oracle runs the recurrence as a recursive CTE).
+    """
+    assert 0 < a_num < a_den, "alpha must be a proper fraction"
+    pt = F.struct(
+        *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+        F.col(value_col).cast("long").alias("v"),
+    )
+    rows = df.groupBy(group_col).agg(
+        F.array_sort(F.collect_list(pt)).alias("__vs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    fold = F.expr(
+        f"aggregate(slice(__vs, 2, size(__vs) - 1), __vs[0].v, "
+        f"(acc, x) -> ({a_num} * x.v + {a_den - a_num} * acc) div {a_den})"
+    )
+    return rows.select(group_col, "n", fold.alias("ewma"))
+
+
+def transition_counts(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order transition matrix over each entity's ordered event
+    sequence → (state_from, state_to, n): the Markov-chain summary of
+    behavioral logs (funnel generalization — every adjacent pair, not
+    one fixed path). `lead` over (entity, order) pairs each event with
+    its successor; the terminal event of each entity has no successor
+    and drops out. One window shuffle on the entity key + one hash-agg
+    (map-side combined, ≤ |states|² rows out)."""
+    w = Window.partitionBy(entity_col).orderBy(
+        *[F.asc(c) for c in order_cols]
+    )
+    nxt = F.lead(F.col(state_col)).over(w)
+    return (
+        df.select(F.col(state_col).alias("state_from"), nxt.alias("state_to"))
+        .filter(F.col("state_to").isNotNull())
+        .groupBy("state_from", "state_to")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

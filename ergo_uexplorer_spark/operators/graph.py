@@ -429,8 +429,10 @@ def pagerank_int(
     sits on sink nodes): each round the summed rank of out-degree-0
     nodes D is shared uniformly — every node additionally receives
     `damp·D div damp_den div N`. Both the sum and the share are exact
-    int64 ops, so the oracle property is preserved. Costs one
-    node-dim anti-join + scalar agg per round (O(1) driver traffic).
+    int64 ops, so the oracle property is preserved. The out-degree-0
+    flag is joined ONCE before the loop and carried through every
+    update, so each round pays only a filter-agg projection (one fused
+    broadcast row, O(1) driver traffic, no per-round node-dim join).
 
     `early_stop=True` detects the exact fixpoint: integer truncation
     quantizes ranks, so iteration reaches a stationary vector in
@@ -465,6 +467,22 @@ def pagerank_int(
 
     n_nodes = nodes.count() if dangling else 0
     ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
+    if dangling:
+        # mark out-degree-0 nodes ONCE and carry the flag through every
+        # round's update: the per-round dangling mass is then a
+        # filter-agg projection over the rank table instead of a
+        # node-dim anti-join scheduled inside each round's plan.
+        ranks = (
+            ranks.join(
+                deg.select(
+                    F.col("src").alias("id"), F.lit(True).alias("__has_out")
+                ),
+                "id",
+                "left",
+            )
+            .withColumn("__dang", F.col("__has_out").isNull())
+            .drop("__has_out")
+        )
     if broadcast_tables is None:
         # nodes is an eager localCheckpoint, so the estimate reflects
         # the REAL materialized node dimension, not a plan guess. On
@@ -488,23 +506,25 @@ def pagerank_int(
         # early_stop carries the previous rank through the update so the
         # Δ check is a projection-agg (no join with the old table); the
         # fixed-iteration path skips the extra column entirely.
+        carry = ["__dang"] if dangling else []
         lhs = (
-            ranks.select("id", F.col("rank").alias("__prev"))
+            ranks.select("id", *carry, F.col("rank").alias("__prev"))
             if early_stop
-            else ranks.select("id")
+            else ranks.select("id", *carry)
         )
         new_ranks = lhs.join(
             contrib.groupBy("id").agg(F.sum("c").alias("s")), "id", "left"
         )
         if dangling:
-            # dangling mass = Σ rank over nodes with no out-edge; the
-            # anti-join is node-dim-sized and the agg ONE row, fused
-            # into the round's plan via a broadcast cross join — no
-            # extra scheduled job, no driver roundtrip. int64 `div` (≡
-            # SQL/python floor div on non-negatives) keeps the share
-            # exact and engine-identical.
+            # dangling mass = Σ rank over the pre-flagged out-degree-0
+            # nodes — a filter-agg PROJECTION over the rank table (the
+            # per-node flag was joined once before the loop), its ONE
+            # row fused into the round's plan via a broadcast cross
+            # join — no per-round node-dim join, no driver roundtrip.
+            # int64 `div` (≡ SQL/python floor div on non-negatives)
+            # keeps the share exact and engine-identical.
             share_row = (
-                ranks.join(deg, ranks.id == deg.src, "left_anti")
+                ranks.filter(F.col("__dang"))
                 .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("__dm"))
                 .select(
                     F.expr(
@@ -519,6 +539,7 @@ def pagerank_int(
             )
         new_ranks = new_ranks.select(
             "id",
+            *carry,
             *(["__prev"] if early_stop else []),
             (
                 F.lit(base)
@@ -534,9 +555,13 @@ def pagerank_int(
         # small scale while a 3-round plan is still O(1)-deep.
         # checkpoint_every=0 disables truncation (plan-inspection /
         # tiny-graph use only — plan depth then grows with iters).
-        check_now = early_stop and (
-            (it + 1) % max(1, convergence_check_every) == 0
-            or it == iters - 1
+        # never check on the FINAL round: there are no further rounds a
+        # Δ=0 could skip, so the check would be a pure extra driver
+        # action + forced checkpoint (measured ~0.3 s/check at sf0.1).
+        check_now = (
+            early_stop
+            and it != iters - 1
+            and (it + 1) % max(1, convergence_check_every) == 0
         )
         if checkpoint_every and (
             it % checkpoint_every == checkpoint_every - 1
@@ -560,7 +585,7 @@ def pagerank_int(
     if stats is not None:
         stats["rounds"] = rounds_run
         stats["converged"] = converged
-    return ranks
+    return ranks.drop("__dang")
 
 
 def triangle_count(
@@ -715,3 +740,45 @@ def connected_components(
             "raise max_iter (graph has components with larger diameter)"
         )
     return labels.select("id", F.col("label").alias("component"))
+
+
+def degree_assortativity_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact sufficient statistics for degree assortativity over an
+    undirected edge list → ONE row (m, sum_j, sum_k, sum_jk, sum_j2,
+    sum_k2) where j, k are the endpoint degrees of each undirected
+    edge (both orientations contribute, the standard convention — the
+    Pearson coefficient over edge-endpoint degree pairs is then
+    r = (m·Σjk − Σj·Σk) / sqrt((m·Σj² − (Σj)²)(m·Σk² − (Σk)²)),
+    a driver-side float the caller derives; every sufficient statistic
+    here is EXACT and engine-identical. Big products surface as
+    DECIMAL(38,0) digit strings (z41 convention).
+
+    Distributed shape: degrees are one groupBy over the symmetrized
+    edge list; each edge then picks up its two endpoint degrees via two
+    node-dim equi-joins (broadcastable — degree tables are node-sized);
+    the final agg is a scalar map-side-combined reduction. No
+    quadratic term anywhere."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("ju"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("kv"))
+    pairs = und.join(du, "u").join(dv, "v")
+    big = lambda c: F.sum(c.cast("decimal(38,0)")).cast("decimal(38,0)")
+    return pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("ju").cast("bigint").alias("sum_j"),
+        F.sum("kv").cast("bigint").alias("sum_k"),
+        big(F.col("ju") * F.col("kv")).cast("string").alias("sum_jk"),
+        big(F.col("ju") * F.col("ju")).cast("string").alias("sum_j2"),
+        big(F.col("kv") * F.col("kv")).cast("string").alias("sum_k2"),
+    )

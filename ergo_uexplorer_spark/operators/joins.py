@@ -117,6 +117,7 @@ def resample_gap_fill(
     key_col: str,
     bucket_col: str,
     value_cols: list[str],
+    max_span: int = 50_000_000,
 ) -> DataFrame:
     """Regularize a sparse per-key time series onto a dense integer
     bucket grid and forward-fill the gaps — the hypertable
@@ -145,9 +146,34 @@ def resample_gap_fill(
     spans = df.groupBy(key_col).agg(
         F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
     )
+    # the grid is SPAN-bounded, not observation-count-bounded: one key
+    # with two observations eons apart would ask sequence() for a
+    # 2^31+-element array (Spark hard limit) or OOM the task before the
+    # explode. Fail fast inside the plan with a clear message instead —
+    # the guard feeds the sequence bound itself, so column pruning can
+    # never elide it. Raise `max_span` deliberately (or pre-bucket
+    # coarser) for genuinely wider grids.
+    hi_checked = F.when(
+        F.col("__hi") - F.col("__lo") <= F.lit(max_span), F.col("__hi")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "resample_gap_fill: bucket span for key "
+                ),
+                F.col(key_col).cast("string"),
+                F.lit(" is "),
+                (F.col("__hi") - F.col("__lo")).cast("string"),
+                F.lit(
+                    f" buckets (> max_span={max_span}); pre-bucket "
+                    "coarser or raise max_span explicitly"
+                ),
+            )
+        ).cast(dict(spans.dtypes)["__hi"])
+    )
     grid = spans.select(
         key_col,
-        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias(
+        F.explode(F.sequence(F.col("__lo"), hi_checked)).alias(
             bucket_col
         ),
     )
@@ -178,3 +204,125 @@ def resample_gap_fill(
         out.withColumn("observed", F.coalesce(F.col("__obs"), F.lit(False)))
         .drop("__obs", "__carry")
     )
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    max_dist: int,
+) -> DataFrame:
+    """Blocked fuzzy self-join → (id_a, id_b, dist): the entity-
+    resolution primitive. Candidate pairs must share EVERY blocking key
+    (one equi-join shuffled on the block keys — the all-pairs product
+    never appears in the plan; block design bounds |block|² work, the
+    standard record-linkage posture), then exact Levenshtein edit
+    distance filters to ≤ max_dist. `levenshtein` is the JVM built-in
+    (whole-stage codegen, no Python), and ids are ordered a < b so each
+    undirected pair appears once.
+
+    Scale: the join shuffles on the blocking keys; a hot block (shared
+    key held by k rows) costs k² comparisons — pick blocks so k stays
+    bounded (e.g. attribute equality + name prefix), exactly like the
+    LSH band join in dedup.py bounds bucket width."""
+    a = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("__name_a"),
+    )
+    b = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("__name_b"),
+    )
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("__name_a", "__name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+def linear_interpolate(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    max_span: int = 50_000_000,
+) -> DataFrame:
+    """Regularize a sparse per-key integer series onto the dense
+    [min, max] bucket grid and LINEARLY interpolate the gaps (the
+    hypertable `interpolate` companion of `resample_gap_fill`'s LOCF).
+
+    For a missing bucket b between observations (b0, v0) and (b1, v1):
+
+        v(b) = (v0·(b1 − b) + v1·(b − b0)) div (b1 − b0)
+
+    — the lerp arranged so the numerator is a sum of NON-NEGATIVE
+    products (values must be ≥ 0), because integer `div` is floor
+    division in DuckDB but truncation in Spark and the two only agree
+    on non-negative operands. Exact int64 everywhere → engine-identical.
+
+    Distributed shape: grid = sequence+explode off the per-key span agg
+    (span-guarded like resample_gap_fill); neighbors come from ONE
+    last(ignorenulls) carry per direction (two window passes over the
+    same (key, bucket) sort — Catalyst reuses the exchange). Buckets
+    outside the observed range of a key don't exist by construction;
+    observed rows pass through untouched."""
+    spans = df.groupBy(key_col).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    hi_checked = F.when(
+        F.col("__hi") - F.col("__lo") <= F.lit(max_span), F.col("__hi")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("linear_interpolate: bucket span for key "),
+                F.col(key_col).cast("string"),
+                F.lit(" exceeds max_span="),
+                F.lit(str(max_span)),
+            )
+        ).cast(dict(spans.dtypes)["__hi"])
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(F.sequence(F.col("__lo"), hi_checked)).alias(bucket_col),
+    )
+    joined = grid.join(
+        df.select(
+            key_col, bucket_col, F.col(value_col).alias("__v")
+        ).withColumn("__obs", F.lit(True)),
+        [key_col, bucket_col],
+        "left",
+    )
+    w_back = (
+        Window.partitionBy(key_col)
+        .orderBy(F.asc(bucket_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(F.asc(bucket_col))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_pt = F.when(
+        F.col("__obs"),
+        F.struct(F.col(bucket_col).alias("b"), F.col("__v").alias("v")),
+    )
+    out = (
+        joined.withColumn("__p", F.last(obs_pt, ignorenulls=True).over(w_back))
+        .withColumn("__n", F.first(obs_pt, ignorenulls=True).over(w_fwd))
+        .withColumn(
+            value_col,
+            F.when(F.col("__obs"), F.col("__v")).otherwise(
+                F.expr(
+                    f"(__p.v * (__n.b - {bucket_col}) + __n.v * "
+                    f"({bucket_col} - __p.b)) div (__n.b - __p.b)"
+                )
+            ),
+        )
+        .withColumn("observed", F.coalesce(F.col("__obs"), F.lit(False)))
+    )
+    return out.select(key_col, bucket_col, value_col, "observed")

@@ -92,10 +92,6 @@ def write_signature_store(
     if meta is None:
         n = 3 if n is None else n
         n_shards = DEFAULT_SHARDS if n_shards is None else n_shards
-        spark.createDataFrame(
-            [(n, n_shards, _hash_fingerprint())],
-            "n int, n_shards int, hash_fp string",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     else:
         n_meta, shards_meta, fp = meta
         n = n_meta if n is None else n
@@ -129,6 +125,16 @@ def write_signature_store(
         .parquet(f"{path}/counts/batch={batch}")
     )
     sh.unpersist()
+    if meta is None:
+        # meta is written LAST: its presence marks a complete seed, so
+        # a crash mid-seed leaves a store that _read_meta reports as
+        # absent (the next write self-heals by overwriting the partial
+        # batch) instead of a half-written store whose meta exists but
+        # whose bands/shingles tables are missing.
+        spark.createDataFrame(
+            [(n, n_shards, _hash_fingerprint())],
+            "n int, n_shards int, hash_fp string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def _read_meta(spark: SparkSession, path: str):

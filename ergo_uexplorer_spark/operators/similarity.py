@@ -548,22 +548,40 @@ CENTROID_LITERAL_MAX = 256
 _BCAST_CACHE: dict = {}
 
 
+_BCAST_CACHE_MAX = 8  # each large quantizer pins ~50 MB on executors
+
+
 def _centroid_broadcast(sc, centroids: list[list[float]]):
-    """One (matrix, norms) broadcast per distinct centroid set per JVM:
-    the matmul paths exist precisely for LARGE quantizers (10⁵×64
-    float64 ≈ 50 MB), and a fresh broadcast per call would accumulate
-    un-reclaimed copies on driver and executors across a multi-query
-    session. Same keying discipline as `_memo_expr` (JVM identity so a
-    restarted gateway re-broadcasts instead of using stale handles)."""
+    """One (matrix, norms) broadcast per distinct centroid set per
+    SparkContext: the matmul paths exist precisely for LARGE quantizers
+    (10⁵×64 float64 ≈ 50 MB), and a fresh broadcast per call would
+    accumulate un-reclaimed copies on driver and executors across a
+    multi-query session. Keyed by (applicationId, startTime) — a STABLE
+    context token, unlike ``id(jvm_object)`` which can be reused after
+    GC — so a restarted context re-broadcasts instead of handing out a
+    stale handle; entries from a dead context are evicted on sight, and
+    the cache is bounded (oldest-inserted unpersisted past
+    `_BCAST_CACHE_MAX` distinct centroid sets)."""
     import hashlib
 
     import numpy as np
 
+    ctx = (sc.applicationId, sc.startTime)
+    for key in [k for k in _BCAST_CACHE if k[0] != ctx]:
+        # stale context: the broadcast handle is unusable; drop it
+        # (its JVM side died with the old context — nothing to unpersist)
+        del _BCAST_CACHE[key]
     C = np.asarray(centroids, dtype=np.float64)
     digest = hashlib.md5(C.tobytes() + str(C.shape).encode()).hexdigest()
-    key = (id(sc._jsc), digest)
+    key = (ctx, digest)
     bc = _BCAST_CACHE.get(key)
     if bc is None:
+        while len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
+            old = _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+            try:
+                old.unpersist(blocking=False)
+            except Exception:  # context races are non-fatal here
+                pass
         bc = sc.broadcast((C, np.sqrt((C * C).sum(axis=1))))
         _BCAST_CACHE[key] = bc
     return bc
@@ -615,6 +633,13 @@ def ivf_assign(
     inlined expression would be re-evaluated per array element (Spark's
     subexpression elimination does not cross HOF lambda boundaries; same
     pitfall as tokens() in dedup.shingle_sets)."""
+    from .util import ensure_parallelism
+
+    # nearest-centroid scoring is O(k·d) CPU per row — a corpus that
+    # arrives as one parquet split would pin a single core for the whole
+    # assignment (measured 3.1 s of z23's 3.9 s at sf0.1). Spread it
+    # first; no-op when the scan already has enough splits (100 TB case).
+    emb = ensure_parallelism(emb)
     if len(centroids) > CENTROID_LITERAL_MAX:
         return _ivf_assign_matmul(emb, centroids, vec_col)
     scored = F.transform(

@@ -269,6 +269,21 @@ def topk_rows_per_group(
     window is pinned by pytest."""
     import pandas as pd
 
+    if tiebreak_col is None:
+        import warnings
+
+        # without a total order the local prune and the global window
+        # may break order_col ties differently, so the returned ROW SET
+        # is only deterministic if order_col is unique per group — make
+        # the silent exactness loss loud instead of a docstring caveat
+        warnings.warn(
+            "topk_rows_per_group without tiebreak_col is only exact "
+            "when order_col is unique within each group; ties at the "
+            "k boundary are otherwise resolved nondeterministically. "
+            "Pass a unique tiebreak_col for a total order.",
+            stacklevel=2,
+        )
+
     tb = tiebreak_col
     cols = list(df.columns)
     asc = ascending
@@ -366,4 +381,34 @@ def spearman_by_group(
             "CAST(1000000 - (6000000 * CAST(sum_d2 AS DECIMAL(38,0)))"
             " div (CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)"
         ),
+    )
+
+
+def benford_first_digit(
+    df: DataFrame,
+    group_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """First-significant-digit distribution per group → (group, digit,
+    n, permille) — the Benford's-law data-quality probe (fabricated or
+    clipped monetary columns drift from the log distribution; the
+    profile is the screening artifact).
+
+    The digit comes from the DECIMAL STRING of the integer amount —
+    substring(cast(v as string), 1, 1) — never from pow/log10 floats,
+    so it is exact and engine-identical for any positive int64. One
+    hash-agg (map-side combined) + a tiny per-group window for the
+    permille share; ≤ 9 rows per group out."""
+    pos = df.filter(F.col(amount_col) > 0)
+    counts = (
+        pos.withColumn(
+            "digit",
+            F.substring(F.col(amount_col).cast("string"), 1, 1).cast("int"),
+        )
+        .groupBy(group_col, "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.withColumn(
+        "permille",
+        F.expr(f"1000 * n div sum(n) OVER (PARTITION BY {group_col})"),
     )

@@ -98,10 +98,32 @@ def process_batch(
     band table plus candidate-shard shingles, never the base corpus."""
     spark = batch.sparkSession
     if store_path is not None:
-        from ..operators.sigstore import _read_meta, incremental_dedup_from_store
+        from ..operators.sigstore import (
+            _read_meta,
+            incremental_dedup_from_store,
+            write_signature_store,
+        )
 
-        if _read_meta(spark, store_path) is None:  # unseeded first batch
-            decisions = all_keep_decisions(batch)
+        if _read_meta(spark, store_path) is None:
+            # unseeded store: if the BASE already has accepted batches
+            # (seeded earlier without store_path), silently keeping the
+            # whole batch would admit near-dups of the existing base —
+            # backfill the store from the base once, then screen
+            # normally. A truly empty base is the genuine first batch.
+            existing = read_base(spark, base_path, exclude_batch=str(batch_id))
+            if existing is not None:
+                write_signature_store(
+                    existing.select(*batch.columns), store_path
+                )
+                decisions = incremental_dedup_from_store(
+                    batch,
+                    store_path,
+                    num=num,
+                    den=den,
+                    exclude_batch=str(batch_id),
+                )
+            else:
+                decisions = all_keep_decisions(batch)
         else:
             decisions = incremental_dedup_from_store(
                 batch,

@@ -12,3 +12,4 @@ from . import grouped  # noqa: F401
 from . import registers  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import extras  # noqa: F401
+from . import zy  # noqa: F401

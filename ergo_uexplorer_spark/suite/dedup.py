@@ -288,7 +288,7 @@ _GRAM6 = " || ' ' || ".join(f"t[i+{d}]" for d in range(_SPAN_N))
 
 
 @register(
-    "z18_duplicate_spans",
+    "zz_z18_duplicate_spans",
     sql=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     p AS (SELECT doc_id,
@@ -404,7 +404,7 @@ def _incremental_sql() -> str:
 
 
 @register(
-    "z21_incremental_dedup",
+    "zz_z21_incremental_dedup",
     sql=_incremental_sql(),
     survey_ref="LLM-pipeline: incremental dedup (new batch vs base corpus)",
     tags=("dedup", "sketch", "join"),
@@ -428,7 +428,7 @@ def z21_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (z-name: sorts after the driver's first-50 window.)
 # --------------------------------------------------------------------------
 @register(
-    "z25_source_overlap",
+    "zz_z25_source_overlap",
     sql=f"""
     WITH p AS (SELECT doc_a, doc_b FROM ({_minhash_sql()})),
     s AS (SELECT doc_id, source FROM documents),
@@ -481,7 +481,7 @@ _CONTAINMENT_SQL = f"""
 
 
 @register(
-    "z30_containment_join",
+    "zz_z30_containment_join",
     sql=_CONTAINMENT_SQL,
     survey_ref="LLM-pipeline: n-gram containment join (subset/quote dedup)",
     tags=("dedup", "join"),
@@ -500,7 +500,7 @@ def z30_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # histogram covers the whole corpus. (z-name: sorts after the window.)
 # --------------------------------------------------------------------------
 @register(
-    "z31_cluster_sizes",
+    "zz_z31_cluster_sizes",
     sql=f"""
     WITH RECURSIVE pairs AS ({_HASHED_JACCARD_SQL}),
     edges AS (

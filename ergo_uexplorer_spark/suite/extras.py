@@ -52,7 +52,7 @@ _CENTS_SQL = "CAST(round({col} * 100) AS BIGINT)"
 # for free.
 # --------------------------------------------------------------------------
 @register(
-    "z35_grouping_sets",
+    "zz_z35_grouping_sets",
     sql=f"""
     SELECT o_orderstatus, o_orderpriority,
            CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
@@ -92,7 +92,7 @@ def z35_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # statuses — the wrong default at 100 TB).
 # --------------------------------------------------------------------------
 @register(
-    "z36_pivot_status",
+    "zz_z36_pivot_status",
     sql="""
     SELECT o_orderpriority,
            CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
@@ -125,7 +125,7 @@ def z36_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unpivot requires a common value column type.
 # --------------------------------------------------------------------------
 @register(
-    "z37_unpivot_part_metrics",
+    "zz_z37_unpivot_part_metrics",
     sql=f"""
     SELECT p_partkey, 'size' AS metric, CAST(p_size AS BIGINT) AS val
     FROM part WHERE p_partkey < 512
@@ -154,7 +154,7 @@ def z37_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # starts surface as BIGINT ns so the contract is timezone-proof.
 # --------------------------------------------------------------------------
 @register(
-    "z38_sliding_window_distinct",
+    "zz_z38_sliding_window_distinct",
     sql="""
     WITH e AS (SELECT epoch_ns(ts) AS tns, user_id FROM events),
     w AS (
@@ -202,7 +202,7 @@ def z38_sliding_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer comparison 4·dev2 > 3·mad4.
 # --------------------------------------------------------------------------
 @register(
-    "z39_mad_outliers",
+    "zz_z39_mad_outliers",
     sql=f"""
     WITH v AS (SELECT event_type,
                       {_CENTS_SQL.format(col='value')} AS c FROM events),
@@ -261,7 +261,7 @@ def z39_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # side and the count-equality join on the oracle side.
 # --------------------------------------------------------------------------
 @register(
-    "z40_group_mode",
+    "zz_z40_group_mode",
     sql="""
     WITH c AS (SELECT event_type, user_id, count(*) AS n
                FROM events GROUP BY 1, 2),
@@ -299,7 +299,7 @@ def z40_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # .df() conversion, which would destroy exactness at the compare layer.
 # --------------------------------------------------------------------------
 @register(
-    "z41_central_moments",
+    "zz_z41_central_moments",
     sql=f"""
     WITH v AS (SELECT o_orderstatus,
                       CAST({_CENTS_SQL.format(col='o_totalprice')} AS HUGEINT)
@@ -345,7 +345,7 @@ def z41_central_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the two orientations equal.
 # --------------------------------------------------------------------------
 @register(
-    "z42_triangle_count",
+    "zz_z42_triangle_count",
     sql="""
     WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
     e AS (
@@ -399,7 +399,7 @@ def z42_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text collapses both).
 # --------------------------------------------------------------------------
 @register(
-    "z43_hapax_zipf",
+    "zz_z43_hapax_zipf",
     sql="""
     WITH base AS (
       SELECT source,
@@ -453,7 +453,7 @@ def z43_hapax_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # single-row result regardless of input size.
 # --------------------------------------------------------------------------
 @register(
-    "z44_order_reconciliation",
+    "zz_z44_order_reconciliation",
     sql=f"""
     WITH l AS (SELECT DISTINCT l_orderkey FROM lineitem),
     j AS (
@@ -500,7 +500,7 @@ def z44_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on both engines, so the session timezone can't shift a bucket.
 # --------------------------------------------------------------------------
 @register(
-    "z45_order_gap_histogram",
+    "zz_z45_order_gap_histogram",
     sql="""
     WITH g AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
@@ -543,7 +543,7 @@ def z45_order_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and feature stores ask for.
 # --------------------------------------------------------------------------
 @register(
-    "z46_topk_digest",
+    "zz_z46_topk_digest",
     sql=f"""
     WITH r AS (
       SELECT l_suppkey, l_partkey,
@@ -604,7 +604,7 @@ def z46_topk_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the FP boundary hazard.
 # --------------------------------------------------------------------------
 @register(
-    "z47_value_histogram",
+    "zz_z47_value_histogram",
     sql=f"""
     WITH v AS (SELECT {_CENTS_SQL.format(col='o_totalprice')} AS c
                FROM orders)
@@ -639,7 +639,7 @@ def z47_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # invariant to tie order, so the permille floor is engine-identical.
 # --------------------------------------------------------------------------
 @register(
-    "z48_source_gini",
+    "zz_z48_source_gini",
     sql="""
     WITH r AS (
       SELECT source, n_chars AS v,
@@ -689,7 +689,7 @@ def z48_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle nests the shared _HASHED_JACCARD_SQL.
 # --------------------------------------------------------------------------
 @register(
-    "z49_cross_source_dup",
+    "zz_z49_cross_source_dup",
     sql=f"""
     WITH hits AS ({_HASHED_JACCARD_SQL}),
     lab AS (
@@ -743,7 +743,7 @@ def z49_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # .df() would degrade DECIMAL(38,0) to float64 at the compare layer).
 # --------------------------------------------------------------------------
 @register(
-    "z50_corr_components",
+    "zz_z50_corr_components",
     sql=f"""
     WITH v AS (
       SELECT p.p_brand,
@@ -815,7 +815,7 @@ def z50_corr_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # record a dedup pipeline keeps when it drops the non-canonical copies.
 # --------------------------------------------------------------------------
 @register(
-    "z51_canonical_first_seen",
+    "zz_z51_canonical_first_seen",
     sql="""
     WITH h AS (
       SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
@@ -869,7 +869,7 @@ def z51_canonical_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the integers are engine-identical.
 # --------------------------------------------------------------------------
 @register(
-    "z52_embedding_norm_stats",
+    "zz_z52_embedding_norm_stats",
     sql=f"""
     WITH v AS (
       SELECT label,

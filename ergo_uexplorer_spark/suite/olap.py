@@ -315,7 +315,7 @@ def _z08_sql(iters: int = _Z08_ITERS) -> str:
 
 
 @register(
-    "z08_pagerank",
+    "zz_z08_pagerank",
     sql=_z08_sql(),
     survey_ref="Q19 family: iterative graph algorithm (integer PageRank)",
     tags=("graph", "iterative"),
@@ -386,7 +386,7 @@ def _z20_sql(iters: int = _Z20_ITERS) -> str:
 
 
 @register(
-    "z20_pagerank_dangling",
+    "zz_z20_pagerank_dangling",
     sql=_z20_sql(),
     survey_ref="Q19 family: PageRank w/ dangling mass + convergence stop",
     tags=("graph", "iterative"),
@@ -412,12 +412,12 @@ def z20_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_Z20_ITERS,
         dangling=True,
         early_stop=True,
-        convergence_check_every=2,
+        convergence_check_every=3,
     )
 
 
 @register(
-    "z07_cube_summary",
+    "zz_z07_cube_summary",
     sql="""
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
@@ -458,7 +458,7 @@ _BF_BIT = (
 
 
 @register(
-    "z17_bloom_membership",
+    "zz_z17_bloom_membership",
     sql=f"""
     WITH members AS (SELECT DISTINCT o_custkey AS k FROM orders
                      WHERE o_orderstatus = 'F'),
@@ -518,7 +518,7 @@ _CMS_HASH = (
 
 
 @register(
-    "z16_countmin_sketch",
+    "zz_z16_countmin_sketch",
     sql=f"""
     WITH f AS (SELECT user_id AS k, unnest(range(0, 4)) AS row FROM events),
     b AS (SELECT row, {_CMS_HASH} AS bucket FROM f),
@@ -550,7 +550,7 @@ def z16_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "z12_json_props_agg",
+    "zz_z12_json_props_agg",
     sql="""
     SELECT event_type,
            count(*) AS n_events,

@@ -597,7 +597,7 @@ def zz_b03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (z-name: must sort after the driver's first-50 recorded window.)
 # --------------------------------------------------------------------------
 @register(
-    "z13_regional_volume",
+    "zz_z13_regional_volume",
     sql="""
     SELECT n_name,
            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
@@ -663,7 +663,7 @@ def z13_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the order key — asserted by the no-cartesian CI gate family.
 # --------------------------------------------------------------------------
 @register(
-    "z14_priority_exists",
+    "zz_z14_priority_exists",
     sql="""
     SELECT o_orderpriority, count(*) AS n_orders
     FROM orders
@@ -700,7 +700,7 @@ def z14_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 # remainder to the first), so it hash-matches across engines.
 # --------------------------------------------------------------------------
 @register(
-    "z15_balance_deciles",
+    "zz_z15_balance_deciles",
     sql="""
     SELECT c_custkey, c_nationkey,
            CAST(ntile(10) OVER (PARTITION BY c_nationkey
@@ -735,7 +735,7 @@ def z15_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (z-name: sorts after the driver's first-50 window.)
 # --------------------------------------------------------------------------
 @register(
-    "z34_moving_average",
+    "zz_z34_moving_average",
     sql="""
     WITH o AS (
       SELECT o_custkey, o_orderkey,

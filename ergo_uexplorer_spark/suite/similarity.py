@@ -457,7 +457,7 @@ def _semantic_dedup_sql() -> str:
 
 
 @register(
-    "z23_semantic_dedup",
+    "zz_z23_semantic_dedup",
     sql=_semantic_dedup_sql(),
     survey_ref="LLM-pipeline: SemDeDup cluster-scoped embedding dedup",
     tags=("dedup", "similarity"),

@@ -205,7 +205,7 @@ FUNNEL_WINDOW_NS = 7 * DAY_NS
 
 
 @register(
-    "z27_event_funnel",
+    "zz_z27_event_funnel",
     sql=f"""
     WITH v AS (
       SELECT user_id, min(epoch_ns(ts)) AS ts_view
@@ -298,7 +298,7 @@ WEEK_NS = 7 * DAY_NS
 
 
 @register(
-    "z28_retention_cohorts",
+    "zz_z28_retention_cohorts",
     sql=f"""
     WITH act AS (
       SELECT DISTINCT user_id, epoch_ns(ts) // {WEEK_NS} AS week

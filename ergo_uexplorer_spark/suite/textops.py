@@ -276,7 +276,7 @@ _EVAL_MOD = 50  # doc_id % 50 == 0 → held-out eval membership
 
 
 @register(
-    "z03_decontaminate",
+    "zz_z03_decontaminate",
     sql=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     g AS (SELECT doc_id, unnest({T.sql_shingles(4)}) AS g FROM toks),
@@ -298,7 +298,7 @@ def z03_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "z04_repetition_stats",
+    "zz_z04_repetition_stats",
     sql=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     g AS (SELECT doc_id, unnest({T.sql_shingles(3)}) AS g FROM toks),
@@ -340,7 +340,7 @@ def _z05_sql() -> str:
 
 
 @register(
-    "z05_stratified_sample",
+    "zz_z05_stratified_sample",
     sql=_z05_sql(),
     survey_ref="LLM-pipeline: deterministic stratified sampling",
     tags=("curation",),
@@ -354,7 +354,7 @@ def z05_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "z06_tfidf_top_terms",
+    "zz_z06_tfidf_top_terms",
     sql=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
@@ -382,7 +382,7 @@ def z06_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "z10_chunking",
+    "zz_z10_chunking",
     sql=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     s AS (SELECT doc_id, t, unnest(range(0, len(t), 30)) AS start FROM toks)
@@ -404,7 +404,7 @@ def z10_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "z11_boilerplate_ngrams",
+    "zz_z11_boilerplate_ngrams",
     sql=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     g AS (SELECT DISTINCT doc_id, unnest({T.sql_shingles(3)}) AS g FROM toks)
@@ -423,7 +423,7 @@ def z11_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "z19_corpus_diff",
+    "zz_z19_corpus_diff",
     sql="""
     WITH old AS (SELECT doc_id, md5(text) AS old_md5 FROM documents
                  WHERE doc_id % 10 <> 0),
@@ -470,7 +470,7 @@ _MIX_TGT_SQL = ", ".join(
 
 
 @register(
-    "z09_mixture_weights",
+    "zz_z09_mixture_weights",
     sql=f"""
     WITH tok AS (SELECT source, CAST(len({_TOKS}) AS BIGINT) AS nt
                  FROM documents),
@@ -549,7 +549,7 @@ def zz_x09_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # never appear. (z-name: sorts after the driver's first-50 window.)
 # --------------------------------------------------------------------------
 @register(
-    "z22_quality_floor",
+    "zz_z22_quality_floor",
     sql=f"""
     WITH scored AS (
       SELECT doc_id, source,
@@ -597,7 +597,7 @@ _BUDGET_PERMILLE = 600
 
 
 @register(
-    "z24_token_budget_select",
+    "zz_z24_token_budget_select",
     sql=f"""
     WITH scored AS (
       SELECT doc_id,
@@ -641,7 +641,7 @@ _VOCAB_V = 500
 
 
 @register(
-    "z26_vocab_oov",
+    "zz_z26_vocab_oov",
     sql=f"""
     WITH terms AS (
       SELECT doc_id, unnest(t) AS term
@@ -683,7 +683,7 @@ def z26_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (z-name: sorts after the driver's first-50 window.)
 # --------------------------------------------------------------------------
 @register(
-    "z29_length_outliers",
+    "zz_z29_length_outliers",
     sql="""
     WITH st AS (
       SELECT source,
@@ -719,7 +719,7 @@ def z29_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decomposition. (z-name: sorts after the driver's first-50 window.)
 # --------------------------------------------------------------------------
 @register(
-    "z32_source_divergence",
+    "zz_z32_source_divergence",
     sql=f"""
     WITH toks AS (
       SELECT source, unnest({_TOKS}) AS tok FROM documents
@@ -764,7 +764,7 @@ _BIGRAMS = "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
 
 
 @register(
-    "z33_ngram_diversity",
+    "zz_z33_ngram_diversity",
     sql=f"""
     WITH base AS (SELECT source, {_TOKS} AS t FROM documents),
     uni AS (

@@ -116,7 +116,7 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     """z03: the eval-gram membership probe must broadcast the (tiny)
     eval side — the training corpus never shuffles for it — and the
     whole plan stays cartesian-free."""
-    df = REGISTRY["z03_decontaminate"].fn(spark, SF_DIR)
+    df = REGISTRY["zz_z03_decontaminate"].fn(spark, SF_DIR)
     assert_broadcast_join(df)
     assert_no_cartesian(df)
 
@@ -126,7 +126,7 @@ def test_stratified_sample_is_narrow(spark):
     plan (the keep decision is a function of the row alone)."""
     from ergo_uexplorer_spark.plans.explain import formatted_plan
 
-    df = REGISTRY["z05_stratified_sample"].fn(spark, SF_DIR)
+    df = REGISTRY["zz_z05_stratified_sample"].fn(spark, SF_DIR)
     assert "Exchange" not in formatted_plan(df)
 
 
@@ -137,11 +137,11 @@ def test_new_entry_plans_are_joined_sanely(spark):
     shape is asserted on a live un-truncated plan below."""
     from ergo_uexplorer_spark.plans.explain import formatted_plan
 
-    plan = formatted_plan(REGISTRY["z06_tfidf_top_terms"].fn(spark, SF_DIR))
+    plan = formatted_plan(REGISTRY["zz_z06_tfidf_top_terms"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange" not in formatted_plan(
-        REGISTRY["z10_chunking"].fn(spark, SF_DIR)
+        REGISTRY["zz_z10_chunking"].fn(spark, SF_DIR)
     )
 
 
@@ -247,7 +247,7 @@ def test_quality_floor_broadcasts_floors(spark):
     """z22: the per-group floor table (one row per source) must
     broadcast back into the keep-filter; the corpus is never sorted
     (no global Sort outside window-over-counts)."""
-    df = REGISTRY["z22_quality_floor"].fn(spark, SF_DIR)
+    df = REGISTRY["zz_z22_quality_floor"].fn(spark, SF_DIR)
     assert_broadcast_join(df)
     assert_no_cartesian(df)
 
@@ -255,7 +255,7 @@ def test_quality_floor_broadcasts_floors(spark):
 def test_vocab_oov_broadcasts_vocab(spark):
     """z26: the V-row vocabulary must broadcast into the corpus-side
     membership probe (the corpus never shuffles for it)."""
-    df = REGISTRY["z26_vocab_oov"].fn(spark, SF_DIR)
+    df = REGISTRY["zz_z26_vocab_oov"].fn(spark, SF_DIR)
     assert_broadcast_join(df)
     assert_no_cartesian(df)
 
@@ -290,12 +290,16 @@ def test_r6_extras_plans_have_no_unbounded_products(spark):
     separately."""
     from ergo_uexplorer_spark.plans.explain import formatted_plan
 
-    names = [n for n in REGISTRY if n.startswith("z") and "z35" <= n[:3] <= "z52"]
+    names = [
+        n
+        for n in REGISTRY
+        if n.startswith("zz_z") and "z35" <= n[3:6] <= "z52"
+    ]
     assert len(names) == 18
     for name in names:
         plan = formatted_plan(REGISTRY[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
-        if name != "z42_triangle_count":
+        if name != "zz_z42_triangle_count":
             assert "BroadcastNestedLoopJoin" not in plan, name
         else:
             # only the scalar n_edges × n_triangles join may nest
