@@ -146,3 +146,48 @@ def test_assortativity_path_graph(spark):
     assert row.sum_jk == str(2 + 2 + 2 + 2)
     assert row.sum_j2 == str(1 + 4 + 4 + 1)
     assert row.sum_k2 == str(4 + 1 + 1 + 4)
+
+
+def _cc_sets(rows):
+    from collections import defaultdict
+
+    comps = defaultdict(set)
+    for r in rows:
+        comps[r.component].add(r.id)
+    return {frozenset(s) for s in comps.values()}
+
+
+def test_two_phase_cc_equals_hashmin_random(spark):
+    import random
+
+    from ergo_uexplorer_spark.operators.graph import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    rng = random.Random(7)
+    pairs = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    pairs = [(x, y) for x, y in pairs if x != y]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    hm = _cc_sets(connected_components(df).collect())
+    tp = _cc_sets(connected_components_two_phase(df).collect())
+    assert hm == tp
+
+
+def test_two_phase_cc_long_path(spark):
+    """A 120-node path has diameter 119 — hash-min would need 119
+    rounds; alternation must converge in far fewer (O(log² n)) and
+    still produce the single component labeled by the minimum id."""
+    from ergo_uexplorer_spark.operators.graph import (
+        connected_components_two_phase,
+    )
+
+    n = 120
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    rows = connected_components_two_phase(df, max_iter=12).collect()
+    assert len(rows) == n
+    assert {r.component for r in rows} == {0}
