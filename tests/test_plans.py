@@ -310,3 +310,35 @@ def test_r6_extras_plans_have_no_unbounded_products(spark):
                 _re.findall(r"\(\d+\)\s+BroadcastNestedLoopJoin", plan)
             )
             assert len(nodes) <= 1
+
+
+def test_r7_zy_plans_have_no_unbounded_products(spark):
+    """Every zy1–zy6 entry must be free of cartesian/nested-loop joins —
+    the fuzzy join is blocked (equi keys), the interpolation grid joins
+    on (key, bucket), assortativity joins on node ids."""
+    from ergo_uexplorer_spark.plans.explain import formatted_plan
+
+    names = [n for n in REGISTRY if n.startswith("zy")]
+    assert len(names) == 6
+    for name in names:
+        plan = formatted_plan(REGISTRY[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_r7_zy3_single_window_exchange(spark):
+    """zy3's two ignorenulls carries (prev/next) share one partition +
+    order spec, so Catalyst must plan them over a SINGLE shuffle on the
+    key — a second Exchange on o_custkey would double the cost."""
+    from ergo_uexplorer_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(REGISTRY["zy3_linear_interp"].fn(spark, SF_DIR))
+    import re
+
+    w_exchanges = re.findall(
+        r"Exchange hashpartitioning\(o_custkey", plan
+    )
+    # one for the grid-side agg/join co-partitioning family, one for
+    # the window — but never one PER window direction; the two window
+    # frames must share
+    assert len(w_exchanges) <= 3, plan[:1500]
