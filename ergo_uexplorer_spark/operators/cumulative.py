@@ -207,3 +207,50 @@ def transition_counts(
         .groupBy("state_from", "state_to")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def ewma_states(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    a_num: int = 1,
+    a_den: int = 4,
+) -> DataFrame:
+    """Per-ROW exact-integer EWMA states → one output row per input row
+    with the running smoothed value `s` and the residual `resid = v−s`
+    (the anomaly-score primitive: spikes are rows whose value deviates
+    far from their own entity's running level).
+
+    Same recurrence and distribution shape as `ewma_int`, but the JVM
+    `aggregate` fold accumulates the whole state ARRAY (group-size
+    bounded — identical constraint to the collect itself), which then
+    zips back against the sorted input rows and explodes. Still zero
+    Python in the loop and one shuffle total."""
+    assert 0 < a_num < a_den, "alpha must be a proper fraction"
+    pt = F.struct(
+        *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+        F.col(value_col).cast("long").alias("v"),
+    )
+    rows = df.groupBy(group_col).agg(
+        F.array_sort(F.collect_list(pt)).alias("__vs")
+    )
+    states = F.expr(
+        f"aggregate(slice(__vs, 2, size(__vs) - 1), "
+        f"array(CAST(__vs[0].v AS BIGINT)), "
+        f"(acc, x) -> concat(acc, array(({a_num} * x.v + "
+        f"{a_den - a_num} * element_at(acc, -1)) div {a_den})))"
+    )
+    z = rows.withColumn("__ss", states).select(
+        group_col, F.explode(F.arrays_zip("__vs", "__ss")).alias("__z")
+    )
+    return z.select(
+        group_col,
+        *[
+            F.col(f"__z.__vs.o{i}").alias(c)
+            for i, c in enumerate(order_cols)
+        ],
+        F.col("__z.__vs.v").alias(value_col),
+        F.col("__z.__ss").alias("s"),
+        (F.col("__z.__vs.v") - F.col("__z.__ss")).alias("resid"),
+    )

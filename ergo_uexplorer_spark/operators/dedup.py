@@ -628,6 +628,14 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     n_blocks = max_hamming + 1
     block_bits = SIMHASH_BITS // n_blocks
     mask = (1 << block_bits) - 1
+    # materialize the signature table ONCE before the self-join: `sig`
+    # usually arrives as the full tokenize→32-agg pipeline, and a lazy
+    # self-join re-executes that subtree for BOTH sides (measured ~2×
+    # of d04's wall-clock). The table is doc-dim (one long per doc) —
+    # checkpointing it is cheap and the blocks are reclaimed when the
+    # result is GC'd (same rationale as materialize_and_release).
+    if not sig.isStreaming:
+        sig = sig.localCheckpoint(eager=True)
     blocks = [
         sig.select(
             "doc_id",

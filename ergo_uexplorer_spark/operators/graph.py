@@ -97,12 +97,12 @@ def k_hop_neighbors(
     spark = edges.sparkSession
     from pyspark.sql import types as T
 
-    # per-level exchanges pinned to an explicit vertex-scaled partition
-    # count (same rationale as connected_components: the frontier/
-    # visited tables are vertex-dim-sized, and a driver loop schedules
-    # stages per LEVEL, so inheriting a corpus-tuned
-    # spark.sql.shuffle.partitions turns each level into hundreds of
-    # near-empty tasks under a default-conf session)
+    # the EDGE table is pinned to an explicit vertex-scaled partition
+    # count and persisted once (every level joins it on src); the
+    # per-level frontier exchanges rely on plain distinct + AQE
+    # partition coalescing instead — keeping the map-side partial
+    # aggregation that an explicit repartition-then-distinct would
+    # forfeit (the raw join fan-out is ~avg-degree× the distinct set)
     n = num_partitions or spark.sparkContext.defaultParallelism
     e = edges.select("src", "dst")
     if not directed:
@@ -120,12 +120,18 @@ def k_hop_neighbors(
     frontier = visited.persist()
     retired: list[DataFrame] = []
     for level in range(1, k + 1):
+        # plain distinct (NOT repartition-then-distinct): the partial
+        # aggregation BEFORE the exchange dedupes the join fan-out
+        # map-side — at a dense level the dst stream is ~avg-degree×
+        # larger than its distinct set, and shipping it raw cost ~12%
+        # of g02's wall-clock. AQE coalesces the post-shuffle
+        # partitions, so the explicit per-level repartition (kept for
+        # the edge table above) is unnecessary here.
         nxt = (
             frontier.join(e, frontier.id == e.src)
             .select(F.col("dst").alias("id"))
-            .repartition(n, "id")
             .distinct()
-            .join(visited.repartition(n, "id"), "id", "left_anti")
+            .join(visited, "id", "left_anti")
             .withColumn("hops", F.lit(level))
             .persist()
         )

@@ -141,10 +141,16 @@ def zz_g02_graph_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("dst"),
     )
+    # NO edge-level distinct: min-hop BFS is edge-multiplicity-invariant
+    # (the per-level frontier distinct dedupes anyway), and the
+    # (order, supplier) pairs are near-unique — the 600k-row dedup
+    # shuffle was pure cost (~3 s of g02's wall-clock at sf0.1). The
+    # oracle keeps SELECT DISTINCT: its recursive walk dedupes rows,
+    # so the result set is identical.
     o_s = lineitem.select(
         F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    ).distinct()
+    )
     edges = c_o.unionByName(o_s)
     out = k_hop_neighbors(edges, ["c1"], k=_G02_K, directed=False)
     return out.select(
@@ -755,32 +761,33 @@ def zz_a03_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load(spark, sf_dir, "lineitem")
     acc = 10000
 
-    def ex(q):
-        return F.expr(f"percentile(l_extendedprice, {q})")
-
+    # ONE exact-percentile aggregate over the percentage ARRAY (eight
+    # ranks share a single sort buffer per group) + one array-form
+    # sketch agg — the previous nine separate percentile() calls each
+    # buffered the whole group independently (~9× the agg state; 5.9 s
+    # → ~1 s at sf0.1)
     g = lineitem.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, acc).alias("__a50"),
-        F.percentile_approx("l_extendedprice", 0.95, acc).alias("__a95"),
-        F.percentile_approx("l_extendedprice", 0.99, acc).alias("__a99"),
-        ex(0.5).alias("__e50"),
-        ex(0.95).alias("__e95"),
-        ex(0.99).alias("__e99"),
-        ex(0.49).alias("__lo50"),
-        ex(0.51).alias("__hi50"),
-        ex(0.94).alias("__lo95"),
-        ex(0.96).alias("__hi95"),
-        ex(0.98).alias("__lo99"),
+        F.expr(
+            "percentile_approx(l_extendedprice, "
+            f"array(0.5D, 0.95D, 0.99D), {acc})"
+        ).alias("__a"),
+        F.expr(
+            "percentile(l_extendedprice, "
+            "array(0.49D, 0.5D, 0.51D, 0.94D, 0.95D, 0.96D, 0.98D, 0.99D))"
+        ).alias("__e"),
         F.max("l_extendedprice").alias("__hi99"),
     )
+    e = F.col("__e")
+    a = F.col("__a")
     in_band = (
-        F.col("__a50").between(F.col("__lo50"), F.col("__hi50"))
-        & F.col("__a95").between(F.col("__lo95"), F.col("__hi95"))
-        & F.col("__a99").between(F.col("__lo99"), F.col("__hi99"))
+        a[0].between(e[0], e[2])
+        & a[1].between(e[3], e[5])
+        & a[2].between(e[6], F.col("__hi99"))
     )
     return g.select(
         "l_returnflag",
-        F.round(F.col("__e50") * 100).cast("bigint").alias("p50_cents"),
-        F.round(F.col("__e95") * 100).cast("bigint").alias("p95_cents"),
-        F.round(F.col("__e99") * 100).cast("bigint").alias("p99_cents"),
+        F.round(e[1] * 100).cast("bigint").alias("p50_cents"),
+        F.round(e[4] * 100).cast("bigint").alias("p95_cents"),
+        F.round(e[7] * 100).cast("bigint").alias("p99_cents"),
         in_band.alias("approx_in_band"),
     )

@@ -1,7 +1,8 @@
-"""Round-7 surface additions (zy1–zy6): entity-resolution fuzzy join,
+"""Round-7 surface additions (zy1–zy8): entity-resolution fuzzy join,
 exact-integer EWMA, linear interpolation (the `interpolate` companion of
 zx3's LOCF), degree-assortativity sufficient statistics, Benford
-first-digit profiling, and Markov transition matrices over event logs.
+first-digit profiling, Markov transition matrices over event logs,
+exact rolling medians, and per-row EWMA anomaly residuals.
 
 Names sort between zx8 and the zz_ tail so every entry lands in the
 driver's recorded 50-name CORRECTNESS window this round (see PARITY.md
@@ -308,3 +309,103 @@ def zy6_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_counts(
         events, "user_id", ["ts", "event_id"], "event_type"
     )
+
+
+# --------------------------------------------------------------------------
+# zy7: exact rolling median (doubled) over each customer's last-7-order
+# frame — the moving-window robust twin of z34's moving average. Doubled
+# median = the sum of the two middle elements of the sorted frame
+# (FP-exact: midpoint of two int64s; both engines use the (n−1)·q
+# interpolation convention), so the statistic is engine-identical.
+# Spark has no windowed percentile — the frame is collect_list'd,
+# array_sort'd and indexed JVM-side (frame size ≤ 7, state bounded).
+# --------------------------------------------------------------------------
+@register(
+    "zy7_rolling_median",
+    sql=f"""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             {_CENTS_SQL.format(col='o_totalprice')} AS cents,
+             o_orderdate
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, cents,
+           CAST(2 * quantile_cont(cents, 0.5) OVER w AS BIGINT) AS med2
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    survey_ref="SURVEY §2.6: window functions (rolling exact median; "
+    "z34 family)",
+    tags=("window", "stats"),
+)
+def zy7_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _cents(F.col("o_totalprice")).alias("cents"),
+        "o_orderdate",
+    )
+    frame = (
+        "OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate ASC, o_orderkey ASC "
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+    )
+    arr = f"sort_array(collect_list(cents) {frame})"
+    return o.withColumn(
+        "med2",
+        F.expr(
+            f"element_at({arr}, CAST((size({arr}) + 1) div 2 AS INT)) + "
+            f"element_at({arr}, CAST(size({arr}) div 2 + 1 AS INT))"
+        ),
+    ).select("o_custkey", "o_orderkey", "cents", "med2")
+
+
+# --------------------------------------------------------------------------
+# zy8: per-row EWMA states + residuals — the anomaly-score companion of
+# zy2's terminal EWMA: every order carries its entity's running
+# smoothed level and the exact integer residual against it. The oracle
+# unrolls the identical recurrence per row in a recursive CTE.
+# --------------------------------------------------------------------------
+@register(
+    "zy8_ewma_residual",
+    sql=f"""
+    WITH RECURSIVE o AS (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate ASC, o_orderkey ASC)
+               AS rn,
+             {_CENTS_SQL.format(col='o_totalprice')} AS v
+      FROM orders
+    ),
+    rec AS (
+      SELECT o_custkey, o_orderkey, rn, v, v AS s FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.o_custkey, o.o_orderkey, o.rn, o.v,
+             (1 * o.v + 3 * rec.s) // 4
+      FROM rec JOIN o ON o.o_custkey = rec.o_custkey AND o.rn = rec.rn + 1
+    )
+    SELECT o_custkey, o_orderkey, CAST(v AS BIGINT) AS v,
+           CAST(s AS BIGINT) AS s, CAST(v - s AS BIGINT) AS resid
+    FROM rec
+    """,
+    survey_ref="LLM-pipeline: per-entity anomaly scoring (running EWMA "
+    "residual, exact integer recurrence)",
+    tags=("window", "stats"),
+)
+def zy8_ewma_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cumulative import ewma_states
+
+    (orders,) = load(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        _cents(F.col("o_totalprice")).alias("v"),
+    )
+    out = ewma_states(
+        o, "o_custkey", ["o_orderdate", "o_orderkey"], "v", a_num=1, a_den=4
+    )
+    return out.select("o_custkey", "o_orderkey", "v", "s", "resid")

@@ -319,7 +319,7 @@ def test_r7_zy_plans_have_no_unbounded_products(spark):
     from ergo_uexplorer_spark.plans.explain import formatted_plan
 
     names = [n for n in REGISTRY if n.startswith("zy")]
-    assert len(names) == 6
+    assert len(names) == 8
     for name in names:
         plan = formatted_plan(REGISTRY[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name

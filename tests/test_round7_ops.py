@@ -191,3 +191,21 @@ def test_two_phase_cc_long_path(spark):
     rows = connected_components_two_phase(df, max_iter=12).collect()
     assert len(rows) == n
     assert {r.component for r in rows} == {0}
+
+
+def test_ewma_states_per_row(spark):
+    from ergo_uexplorer_spark.operators.cumulative import ewma_states
+
+    df = spark.createDataFrame(
+        [(1, 1, 100), (1, 2, 200), (1, 3, 50)], "g long, t long, v long"
+    )
+    rows = {
+        r.t: (r.v, r.s, r.resid)
+        for r in ewma_states(df, "g", ["t"], "v").collect()
+    }
+    # s1=100, s2=(200+300)//4=125, s3=(50+375)//4=106
+    assert rows == {
+        1: (100, 100, 0),
+        2: (200, 125, 75),
+        3: (50, 106, -56),
+    }
