@@ -94,3 +94,76 @@ try:  # pragma: no cover
     _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 except Exception:  # noqa: BLE001 - best-effort; --py-files is the fallback
     pass
+
+
+EWMA_A_NUM = 1
+EWMA_A_DEN = 4
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("v", LongType()),
+        StructField("s", LongType()),
+        StructField("resid", LongType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = StructType([StructField("last_s", LongType())])
+
+
+def _ewma_group(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    (last_s,) = state.get if state.exists else (None,)
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    out_event, out_v, out_s, out_r = [], [], [], []
+    for event_id, v in zip(rows["event_id"], rows["v"]):
+        v = int(v)
+        if last_s is None:
+            last_s = v
+        else:
+            last_s = (
+                EWMA_A_NUM * v + (EWMA_A_DEN - EWMA_A_NUM) * last_s
+            ) // EWMA_A_DEN
+        out_event.append(event_id)
+        out_v.append(v)
+        out_s.append(last_s)
+        out_r.append(v - last_s)
+    state.update((int(last_s),))
+    yield pd.DataFrame(
+        {
+            "user_id": user_id,
+            "event_id": out_event,
+            "v": out_v,
+            "s": out_s,
+            "resid": out_r,
+        }
+    )
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """events(user_id, event_id, ts[nanos], v[int]) → per-row running
+    EWMA states + residuals, stateful across micro-batches — the
+    STREAMING twin of `cumulative.ewma_states` (same recurrence
+    s₀=v₀, sᵢ=(vᵢ+3·sᵢ₋₁) div 4; state per key = ONE int64, the
+    anomaly-score shape for continuous quality monitoring).
+
+    Same ordering contract as `sessionize_stream`: rows sort within a
+    micro-batch; across batches the source must deliver roughly
+    time-ordered data (a late row continues from the stored state
+    rather than retro-folding). Works on batch DataFrames too (one
+    "micro-batch", empty state) — which is what pins it equal to the
+    batch operator in pytest."""
+    return events.select("user_id", "event_id", "ts", "v").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _ewma_group,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -209,3 +209,70 @@ def test_ewma_states_per_row(spark):
         2: (200, 125, 75),
         3: (50, 106, -56),
     }
+
+
+def test_ewma_stream_matches_batch_operator(spark, tmp_path):
+    """Stream (user_id, event_id, ts, v) in 3 time-ordered file batches;
+    the per-row EWMA states must equal the batch `ewma_states` fold over
+    the full set — the state store carries the recurrence across
+    micro-batches."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from ergo_uexplorer_spark.operators.cumulative import ewma_states
+    from ergo_uexplorer_spark.streaming.stateful import ewma_stream
+    from ergo_uexplorer_spark.suite.base import load
+
+    (events,) = load(spark, "/root/testdata/sf0.001", "events")
+    ev = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    pdf = ev.toPandas().sort_values("ts")
+    in_dir = tmp_path / "ev"
+    in_dir.mkdir()
+    n = len(pdf)
+    for i in range(3):
+        chunk = pdf.iloc[i * n // 3 : (i + 1) * n // 3]
+        with open(in_dir / f"b{i}.json", "w") as f:
+            for _, r in chunk.iterrows():
+                f.write(
+                    json.dumps(
+                        {
+                            "user_id": int(r.user_id),
+                            "event_id": int(r.event_id),
+                            "ts": int(r.ts),
+                            "v": int(r.v),
+                        }
+                    )
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = (
+        ewma_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (r["user_id"], r["event_id"]): (r["v"], r["s"], r["resid"])
+        for r in spark.sql("select * from ewma_out").collect()
+    }
+    batch = {
+        (r["user_id"], r["event_id"]): (r["v"], r["s"], r["resid"])
+        for r in ewma_states(
+            ev, "user_id", ["ts", "event_id"], "v"
+        ).collect()
+    }
+    assert streamed == batch
