@@ -137,24 +137,34 @@ def zz_g02_graph_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import k_hop_neighbors
 
     orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
-    c_o = orders.select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("dst"),
-    )
-    # NO edge-level distinct: min-hop BFS is edge-multiplicity-invariant
-    # (the per-level frontier distinct dedupes anyway), and the
-    # (order, supplier) pairs are near-unique — the 600k-row dedup
-    # shuffle was pure cost (~3 s of g02's wall-clock at sf0.1). The
-    # oracle keeps SELECT DISTINCT: its recursive walk dedupes rows,
+    # Typed node ids as LONGS (kind in the low 2 bits: c=0, o=1, s=2)
+    # instead of the oracle's 'c1'-style strings: the BFS shuffles the
+    # frontier/visited tables every level, and 8-byte longs hash and
+    # ship ~3× cheaper than strings (measured 10.2 s → 7.3 s at
+    # sf0.1); the string form is restored in the final node-dim
+    # projection only. NO edge-level distinct either: min-hop BFS is
+    # edge-multiplicity-invariant (the per-level frontier distinct
+    # dedupes anyway) and the (order, supplier) pairs are near-unique —
+    # that 600k-row dedup shuffle was pure cost. The oracle keeps
+    # SELECT DISTINCT + string ids: its recursive walk dedupes rows,
     # so the result set is identical.
+    c_o = orders.select(
+        (F.col("o_custkey") * 4).alias("src"),
+        (F.col("o_orderkey") * 4 + 1).alias("dst"),
+    )
     o_s = lineitem.select(
-        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        (F.col("l_orderkey") * 4 + 1).alias("src"),
+        (F.col("l_suppkey") * 4 + 2).alias("dst"),
     )
     edges = c_o.unionByName(o_s)
-    out = k_hop_neighbors(edges, ["c1"], k=_G02_K, directed=False)
+    out = k_hop_neighbors(edges, [4 * 1], k=_G02_K, directed=False)
+    kind = F.element_at(
+        F.array(F.lit("c"), F.lit("o"), F.lit("s")),
+        (F.col("id") % 4 + 1).cast("int"),
+    )
     return out.select(
-        F.col("id").alias("node_id"), F.col("hops").cast("int").alias("hops")
+        F.concat(kind, F.expr("id div 4").cast("string")).alias("node_id"),
+        F.col("hops").cast("int").alias("hops"),
     )
 
 
