@@ -993,3 +993,83 @@ def test_dsir_importance_identical_docs_and_sign(spark):
         got[2]["score"],
     )
     assert got[1]["score"] > got[3]["score"]
+
+
+# ---------------------------------------------------------------------------
+# round-7 operators: exact EWMA and linear interpolation invariants
+# ---------------------------------------------------------------------------
+
+ewma_series = st.lists(
+    st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=ewma_series)
+def test_ewma_bounded_and_matches_loop(spark, vals):
+    """ewma_int ≡ the per-row Python recurrence, and every state lies
+    within [min(prefix), max(prefix)] (a convex combination rounded
+    down can undershoot by < 1 unit — div truncation — hence the -1)."""
+    from ergo_uexplorer_spark.operators.cumulative import ewma_int
+
+    df = spark.createDataFrame(
+        [(0, i, v) for i, v in enumerate(vals)], "g long, t long, v long"
+    )
+    row = ewma_int(df, "g", ["t"], "v", a_num=1, a_den=4).collect()[0]
+    s = vals[0]
+    for v in vals[1:]:
+        s = (v + 3 * s) // 4
+    assert (row.n, row.ewma) == (len(vals), s)
+    assert min(vals) - 1 <= row.ewma <= max(vals)
+
+
+interp_obs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),  # bucket
+        st.integers(min_value=0, max_value=10**6),  # value
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(obs=interp_obs)
+def test_linear_interpolate_invariants(spark, obs):
+    """Grid covers exactly [min,max]; observed rows pass through
+    untouched; every interpolated value lies within [min, max] of its
+    bracketing observations and the full dense series is produced."""
+    from ergo_uexplorer_spark.operators.joins import linear_interpolate
+
+    df = spark.createDataFrame(
+        [(1, b, v) for b, v in obs], "k long, b long, v long"
+    )
+    out = sorted(
+        linear_interpolate(df, "k", "b", "v").collect(),
+        key=lambda r: r.b,
+    )
+    buckets = [b for b, _ in obs]
+    lo, hi = min(buckets), max(buckets)
+    assert [r.b for r in out] == list(range(lo, hi + 1))
+    by_bucket = dict(obs)
+    prev = None
+    for r in out:
+        if r.b in by_bucket:
+            assert r.observed and r.v == by_bucket[r.b]
+            prev = (r.b, r.v)
+        else:
+            assert not r.observed
+            nxt = min(
+                (b, v) for b, v in obs if b > r.b
+            )
+            lo_v, hi_v = sorted((prev[1], nxt[1]))
+            assert lo_v - 1 <= r.v <= hi_v
