@@ -71,6 +71,9 @@ QUERIES = (
     # universes keep edges/components per copy ≍ sf0.1 (≈10× nodes,
     # same tiny diameters → same round count, ~linear per-round work)
     "zz_z31_cluster_sizes",
+    # long-id BFS: custkey space is shared across copies, so c1's
+    # 4-hop reach grows ~linearly with the data
+    "zz_g02_graph_k_hop",
     # two exact distinct-aggs over suffixed per-copy grams → ~linear
     "zz_z33_ngram_diversity",
     # r6 additions: hashed-bigram features — two partial aggs + a
