@@ -409,3 +409,57 @@ def zy8_ewma_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, "o_custkey", ["o_orderdate", "o_orderkey"], "v", a_num=1, a_den=4
     )
     return out.select("o_custkey", "o_orderkey", "v", "s", "resid")
+
+
+# --------------------------------------------------------------------------
+# zy9: mergeable-sketch distinct counting — per-day HLL sketches union
+# to the global per-type distinct-user count (the store-backed
+# incremental shape of operators/sketchstore.py, here expressed in one
+# plan). HLL estimates are engine-specific, so the deterministic
+# contract follows a02: exact count + `within_tol` asserting the
+# merged estimate landed inside 5·rsd of exact (rsd ≈ 1.04/√2^lgk ≈
+# 1.6% at lgk=12; the 5σ band absorbs hash-unlucky keys at any sf).
+# --------------------------------------------------------------------------
+_ZY9_LGK = 12
+_ZY9_TOL = 5 * 1.04 / (2**_ZY9_LGK) ** 0.5
+
+
+@register(
+    "zy9_sketch_union",
+    sql="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
+    survey_ref="readme.md:226 sketches TODO — mergeable HLL "
+    "(union-of-partial-sketches ≡ sketch-of-union)",
+    tags=("agg", "sketch"),
+)
+def zy9_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    day = F.expr("ts div 86400000000000").alias("day")
+    daily = events.select("event_type", day, "user_id").groupBy(
+        "event_type", "day"
+    ).agg(F.hll_sketch_agg("user_id", F.lit(_ZY9_LGK)).alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact")
+    )
+    tol = F.greatest(
+        F.lit(1.0),
+        F.lit(_ZY9_TOL) * F.col("n_users_exact").cast("double"),
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(
+                F.col("__est").cast("double")
+                - F.col("n_users_exact").cast("double")
+            )
+            <= tol
+        ).alias("within_tol"),
+    )

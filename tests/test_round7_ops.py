@@ -276,3 +276,53 @@ def test_ewma_stream_matches_batch_operator(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_hll_store_incremental_equals_oneshot(spark, tmp_path):
+    """Three batches written incrementally must union to the same
+    estimates as one batch over the full data, redelivery must be
+    idempotent (rewriting batch 1 changes nothing), and the estimate
+    must sit within 5·rsd of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from ergo_uexplorer_spark.operators.sketchstore import (
+        distinct_estimates,
+        write_hll_batch,
+    )
+
+    df = spark.range(30_000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 7_000).alias("v")
+    )
+    store = str(tmp_path / "hll")
+    # split by row ranges so every batch carries every key
+    parts = [
+        df.filter((F.col("id") >= i * 10_000) & (F.col("id") < (i + 1) * 10_000))
+        for i in range(3)
+    ]
+    for i, p in enumerate(parts):
+        write_hll_batch(p, store, str(i), ["k"], "v")
+    inc = {
+        r.k: r.n_distinct_est
+        for r in distinct_estimates(spark, store, ["k"]).collect()
+    }
+    oneshot_store = str(tmp_path / "hll_one")
+    write_hll_batch(df, oneshot_store, "all", ["k"], "v")
+    one = {
+        r.k: r.n_distinct_est
+        for r in distinct_estimates(spark, oneshot_store, ["k"]).collect()
+    }
+    assert inc == one  # union of partials ≡ sketch of union
+    # idempotent redelivery: rewriting batch 1 changes nothing
+    write_hll_batch(parts[1], store, "1", ["k"], "v")
+    assert inc == {
+        r.k: r.n_distinct_est
+        for r in distinct_estimates(spark, store, ["k"]).collect()
+    }
+    exact = {
+        r.k: r.n
+        for r in df.groupBy("k")
+        .agg(F.count_distinct("v").alias("n"))
+        .collect()
+    }
+    for k, est in inc.items():
+        assert abs(est - exact[k]) <= max(1.0, 0.082 * exact[k])
