@@ -29,6 +29,7 @@ def ordered_prefix(
     lag_cols: dict[str, str] | None = None,
     row_col: str | None = None,
     num_partitions: int | None = None,
+    strict_max_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """Distributed prefix computations over a total order.
 
@@ -37,12 +38,16 @@ def ordered_prefix(
     lag_cols   : {out_name: source_col} previous row's value (null for
                  the globally first row).
     row_col    : optional 1-based global row number.
+    strict_max_cols : {out_name: source_col} max over STRICTLY preceding
+                 rows (null for the globally first row) — the exclusive
+                 prefix max a skyline/dominance scan needs.
 
     One extra narrow shuffle (repartitionByRange) + one tiny collect of
     per-partition aggregates; no single-task stage at any point.
     """
     sum_cols = sum_cols or {}
     lag_cols = lag_cols or {}
+    strict_max_cols = strict_max_cols or {}
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     ranged = (
@@ -60,6 +65,8 @@ def ordered_prefix(
                 f"__last_{out}"
             )
         )
+    for out, src in strict_max_cols.items():
+        aggs.append(F.max(F.col(src).cast("long")).alias(f"__pmax_{out}"))
     part_stats = sorted(
         ranged.groupBy(_PID).agg(*aggs).collect(), key=lambda r: r[_PID]
     )
@@ -67,6 +74,7 @@ def ordered_prefix(
     rows, acc_cnt = [], 0
     acc_sum = {o: 0 for o in sum_cols}
     prev_last: dict[str, int | None] = {o: None for o in lag_cols}
+    prev_max: dict[str, int | None] = {o: None for o in strict_max_cols}
     for r in part_stats:
         rows.append(
             (
@@ -74,6 +82,7 @@ def ordered_prefix(
                 acc_cnt,
                 *[acc_sum[o] for o in sum_cols],
                 *[prev_last[o] for o in lag_cols],
+                *[prev_max[o] for o in strict_max_cols],
             )
         )
         acc_cnt += r["__cnt"]
@@ -82,9 +91,14 @@ def ordered_prefix(
         for o in lag_cols:
             if r["__cnt"]:
                 prev_last[o] = r[f"__last_{o}"]
+        for o in strict_max_cols:
+            pm = r[f"__pmax_{o}"]
+            if pm is not None and (prev_max[o] is None or pm > prev_max[o]):
+                prev_max[o] = pm
     fields = [StructField(_PID, LongType()), StructField("__off_cnt", LongType())]
     fields += [StructField(f"__off_{o}", LongType()) for o in sum_cols]
     fields += [StructField(f"__prev_{o}", LongType()) for o in lag_cols]
+    fields += [StructField(f"__pmax_{o}", LongType()) for o in strict_max_cols]
     off_df = spark.createDataFrame(rows, StructType(fields)).withColumn(
         _PID, F.col(_PID).cast("int")
     )
@@ -108,8 +122,13 @@ def ordered_prefix(
                 F.lag(F.col(src).cast("long")).over(w), F.col(f"__prev_{o}")
             ),
         )
+    wexcl = w.rowsBetween(Window.unboundedPreceding, -1)
+    for o, src in strict_max_cols.items():
+        local = F.max(F.col(src).cast("long")).over(wexcl)
+        out = out.withColumn(o, F.greatest(local, F.col(f"__pmax_{o}")))
     drop = [_PID, "__off_cnt"]
     drop += [f"__off_{o}" for o in sum_cols] + [f"__prev_{o}" for o in lag_cols]
+    drop += [f"__pmax_{o}" for o in strict_max_cols]
     return out.drop(*drop)
 
 
@@ -253,4 +272,47 @@ def ewma_states(
         F.col("__z.__vs.v").alias(value_col),
         F.col("__z.__ss").alias("s"),
         (F.col("__z.__vs.v") - F.col("__z.__ss")).alias("resid"),
+    )
+
+
+def time_weighted_stats(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Exact time-weighted average, per entity, as an integer fraction →
+    (entity, n_obs, span, twa_num): the value holds (LOCF) from each
+    observation until the next, so the time-weighted mean over the
+    entity's observed span is Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_n−t₁). Sensor /
+    balance / gauge rollups weight by HOW LONG a value held, not how
+    often it was sampled — the arithmetic mean is simply wrong there.
+
+    Exactness: vᵢ (int cents) × Δt (int ns) overflows int64 at real
+    spans, so each segment product and the numerator sum are
+    DECIMAL(38,0); the caller divides twa_num by span (or keeps the
+    exact fraction). One window (partition entity, order ts+tiebreak)
+    for `lead`, one hash-agg — both shuffle once on the entity key."""
+    seg = df.select(
+        entity_col,
+        F.col(ts_col).cast("long").alias("__t"),
+        F.col(value_col).cast("long").alias("__v"),
+        F.col(tiebreak_col).alias("__tb"),
+    ).withColumn(
+        "__tnext",
+        F.lead("__t").over(
+            Window.partitionBy(entity_col).orderBy("__t", "__tb")
+        ),
+    )
+    return seg.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.max("__t") - F.min("__t")).alias("span"),
+        F.sum(
+            F.when(
+                F.col("__tnext").isNotNull(),
+                F.col("__v").cast("decimal(38,0)")
+                * (F.col("__tnext") - F.col("__t")).cast("decimal(38,0)"),
+            )
+        ).cast("decimal(38,0)").alias("twa_num"),
     )

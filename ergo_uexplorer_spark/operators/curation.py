@@ -234,3 +234,29 @@ def systematic_weighted_sample(
         F.expr(f"cum div {int(stride)}")
         > F.expr(f"(cum - CAST({weight_col} AS BIGINT)) div {int(stride)}")
     )
+
+
+def hash_order_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic "random" sample of EXACTLY min(k, |group|) rows per
+    group: rank by md5(id) within the group and keep rank ≤ k — the
+    eval-set / spot-check draw every pipeline needs to be reproducible
+    across engines and re-runs (a seeded `rand()` is neither: Spark and
+    DuckDB disagree, and even Spark re-draws per partition layout).
+
+    md5 of the id string is a uniform, engine-identical order; (md5, id)
+    is a total order, so the k-row cut is unique. One shuffle on the
+    group key; the per-group window state is one rank counter. Unlike
+    `sample_bucket` (a fixed-RATE filter), this pins an exact per-group
+    COUNT — the stratified-k draw."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

@@ -907,3 +907,54 @@ def connected_components_two_phase(
     ).select(
         "id", F.coalesce(F.col("component"), F.col("id")).alias("component")
     )
+
+
+def common_neighbor_links(
+    edges: DataFrame,
+    left_col: str,
+    right_col: str,
+    min_common: int = 2,
+    max_right_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction by common-neighbor counting over a bipartite
+    graph → (node_a, node_b, common, deg_a, deg_b) for unordered left-
+    node pairs sharing ≥ min_common right neighbors; Jaccard =
+    common / (deg_a + deg_b − common) is left to the caller as an exact
+    integer fraction. (Recommend-similar-suppliers / related-documents
+    via shared entities — the wedge-count companion of `co_spend_pairs`.)
+
+    Cost is Σ_r deg(r)² over right nodes — the wedge join, never
+    all-pairs. `max_right_degree` drops hub rights BEFORE pairing
+    (a right node shared by thousands of lefts contributes quadratic
+    pairs and near-zero signal; capping is the standard skew guard —
+    the same supernode posture as SuperNodeCounter.scala:19). Distinct
+    edges first, then degrees via one hash-agg, wedge equi-join on the
+    right key, and a final (a, b) hash-agg."""
+    e = edges.select(
+        F.col(left_col).alias("l"), F.col(right_col).alias("r")
+    ).distinct()
+    if max_right_degree is not None:
+        ok = (
+            e.groupBy("r")
+            .agg(F.count(F.lit(1)).alias("rd"))
+            .filter(F.col("rd") <= max_right_degree)
+            .select("r")
+        )
+        e = e.join(ok, "r", "left_semi")
+    deg = e.groupBy("l").agg(F.count(F.lit(1)).alias("deg"))
+    a = e.select("r", F.col("l").alias("node_a"))
+    b = e.select("r", F.col("l").alias("node_b"))
+    pairs = (
+        a.join(b, "r")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    return (
+        pairs.join(deg.withColumnRenamed("l", "node_a"), "node_a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(deg.withColumnRenamed("l", "node_b"), "node_b")
+        .withColumnRenamed("deg", "deg_b")
+        .select("node_a", "node_b", "common", "deg_a", "deg_b")
+    )

@@ -412,3 +412,133 @@ def benford_first_digit(
         "permille",
         F.expr(f"1000 * n div sum(n) OVER (PARTITION BY {group_col})"),
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, maximize BOTH x and y): rows no
+    other row dominates, where b dominates a iff x_b ≥ x_a ∧ y_b ≥ y_a
+    with at least one strict. The multi-objective "best tradeoff" query
+    (quality-vs-length doc selection, price-vs-size part search).
+
+    Spark-first, never all-pairs: (1) one hash-agg computes max(y) per
+    distinct x — only per-x maxima can be on the frontier; (2) the
+    strict-prefix max of those maxima over x DESC (via `ordered_prefix`
+    — range-partitioned, no single-task window) gives, for each x, the
+    best y among all strictly-greater x; a per-x candidate survives iff
+    its y beats that; (3) a semi-join pulls every original row matching
+    a surviving (x, max-y) pair, so duplicate frontier points are kept.
+    Cost: one shuffle on x + one narrow range shuffle over |distinct x|
+    rows + one broadcast-able semi-join. Columns must be integer-typed
+    (cents); ties and duplicates handled exactly."""
+    from .cumulative import ordered_prefix
+
+    xa = df.groupBy(x_col).agg(F.max(F.col(y_col).cast("long")).alias("__mx"))
+    ranked = ordered_prefix(
+        xa.withColumn("__negx", -F.col(x_col).cast("long")),
+        ["__negx"],
+        strict_max_cols={"__best_above": "__mx"},
+    )
+    keep = ranked.filter(
+        F.col("__best_above").isNull() | (F.col("__mx") > F.col("__best_above"))
+    ).select(x_col, F.col("__mx").alias(y_col))
+    # frontier is typically tiny (a staircase) — AQE promotes this semi
+    # join to broadcast at runtime; worst case (all-distinct correlated
+    # x,y) it stays a safe shuffle join instead of a forced broadcast
+    return df.join(keep, [x_col, y_col], "left_semi")
+
+
+def misra_gries_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """EXACT heavy hitters (keys with count·k > n) at bounded memory:
+    a per-partition Misra-Gries summary (≤ k counters per partition —
+    the mergeable-summary guarantee: every key with global frequency
+    > n/k survives decrement-based eviction in at least one partition's
+    summary) generates a SMALL candidate set; an exact recount over the
+    candidates (semi-join + hash-agg) removes false positives. Output
+    (key, n) for count·k > n strictly.
+
+    This is the sketch-then-verify posture for 100 TB top-key reports:
+    the first pass streams each partition once with O(k) state (Arrow-
+    batched pandas, no shuffle), the second pass aggregates only rows
+    whose key is in the ≤ k·num_partitions candidate set (broadcast
+    semi-join, map-side combine). Never a full-key-space shuffle."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    keyed = df.select(F.col(key_col).cast("string").alias("k"))
+
+    def summarize(batches):
+        # batch-merge Misra-Gries (Agarwal et al., Mergeable Summaries):
+        # add each Arrow batch's exact value_counts into the summary,
+        # then shrink back to k counters by subtracting the (k+1)-th
+        # largest count from all and dropping non-positives — the
+        # decrement step, vectorized, preserving the > n_p/k guarantee.
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for key, c in pdf["k"].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > k:
+                thresh = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    key: n - thresh
+                    for key, n in counters.items()
+                    if n > thresh
+                }
+        yield pd.DataFrame({"k": list(counters.keys())})
+
+    cands = keyed.mapInPandas(summarize, "k string").distinct()
+    total = keyed.count()
+    counts = (
+        keyed.join(F.broadcast(cands), "k", "left_semi")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * F.lit(k) > F.lit(total))
+    )
+    return counts.select(F.col("k").alias(key_col), "n")
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+) -> DataFrame:
+    """Frequent item PAIRS by basket co-occurrence → (item_a, item_b,
+    n_baskets), support ≥ min_support — the market-basket / feature-
+    co-occurrence primitive (event types that fire together per user).
+
+    A-priori pruning keeps the self-join bounded: an item in a frequent
+    pair is itself frequent (support is anti-monotone), so items below
+    min_support are dropped BEFORE pairing — the wedge join then costs
+    Σ|basket ∩ frequent|², not Σ|basket|². Distinct-first (multiset →
+    set per basket), equi-join on the basket key, item_a < item_b for
+    one row per unordered pair."""
+    its = (
+        df.select(
+            F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+        ).distinct()
+    )
+    freq = (
+        its.groupBy("i")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .filter(F.col("nf") >= min_support)
+        .select("i")
+    )
+    pruned = its.join(F.broadcast(freq), "i", "left_semi")
+    a = pruned.select("b", F.col("i").alias("item_a"))
+    bdf = pruned.select("b", F.col("i").alias("item_b"))
+    return (
+        a.join(bdf, "b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_support)
+    )

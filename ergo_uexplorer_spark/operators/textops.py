@@ -352,3 +352,44 @@ def collocations(
         .orderBy(F.desc("score_ppm"), F.asc("w1"), F.asc("w2"))
         .limit(k)
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Term → posting-list build (the retrieval-index artifact) →
+    (term, df, tf_total, postings): document frequency, total term
+    frequency, and the ascending doc-id posting list serialized as a
+    comma-joined string (engine-portable; a parquet sink would keep the
+    array). `min_df` drops hapax terms — the bulk of the vocabulary.
+
+    Spark-first: explode tokens → per-(term, doc) tf hash-agg (map-side
+    combined — the explode never hits the shuffle at full fan-out) →
+    per-term agg with sort_array(collect_list(doc)) for a deterministic
+    posting order. Postings per term are the state bound (same posture
+    as collect-based folds: fine for body text, cap with min_df/top-df
+    guards for stopword-scale terms at 100 TB — or keep those terms'
+    lists bucketed by doc-id range, the standard sharded-posting
+    layout)."""
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("tf_total"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("doc").cast("long"))), ","
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )

@@ -13,3 +13,4 @@ from . import registers  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import extras  # noqa: F401
 from . import zy  # noqa: F401
+from . import zya  # noqa: F401

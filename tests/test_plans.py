@@ -319,7 +319,7 @@ def test_r7_zy_plans_have_no_unbounded_products(spark):
     from ergo_uexplorer_spark.plans.explain import formatted_plan
 
     names = [n for n in REGISTRY if n.startswith("zy")]
-    assert len(names) == 8
+    assert len(names) == 9
     for name in names:
         plan = formatted_plan(REGISTRY[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
@@ -342,3 +342,27 @@ def test_r7_zy3_single_window_exchange(spark):
     # the window — but never one PER window direction; the two window
     # frames must share
     assert len(w_exchanges) <= 3, plan[:1500]
+
+
+def test_r7_zya_plans_have_no_unbounded_products(spark):
+    """zya1–zya9 must be free of cartesian/nested-loop joins. Exception:
+    zya2's per-relation crossJoin of two ONE-ROW aggregates (child_rows
+    × orphans — bounded by construction, like z42's scalar join): allow
+    exactly one nested-loop node per FK relation there, none elsewhere."""
+    import re as _re
+
+    from ergo_uexplorer_spark.plans.explain import formatted_plan
+    from ergo_uexplorer_spark.suite.zya import _FK_RELATIONS
+
+    names = [n for n in REGISTRY if n.startswith("zya")]
+    assert len(names) == 9
+    for name in names:
+        plan = formatted_plan(REGISTRY[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        if name == "zya2_fk_audit":
+            nodes = set(
+                _re.findall(r"\(\d+\)\s+BroadcastNestedLoopJoin", plan)
+            )
+            assert len(nodes) <= len(_FK_RELATIONS)
+        else:
+            assert "BroadcastNestedLoopJoin" not in plan, name
