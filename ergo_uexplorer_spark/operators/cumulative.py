@@ -316,3 +316,39 @@ def time_weighted_stats(
             )
         ).cast("decimal(38,0)").alias("twa_num"),
     )
+
+
+def coarse_partition_rank(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    rank_col: str = "rk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """row_number() within FEW, HUGE partitions (e.g. 2 periods, 5
+    sources) without the single-task window a plain
+    `Window.partitionBy(few-valued key)` degenerates into at scale:
+    compute the GLOBAL row number over (part, *order) with
+    `ordered_prefix` (range-partitioned, fully parallel), then subtract
+    each partition's global offset — the count of rows in partitions
+    that sort earlier, a |parts|-row broadcast dim.
+
+    Correct because part_col leads the global order, so each
+    partition's rows are contiguous in it. The tiny unpartitioned
+    window below runs over ONE ROW PER PARTITION VALUE, never data."""
+    g = ordered_prefix(
+        df,
+        [part_col, *order_cols],
+        row_col="__gix",
+        num_partitions=num_partitions,
+    )
+    counts = g.groupBy(part_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy(part_col).rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w), F.lit(0))
+    ).select(part_col, "__off")
+    return (
+        g.join(F.broadcast(offs), part_col)
+        .withColumn(rank_col, (F.col("__gix") - F.col("__off")).cast("long"))
+        .drop("__gix", "__off")
+    )

@@ -260,3 +260,48 @@ def hash_order_sample(
         df.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Quantile normalization across groups → each row's value replaced
+    by the GLOBAL value at its within-group quantile position:
+    norm = global_sorted[⌈rank_in_group · N_global / N_group⌉]. The
+    corpus-mixing normalizer — per-source quality scores living on
+    different scales become comparable by rank, expressed on the global
+    ladder, all in exact integer arithmetic (no float quantiles).
+
+    Scale shape: the global ladder and the per-group ranks both come
+    from `ordered_prefix`/`coarse_partition_rank` (range-partitioned,
+    no single-task window); group sizes are a tiny broadcast dim; the
+    final lookup is an equi-join on the ladder index. rank·N_global
+    stays in int64 up to ~10⁹ rows per side — cast the product to
+    DECIMAL(38,0) past that."""
+    from .cumulative import coarse_partition_rank, ordered_prefix
+
+    g = ordered_prefix(
+        df.select(F.col(value_col).alias("__v"), F.col(id_col).alias("__i")),
+        ["__v", "__i"],
+        row_col="__gix",
+    ).select(F.col("__gix"), F.col("__v").alias("__norm"))
+    ns_rows = (
+        df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__ns")).collect()
+    )
+    ng = sum(r["__ns"] for r in ns_rows)
+    ns = df.sparkSession.createDataFrame(
+        [(r[group_col], r["__ns"]) for r in ns_rows],
+        df.select(group_col).schema.add("__ns", "long"),
+    )
+    r = coarse_partition_rank(df, group_col, [value_col, id_col], "__rs")
+    target = r.join(F.broadcast(ns), group_col).withColumn(
+        "__gix",
+        F.expr(f"(__rs * CAST({ng} AS BIGINT) + __ns - 1) div __ns"),
+    )
+    return (
+        target.join(g, "__gix")
+        .select(*df.columns, F.col("__norm").alias("norm_val"))
+    )

@@ -8,7 +8,7 @@ hot-key report (MvStorage.scala:107-121) for fast-path reuse."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 NANO = 1_000_000_000
@@ -541,4 +541,137 @@ def cooccurrence_pairs(
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .filter(F.col("n_baskets") >= min_support)
+    )
+
+
+def weighted_median_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact (lower) weighted median per group → (group, total_weight,
+    wmedian): the smallest value v whose cumulative weight w(≤v)
+    satisfies 2·w(≤v) ≥ W. The duration/size-weighted "typical value"
+    (median request weighted by bytes, median price weighted by
+    quantity) — the unweighted median answers a different question.
+
+    Scale shape: the raw rows are first reduced to a VALUE HISTOGRAM —
+    one hash-agg to (group, value, Σweight) — so the per-group window
+    that accumulates weight runs over distinct values, not rows (a
+    price column has ~10⁵ distinct cents against 10⁹ rows; for
+    unbounded value domains feed the histogram through
+    `coarse_partition_rank` instead). All integer arithmetic — the
+    ×2 comparison avoids halving."""
+    h = df.groupBy(group_col, value_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__w")
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = h.withColumn("__cw", F.sum("__w").over(wcum))
+    tot = h.groupBy(group_col).agg(F.sum("__w").alias("total_weight"))
+    return (
+        cum.join(tot, group_col)
+        .filter(F.col("__cw") * 2 >= F.col("total_weight"))
+        .groupBy(group_col)
+        .agg(
+            F.max("total_weight").alias("total_weight"),
+            F.min(value_col).alias("wmedian"),
+        )
+    )
+
+
+def iqr_outlier_summary(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Tukey-fence outlier summary per group → (group, n, q1, q3,
+    n_low, n_high): rank-based quartiles (q1 = smallest value with
+    cum-count ≥ ⌈n/4⌉, q3 at ⌈3n/4⌉ — type-1/discrete, no
+    interpolation, engine-identical on integers) and the counts
+    outside the 1.5·IQR fences. Fences are kept DOUBLED
+    (lo₂ = 2·q1 − 3·IQR, hi₂ = 2·q3 + 3·IQR, compared against 2·v)
+    so 1.5× stays in exact integer arithmetic.
+
+    One scan builds the (group, value, count) histogram; quartiles AND
+    both tail counts come from the histogram alone — the raw rows are
+    never re-scanned. Per-group window over distinct values, as in
+    `weighted_median_by_group`."""
+    h = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = h.withColumn("__cc", F.sum("__c").over(wcum))
+    tot = h.groupBy(group_col).agg(F.sum("__c").alias("n"))
+    j = cum.join(tot, group_col)
+    q = j.groupBy(group_col).agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(
+                F.col("__cc") * 4 >= F.col("n"), F.col(value_col)
+            )
+        ).alias("q1"),
+        F.min(
+            F.when(
+                F.col("__cc") * 4 >= F.col("n") * 3, F.col(value_col)
+            )
+        ).alias("q3"),
+    )
+    fenced = j.join(q.select(group_col, "q1", "q3"), group_col)
+    tails = fenced.groupBy(group_col).agg(
+        F.sum(
+            F.when(
+                F.col(value_col) * 2
+                < F.col("q1") * 2 - (F.col("q3") - F.col("q1")) * 3,
+                F.col("__c"),
+            ).otherwise(F.lit(0))
+        ).alias("n_low"),
+        F.sum(
+            F.when(
+                F.col(value_col) * 2
+                > F.col("q3") * 2 + (F.col("q3") - F.col("q1")) * 3,
+                F.col("__c"),
+            ).otherwise(F.lit(0))
+        ).alias("n_high"),
+    )
+    return q.join(tails, group_col).select(
+        group_col, "n", "q1", "q3", "n_low", "n_high"
+    )
+
+
+def contingency_with_expected(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Contingency table with chi-square sufficient statistics →
+    (row, col, obs, row_total, col_total, exp_num): observed counts,
+    marginals, and the expected-count NUMERATOR row_total·col_total as
+    a DECIMAL(38,0) digit string (expected = exp_num / grand_total; the
+    χ² sum is then floats only at the caller's final step). The
+    experiment-analysis primitive (A/B variant × outcome).
+
+    One hash-agg over the data; marginals are windows over the TINY
+    |rows|×|cols| contingency table itself, never the data."""
+    obs = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("obs"))
+    wr = Window.partitionBy(row_col)
+    wc = Window.partitionBy(col_col)
+    return (
+        obs.withColumn("row_total", F.sum("obs").over(wr))
+        .withColumn("col_total", F.sum("obs").over(wc))
+        .withColumn(
+            "exp_num",
+            (
+                F.col("row_total").cast("decimal(38,0)")
+                * F.col("col_total").cast("decimal(38,0)")
+            ).cast("decimal(38,0)"),
+        )
     )

@@ -14,3 +14,4 @@ from . import multimodal  # noqa: F401
 from . import extras  # noqa: F401
 from . import zy  # noqa: F401
 from . import zya  # noqa: F401
+from . import zyb  # noqa: F401

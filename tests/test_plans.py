@@ -318,7 +318,11 @@ def test_r7_zy_plans_have_no_unbounded_products(spark):
     on (key, bucket), assortativity joins on node ids."""
     from ergo_uexplorer_spark.plans.explain import formatted_plan
 
-    names = [n for n in REGISTRY if n.startswith("zy")]
+    names = [
+        n
+        for n in REGISTRY
+        if n.startswith("zy") and n[2].isdigit()  # zy1–zy9, not zya/zyb
+    ]
     assert len(names) == 9
     for name in names:
         plan = formatted_plan(REGISTRY[name].fn(spark, SF_DIR))
@@ -366,3 +370,17 @@ def test_r7_zya_plans_have_no_unbounded_products(spark):
             assert len(nodes) <= len(_FK_RELATIONS)
         else:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_r7_zyb_plans_have_no_unbounded_products(spark):
+    """zyb1–zyb5 must be free of cartesian/nested-loop joins — every
+    rank/lookup is an equi-join (ladder index, period, histogram key);
+    the only broadcast dims are the tiny group-size tables."""
+    from ergo_uexplorer_spark.plans.explain import formatted_plan
+
+    names = [n for n in REGISTRY if n.startswith("zyb")]
+    assert len(names) == 5
+    for name in names:
+        plan = formatted_plan(REGISTRY[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -148,3 +148,95 @@ def test_cooccurrence_apriori_prune_is_lossless(spark):
         for r in cooccurrence_pairs(df, "b", "i", 2).collect()
     }
     assert got == {("a", "b", 2), ("a", "c", 2)}
+
+
+def test_coarse_partition_rank_equals_partitioned_window(spark):
+    from ergo_uexplorer_spark.operators.cumulative import (
+        coarse_partition_rank,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (rng.choice(["a", "b", "c"]), rng.randrange(100), i)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "p string, v long, id long").repartition(
+        11
+    )
+    got = coarse_partition_rank(df, "p", ["v", "id"], "rk")
+    w = Window.partitionBy("p").orderBy("v", "id")
+    ref = df.withColumn("rk", F.row_number().over(w))
+    g = {(r.p, r.v, r.id): r.rk for r in got.collect()}
+    e = {(r.p, r.v, r.id): r.rk for r in ref.collect()}
+    assert g == e
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    from ergo_uexplorer_spark.operators.stats import weighted_median_by_group
+
+    rng = random.Random(9)
+    rows = [
+        (rng.choice(["x", "y"]), rng.randrange(50), rng.randrange(1, 6))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {
+        r.g: (r.total_weight, r.wmedian)
+        for r in weighted_median_by_group(df, "g", "v", "w").collect()
+    }
+    for g in ("x", "y"):
+        pts = sorted((v, w) for gg, v, w in rows if gg == g)
+        tot = sum(w for _, w in pts)
+        cum = 0
+        for v, w in pts:
+            cum += w
+            if 2 * cum >= tot:
+                assert got[g] == (tot, v), g
+                break
+
+
+def test_iqr_summary_matches_bruteforce(spark):
+    from ergo_uexplorer_spark.operators.stats import iqr_outlier_summary
+
+    rng = random.Random(13)
+    rows = [("s", rng.randrange(1000)) for _ in range(400)] + [
+        ("s", 10_000),
+        ("s", -10_000),  # planted tails
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = iqr_outlier_summary(df, "g", "v").collect()[0]
+    vs = sorted(v for _, v in rows)
+    n = len(vs)
+    q1 = vs[(n + 3) // 4 - 1]  # smallest v with cum >= ceil(n/4)
+    q3 = vs[(3 * n + 3) // 4 - 1]
+    assert (r.n, r.q1, r.q3) == (n, q1, q3)
+    lo2, hi2 = 2 * q1 - 3 * (q3 - q1), 2 * q3 + 3 * (q3 - q1)
+    assert r.n_low == sum(1 for v in vs if 2 * v < lo2)
+    assert r.n_high == sum(1 for v in vs if 2 * v > hi2)
+    assert r.n_low >= 1 and r.n_high >= 1
+
+
+def test_quantile_normalize_single_group_is_identity(spark):
+    from ergo_uexplorer_spark.operators.curation import quantile_normalize
+
+    rows = [(i, "only", v) for i, v in enumerate([5, 3, 9, 3, 7, 1])]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = quantile_normalize(df, "g", "v", "id").collect()
+    # one group: within-group rank IS the global rank → identity map
+    assert all(r.norm_val == r.v for r in out)
+    assert len(out) == len(rows)
+
+
+def test_contingency_marginals_and_expected(spark):
+    from ergo_uexplorer_spark.operators.stats import contingency_with_expected
+
+    rows = [("A", "hit")] * 3 + [("A", "miss")] * 1 + [("B", "hit")] * 2 + [
+        ("B", "miss")
+    ] * 4
+    df = spark.createDataFrame(rows, "v string, o string")
+    got = {
+        (r.v, r.o): (r.obs, r.row_total, r.col_total, int(r.exp_num))
+        for r in contingency_with_expected(df, "v", "o").collect()
+    }
+    assert got[("A", "hit")] == (3, 4, 5, 20)
+    assert got[("B", "miss")] == (4, 6, 5, 30)
