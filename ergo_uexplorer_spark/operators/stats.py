@@ -647,6 +647,52 @@ def iqr_outlier_summary(
     )
 
 
+def rfm_segments(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation → one row per
+    populated (r_score, f_score, m_score) cell with the entity count:
+    the classic customer-base summary (≤ n_bins³ output rows).
+
+    Per entity: recency = latest activity ts (later ⇒ higher score),
+    frequency = row count, monetary = Σ amount. Each dimension is
+    scored into exact rank-based bins: score = (rank−1)·n_bins div n
+    + 1 with rank from `cumulative.ordered_prefix` over (value,
+    entity) — deterministic under ties, reproducible across engines
+    (unlike ntile over a driver-dependent partitioning), and never a
+    single-task global sort. Three range-shuffles over the ENTITY
+    dimension (already reduced from the fact table by the first
+    hash-agg), then one final hash-agg."""
+    from .cumulative import ordered_prefix
+
+    per = df.groupBy(entity_col).agg(
+        F.max(F.col(ts_col).cast("long")).alias("__r"),
+        F.count(F.lit(1)).alias("__f"),
+        F.sum(F.col(amount_col).cast("long")).alias("__m"),
+    )
+    n = per.count()
+
+    def _score(d: DataFrame, col: str, out: str) -> DataFrame:
+        ranked = ordered_prefix(d, [col, entity_col], row_col="__rk")
+        return ranked.withColumn(
+            out,
+            F.expr(f"(__rk - 1) * {n_bins} div {n}").cast("long") + 1,
+        ).drop("__rk")
+
+    scored = _score(
+        _score(_score(per, "__r", "r_score"), "__f", "f_score"),
+        "__m",
+        "m_score",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_entities")
+    )
+
+
 def contingency_with_expected(
     df: DataFrame,
     row_col: str,

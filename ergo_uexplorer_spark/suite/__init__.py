@@ -15,3 +15,4 @@ from . import extras  # noqa: F401
 from . import zy  # noqa: F401
 from . import zya  # noqa: F401
 from . import zyb  # noqa: F401
+from . import zyc  # noqa: F401
