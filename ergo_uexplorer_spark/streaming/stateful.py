@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -164,6 +165,80 @@ def ewma_stream(events: DataFrame) -> DataFrame:
         _ewma_group,
         outputStructType=EWMA_OUTPUT_SCHEMA,
         stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SCD2_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("state", StringType()),
+        StructField("version", LongType()),
+        StructField("valid_from", LongType()),
+        StructField("valid_to", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SCD2_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_state", StringType()),
+        StructField("version", LongType()),
+        StructField("valid_from", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _scd2_group(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    cur_state, version, valid_from, n_events = (
+        state.get if state.exists else (None, 0, None, 0)
+    )
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    out = {k: [] for k in ("state", "version", "valid_from", "valid_to", "n_events")}
+    for ts, st in zip(rows["ts"], rows["state"]):
+        ts = int(ts)
+        if cur_state is None:
+            cur_state, version, valid_from, n_events = st, 1, ts, 1
+        elif st == cur_state:
+            n_events += 1
+        else:
+            # the new run's start CLOSES the previous one (end-exclusive)
+            out["state"].append(cur_state)
+            out["version"].append(version)
+            out["valid_from"].append(valid_from)
+            out["valid_to"].append(ts)
+            out["n_events"].append(n_events)
+            cur_state, version, valid_from, n_events = st, version + 1, ts, 1
+    state.update((cur_state, int(version), int(valid_from), int(n_events)))
+    yield pd.DataFrame({"user_id": user_id, **out})
+
+
+def scd2_stream(events: DataFrame) -> DataFrame:
+    """events(user_id, event_id, ts[nanos], state) → CLOSED SCD2
+    intervals, stateful across micro-batches — the STREAMING twin of
+    `intervals.scd2_intervals`: an interval is emitted exactly when a
+    later event changes the entity's state (append-mode streaming can
+    only ever emit closed facts); the open run lives in the state store
+    (one small tuple per key). Streamed closed intervals == the batch
+    operator's `is_current = false` rows for any time-ordered
+    micro-batch split — pinned in pytest.
+
+    Same ordering contract as the other stateful twins: rows sort
+    within a micro-batch; across batches the source delivers roughly
+    time-ordered data."""
+    return events.select("user_id", "event_id", "ts", "state").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _scd2_group,
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
