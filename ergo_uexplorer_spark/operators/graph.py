@@ -941,6 +941,12 @@ def common_neighbor_links(
             .select("r")
         )
         e = e.join(ok, "r", "left_semi")
+    # materialize the deduped edge table ONCE: it is consumed THREE
+    # times below (degrees + both wedge sides), and lazily each consumer
+    # re-executes the upstream fact-table join + distinct (the d04
+    # simhash lesson, dedup.py:631). Edge-dim rows are 2 longs — cheap.
+    if not e.isStreaming:
+        e = e.localCheckpoint(eager=True)
     deg = e.groupBy("l").agg(F.count(F.lit(1)).alias("deg"))
     a = e.select("r", F.col("l").alias("node_a"))
     b = e.select("r", F.col("l").alias("node_b"))

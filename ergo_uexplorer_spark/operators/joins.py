@@ -326,3 +326,51 @@ def linear_interpolate(
         .withColumn("observed", F.coalesce(F.col("__obs"), F.lit(False)))
     )
     return out.select(key_col, bucket_col, value_col, "observed")
+
+
+def windowed_conversion(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+    window: int,
+) -> DataFrame:
+    """Windowed funnel conversion → one row per entity that performed
+    `from_type`: (key, t0, t1, delay) where t0 is the entity's FIRST
+    from-event and t1 the EARLIEST to-event in (t0, t0 + window]
+    (null / null-delay when no conversion landed inside the window).
+    The attribution primitive: "did the signup purchase within an
+    hour?" — z27's path funnel without the time bound answers a
+    different question.
+
+    Scale shape: both sides reduce by key FIRST (a min-aggregate each,
+    map-side combined), then one equi-join on the key with the range
+    condition as a post-filter — never a range join against raw
+    events, never a window. The to-side pre-aggregation is
+    conditional-min over (t0-joined) candidates, so each entity
+    contributes one row per side regardless of event count."""
+    firsts = (
+        events.filter(F.col(type_col) == from_type)
+        .groupBy(key_col)
+        .agg(F.min(F.col(ts_col).cast("long")).alias("t0"))
+    )
+    tos = events.filter(F.col(type_col) == to_type).select(
+        key_col, F.col(ts_col).cast("long").alias("__tt")
+    )
+    conv = (
+        firsts.join(tos, key_col)
+        .filter(
+            (F.col("__tt") > F.col("t0"))
+            & (F.col("__tt") <= F.col("t0") + F.lit(window))
+        )
+        .groupBy(key_col)
+        .agg(F.min("__tt").alias("t1"))
+    )
+    return firsts.join(conv, key_col, "left").select(
+        key_col,
+        "t0",
+        "t1",
+        (F.col("t1") - F.col("t0")).alias("delay"),
+    )

@@ -721,3 +721,110 @@ def contingency_with_expected(
             ).cast("decimal(38,0)"),
         )
     )
+
+
+def psi_sufficient_stats(
+    df: DataFrame,
+    bucket_col: str,
+    split_col: str,
+    split_a: str,
+    split_b: str,
+) -> DataFrame:
+    """Population-stability-index sufficient statistics between two
+    splits → one row per bucket: (bucket, a, b, a_tot, b_tot,
+    a_x_btot, b_x_atot). PSI = Σ (aᵢ/A − bᵢ/B)·ln((aᵢ/A)/(bᵢ/B)) — the
+    distribution-drift monitor for ML features/scores. The log makes
+    the index itself float, so (as with the χ² entry) the ORACLE-EXACT
+    output is the sufficient statistics: the counts, the totals, and
+    the exact cross products aᵢ·B and bᵢ·A as DECIMAL(38,0) digit
+    strings — the PSI term's ratio argument is aᵢB/bᵢA, so the caller
+    reaches floats only in the final ln. `psi_value` computes that
+    final float from these rows.
+
+    One hash-agg over the data (conditional counts per bucket); the
+    totals are windows over the TINY bucket table, never the data."""
+    h = df.groupBy(bucket_col).agg(
+        F.sum(
+            F.when(F.col(split_col) == split_a, 1).otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when(F.col(split_col) == split_b, 1).otherwise(0)
+        ).alias("b"),
+    )
+    w = Window.partitionBy()
+    return (
+        h.withColumn("a_tot", F.sum("a").over(w))
+        .withColumn("b_tot", F.sum("b").over(w))
+        .withColumn(
+            "a_x_btot",
+            (
+                F.col("a").cast("decimal(38,0)")
+                * F.col("b_tot").cast("decimal(38,0)")
+            ).cast("decimal(38,0)"),
+        )
+        .withColumn(
+            "b_x_atot",
+            (
+                F.col("b").cast("decimal(38,0)")
+                * F.col("a_tot").cast("decimal(38,0)")
+            ).cast("decimal(38,0)"),
+        )
+    )
+
+
+def psi_value(stats: DataFrame) -> float:
+    """Fold `psi_sufficient_stats` rows to the scalar PSI (floats only
+    here, at the very end; buckets empty on either side are skipped —
+    add-epsilon smoothing is a caller policy, not hidden here)."""
+    rows = stats.filter((F.col("a") > 0) & (F.col("b") > 0)).select(
+        (
+            (F.col("a") / F.col("a_tot") - F.col("b") / F.col("b_tot"))
+            * F.log(
+                (F.col("a") / F.col("a_tot"))
+                / (F.col("b") / F.col("b_tot"))
+            )
+        ).alias("term")
+    )
+    out = rows.agg(F.sum("term")).first()[0]
+    return float(out or 0.0)
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: tuple[int, ...] = (50, 95, 99),
+) -> DataFrame:
+    """Exact type-1 (discrete, no interpolation) percentiles per group
+    → (group, n, p<P>...): p-th percentile = the smallest value whose
+    cumulative count satisfies 100·cum ≥ p·n. The latency-SLO shape
+    (p50/p95/p99 per service), engine-identical on integers.
+
+    Same histogram reduction as `iqr_outlier_summary`: one hash-agg to
+    (group, value, count), then the per-group cumulative window runs
+    over DISTINCT VALUES, never raw rows — the scale-correct form when
+    groups are huge but value domains are bounded (cents, ms buckets).
+    """
+    if not all(0 < p <= 100 for p in ps):
+        raise ValueError("percentiles must be in (0, 100]")
+    h = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = h.withColumn("__cc", F.sum("__c").over(wcum))
+    tot = h.groupBy(group_col).agg(F.sum("__c").alias("n"))
+    j = cum.join(tot, group_col)
+    aggs = [F.max("n").alias("n")]
+    for p in ps:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cc") * 100 >= F.col("n") * p, F.col(value_col)
+                )
+            ).alias(f"p{p}")
+        )
+    return j.groupBy(group_col).agg(*aggs)

@@ -16,3 +16,4 @@ from . import zy  # noqa: F401
 from . import zya  # noqa: F401
 from . import zyb  # noqa: F401
 from . import zyc  # noqa: F401
+from . import zyd  # noqa: F401

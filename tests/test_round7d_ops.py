@@ -1,0 +1,163 @@
+"""Round-7 batch-5 operator tests: CDC latest-wins replay (delete wins,
+resurrection, tie determinism), PSI sufficient stats + the float fold,
+windowed conversion vs brute force, grouped percentiles vs brute
+force, and the zyd plan audit."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from ergo_uexplorer_spark.operators.cdc import latest_snapshot
+from ergo_uexplorer_spark.operators.joins import windowed_conversion
+from ergo_uexplorer_spark.operators.stats import (
+    grouped_percentiles,
+    psi_sufficient_stats,
+    psi_value,
+)
+
+
+def test_cdc_latest_snapshot_semantics(spark):
+    rows = [
+        # key 1: upsert → delete → upsert (resurrected, latest wins)
+        (1, 10, 1, "u", 100),
+        (1, 20, 2, "d", 0),
+        (1, 30, 3, "u", 300),
+        # key 2: upsert → delete (dead)
+        (2, 10, 4, "u", 200),
+        (2, 40, 5, "d", 0),
+        # key 3: same ts, tiebreak decides (event 7 wins)
+        (3, 50, 6, "u", 111),
+        (3, 50, 7, "u", 222),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, eid long, op string, v long")
+    got = {
+        r.k: (r.last_op, r.last_v, r.n_changes)
+        for r in latest_snapshot(
+            df, "k", ["ts", "eid"], "op", ("d",), ["v"]
+        ).collect()
+    }
+    assert got == {1: ("u", 300, 3), 3: ("u", 222, 2)}
+
+
+def test_cdc_latest_matches_bruteforce_random(spark):
+    rng = random.Random(3)
+    rows = [
+        (rng.randrange(30), rng.randrange(100), i,
+         rng.choice(["i", "u", "d"]), rng.randrange(1000))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, eid long, op string, v long")
+    got = {
+        r.k: (r.last_op, r.last_v, r.n_changes)
+        for r in latest_snapshot(
+            df, "k", ["ts", "eid"], "op", ("d",), ["v"]
+        ).collect()
+    }
+    want = {}
+    bykey = {}
+    for k, ts, eid, op, v in rows:
+        bykey.setdefault(k, []).append((ts, eid, op, v))
+    for k, evs in bykey.items():
+        evs.sort()
+        ts, eid, op, v = evs[-1]
+        if op != "d":
+            want[k] = (op, v, len(evs))
+    assert got == want
+
+
+def test_psi_sufficient_stats_and_value(spark):
+    rng = random.Random(5)
+    rows = [("p1", rng.randrange(10)) for _ in range(400)] + [
+        ("p2", min(9, rng.randrange(12))) for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "period string, bucket long")
+    stats = psi_sufficient_stats(df, "bucket", "period", "p1", "p2")
+    rowsout = stats.collect()
+    A = sum(1 for p, _ in rows if p == "p1")
+    B = len(rows) - A
+    counts = {}
+    for p, bkt in rows:
+        a, b = counts.get(bkt, (0, 0))
+        counts[bkt] = (a + 1, b) if p == "p1" else (a, b + 1)
+    for r in rowsout:
+        a, b = counts[r.bucket]
+        assert (r.a, r.b, r.a_tot, r.b_tot) == (a, b, A, B)
+        assert int(r.a_x_btot) == a * B and int(r.b_x_atot) == b * A
+    want_psi = sum(
+        (a / A - b / B) * math.log((a / A) / (b / B))
+        for a, b in counts.values()
+        if a > 0 and b > 0
+    )
+    assert abs(psi_value(stats) - want_psi) < 1e-9
+
+
+def test_windowed_conversion_matches_bruteforce(spark):
+    rng = random.Random(9)
+    rows = [
+        (rng.randrange(40), rng.randrange(1000),
+         rng.choice(["view", "purchase", "click"]))
+        for _ in range(800)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, et string")
+    W = 120
+    got = {
+        r.k: (r.t0, r.t1, r.delay)
+        for r in windowed_conversion(
+            df, "k", "ts", "et", "view", "purchase", W
+        ).collect()
+    }
+    want = {}
+    for k in {k for k, _, et in rows if et == "view"}:
+        t0 = min(ts for kk, ts, et in rows if kk == k and et == "view")
+        cands = [
+            ts
+            for kk, ts, et in rows
+            if kk == k and et == "purchase" and t0 < ts <= t0 + W
+        ]
+        t1 = min(cands) if cands else None
+        want[k] = (t0, t1, None if t1 is None else t1 - t0)
+    assert got == want
+
+
+def test_grouped_percentiles_matches_bruteforce(spark):
+    rng = random.Random(13)
+    rows = [
+        (rng.choice(["x", "y", "z"]), rng.randrange(10_000))
+        for _ in range(900)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r.g: (r.n, r.p50, r.p95, r.p99)
+        for r in grouped_percentiles(df, "g", "v", (50, 95, 99)).collect()
+    }
+    for g in ("x", "y", "z"):
+        vs = sorted(v for gg, v in rows if gg == g)
+        n = len(vs)
+
+        def q(p):
+            # smallest v with 100*cum >= p*n  →  index ceil(p*n/100)-1
+            return vs[-(-p * n // 100) - 1]
+
+        assert got[g] == (n, q(50), q(95), q(99)), g
+
+
+def test_grouped_percentiles_rejects_bad_p(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    with pytest.raises(ValueError):
+        grouped_percentiles(df, "g", "v", (0,))
+
+
+def test_round7d_plans_have_no_unbounded_products(spark):
+    from ergo_uexplorer_spark.plans.explain import formatted_plan
+    from ergo_uexplorer_spark.suite import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    names = [n for n in REGISTRY if n.startswith("zyd")]
+    assert len(names) == 4
+    for name in names:
+        plan = formatted_plan(REGISTRY[name].fn(spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
