@@ -17,3 +17,4 @@ from . import zya  # noqa: F401
 from . import zyb  # noqa: F401
 from . import zyc  # noqa: F401
 from . import zyd  # noqa: F401
+from . import zye  # noqa: F401
