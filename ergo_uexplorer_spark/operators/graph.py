@@ -964,3 +964,51 @@ def common_neighbor_links(
         .withColumnRenamed("deg", "deg_b")
         .select("node_a", "node_b", "common", "deg_a", "deg_b")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "a",
+    dst: str = "b",
+    max_rounds: int = 10,
+) -> DataFrame:
+    """k-core decomposition membership via iterative peeling →
+    (v, deg): the maximal subgraph in which every node keeps degree
+    ≥ k, with each survivor's degree INSIDE the core. The standard
+    cohesion filter (spam rings, dense co-purchase clusters) the
+    one-shot degree filter gets wrong — removing a low-degree node can
+    cascade, so deg ≥ k must be re-checked against the SHRUNKEN graph
+    until fixed point.
+
+    Spark shape per round: one hash-agg for degrees + two semi-joins to
+    restrict the edge set; survivor/edge tables are checkpointed per
+    round (lineage stays O(1), the components posture). Convergence is
+    a count equality — the survivor set shrinks monotonically, so equal
+    counts imply equal sets, no anti-join needed. Rounds are bounded by
+    the peel depth (typically a handful; worst case the degeneracy
+    ordering length) — raises past `max_rounds` rather than silently
+    truncating, because a truncated peel returns a SUPERSET of the
+    core. Input is one row per undirected edge; mirrored internally."""
+    one = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    e = one.unionByName(
+        one.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    prev_n = None
+    for _ in range(max_rounds):
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        surv = deg.filter(F.col("d") >= k).localCheckpoint(eager=True)
+        n = surv.count()
+        if n == prev_n or n == 0:
+            return surv.select(F.col("a").alias("v"), F.col("d").alias("deg"))
+        prev_n = n
+        sv = surv.select("a")
+        e = (
+            e.join(sv, "a", "left_semi")
+            .join(sv.withColumnRenamed("a", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"k-core did not converge within {max_rounds} rounds — raise "
+        "max_rounds (a truncated peel would return a core SUPERSET)"
+    )

@@ -18,3 +18,4 @@ from . import zyb  # noqa: F401
 from . import zyc  # noqa: F401
 from . import zyd  # noqa: F401
 from . import zye  # noqa: F401
+from . import zyf  # noqa: F401

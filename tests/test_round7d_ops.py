@@ -8,6 +8,8 @@ from __future__ import annotations
 import math
 import random
 
+from pyspark.sql import functions as F
+
 from ergo_uexplorer_spark.operators.cdc import latest_snapshot
 from ergo_uexplorer_spark.operators.joins import windowed_conversion
 from ergo_uexplorer_spark.operators.stats import (
@@ -161,3 +163,99 @@ def test_round7d_plans_have_no_unbounded_products(spark):
         plan = formatted_plan(REGISTRY[name].fn(spark, sf))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def _brute_kcore(edges, k):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    alive = set(adj)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(alive):
+            deg = len(adj[v] & alive)
+            if deg < k:
+                alive.discard(v)
+                changed = True
+    return {v: len(adj[v] & alive) for v in alive}
+
+
+def test_kcore_matches_bruteforce_random(spark):
+    from ergo_uexplorer_spark.operators.graph import kcore
+
+    rng = random.Random(19)
+    edges = list(
+        {
+            tuple(sorted(rng.sample(range(60), 2)))
+            for _ in range(260)
+        }
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.v: r.deg for r in kcore(df, k=5, max_rounds=30).collect()}
+    assert got == _brute_kcore(edges, 5)
+
+
+def test_kcore_cascade_and_empty(spark):
+    from ergo_uexplorer_spark.operators.graph import kcore
+
+    # path graph: 2-core is empty, and finding that requires a full
+    # cascade (each endpoint removal exposes the next)
+    path = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(path, "a long, b long")
+    assert kcore(df, k=2, max_rounds=30).count() == 0
+    # triangle + pendant: 2-core is exactly the triangle, degree 2 each
+    tri = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    got = {
+        r.v: r.deg
+        for r in kcore(
+            spark.createDataFrame(tri, "a long, b long"), k=2
+        ).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_raises_past_max_rounds(spark):
+    import pytest
+
+    from ergo_uexplorer_spark.operators.graph import kcore
+
+    path = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(path, "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(df, k=2, max_rounds=2)
+
+
+def test_bpe_fertility_sums_consistent(spark):
+    """Per-source piece counts must (a) cover every token exactly once
+    (n_pieces >= n_tokens; equality iff no merge ever applies) and
+    (b) total-pieces equals the direct whole-corpus segmentation sum."""
+    from ergo_uexplorer_spark.operators.bpe import (
+        bpe_segment,
+        train_bpe_merges,
+        word_frequencies,
+    )
+    from ergo_uexplorer_spark.suite import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["zyf2_bpe_fertility"].fn(spark, sf).collect()
+    assert len(rows) == 20  # every source reports
+    assert all(r.n_pieces >= r.n_tokens for r in rows)
+    assert any(r.n_pieces > r.n_tokens for r in rows)
+
+    from ergo_uexplorer_spark.suite.base import load
+
+    (docs,) = load(spark, sf, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in train_bpe_merges(docs, n_merges=6).orderBy("rank").collect()
+    ]
+    direct = (
+        bpe_segment(word_frequencies(docs), "w", merges)
+        .select(F.sum(F.size("pieces") * F.col("cnt")).alias("t"))
+        .first()[0]
+    )
+    assert sum(r.n_pieces for r in rows) == direct
