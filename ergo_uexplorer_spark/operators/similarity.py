@@ -1430,3 +1430,42 @@ def near_dup_pairs_multiprobe(
     from .util import materialize_and_release
 
     return materialize_and_release(out, e)
+
+
+def embedding_centroid_stats(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-class centroid SUFFICIENT STATISTICS → (label, dim, n, sx):
+    exact integer numerators sx = Σ ⌊scale · xᵢ[dim]⌋ with the count n,
+    so centroid[dim] = sx / (n·scale) to 1/scale precision — computed
+    as ORDER-INDEPENDENT integer sums (a float sum's value depends on
+    reduction order across partitions; the floor-scaled integers make
+    the reduction commutative and engine-exact). The class-prototype
+    builder for SemDeDup seeding / embedding-drift monitoring.
+
+    Each float is widened to double BEFORE scaling (float32→double is
+    exact; multiplying in float32 would round differently than an
+    engine that multiplies in double). One posexplode + one hash-agg
+    (map-side combined); output is |labels|·dim rows. sx accumulates in
+    DECIMAL(38,0) — int64 would overflow past ~10¹² rows·scale."""
+    return (
+        emb.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "__e"),
+        )
+        .select(
+            "label",
+            "dim",
+            F.floor(F.col("__e").cast("double") * F.lit(scale))
+            .cast("decimal(38,0)")
+            .alias("__x"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__x").cast("decimal(38,0)").alias("sx"),
+        )
+    )

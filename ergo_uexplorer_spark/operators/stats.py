@@ -828,3 +828,29 @@ def grouped_percentiles(
             ).alias(f"p{p}")
         )
     return j.groupBy(group_col).agg(*aggs)
+
+
+def ohlc_bars(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+) -> DataFrame:
+    """OHLC bar aggregation per group → (…group, open, high, low,
+    close, n_events, volume): open/close are the values at the
+    group's FIRST/LAST (ts, tiebreak) — `min_by`/`max_by` over the
+    composite key, so the whole bar is ONE hash-aggregate (commutative,
+    map-side combined, no window, no sort). The time-series bar /
+    downsampling primitive; pass a unique tiebreak so equal timestamps
+    are deterministic."""
+    key = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    v = F.col(value_col)
+    return df.groupBy(*group_cols).agg(
+        F.min_by(v, key).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(v, key).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(v).alias("volume"),
+    )

@@ -19,3 +19,4 @@ from . import zyc  # noqa: F401
 from . import zyd  # noqa: F401
 from . import zye  # noqa: F401
 from . import zyf  # noqa: F401
+from . import zyg  # noqa: F401

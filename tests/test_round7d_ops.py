@@ -259,3 +259,72 @@ def test_bpe_fertility_sums_consistent(spark):
         .first()[0]
     )
     assert sum(r.n_pieces for r in rows) == direct
+
+
+def test_ohlc_bars_matches_bruteforce(spark):
+    from ergo_uexplorer_spark.operators.stats import ohlc_bars
+
+    rng = random.Random(23)
+    rows = [
+        (rng.choice(["x", "y"]), rng.randrange(100), i, rng.randrange(1000))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts long, tb long, v long")
+    got = {
+        r.g: (r.open, r.high, r.low, r.close, r.n_events, r.volume)
+        for r in ohlc_bars(df, ["g"], "ts", "tb", "v").collect()
+    }
+    for g in ("x", "y"):
+        evs = sorted((ts, tb, v) for gg, ts, tb, v in rows if gg == g)
+        vs = [v for _, _, v in evs]
+        assert got[g] == (
+            evs[0][2],
+            max(vs),
+            min(vs),
+            evs[-1][2],
+            len(evs),
+            sum(vs),
+        )
+
+
+def test_centroid_stats_exact_and_order_independent(spark):
+    from ergo_uexplorer_spark.operators.similarity import (
+        embedding_centroid_stats,
+    )
+
+    import struct as _struct
+
+    rng = random.Random(29)
+
+    def f32(x):
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    rows = [
+        (i, i % 3, [f32(rng.uniform(-1, 1)) for _ in range(4)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    got = {
+        (r.label, r.dim): (r.n, int(r.sx))
+        for r in embedding_centroid_stats(df).collect()
+    }
+    import math
+
+    want = {}
+    for _, lbl, vec in rows:
+        for d, x in enumerate(vec):
+            n, s = want.get((lbl, d), (0, 0))
+            want[(lbl, d)] = (n + 1, s + math.floor(x * 10**6))
+    assert got == want
+    # order independence: reversed + repartitioned input, same sums
+    got2 = {
+        (r.label, r.dim): (r.n, int(r.sx))
+        for r in embedding_centroid_stats(
+            spark.createDataFrame(
+                rows[::-1], "vec_id long, label int, embedding array<float>"
+            ).repartition(13)
+        ).collect()
+    }
+    assert got2 == want
