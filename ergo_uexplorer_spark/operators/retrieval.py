@@ -81,6 +81,12 @@ def bm25_topk(
         .groupBy(id_col, "__dl", "term")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
+    # materialize tf ONCE: it feeds both the df aggregate and the scored
+    # join, and lazily each consumer re-runs the tokenize+explode subtree
+    # over the corpus (the common_neighbor_links / d04 lesson). The table
+    # is ≤ |matched docs|·|terms| rows — cheap to pin.
+    if not tf.isStreaming:
+        tf = tf.localCheckpoint(eager=True)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
 
     scored = (
