@@ -356,6 +356,10 @@ def windowed_conversion(
         .groupBy(key_col)
         .agg(F.min(F.col(ts_col).cast("long")).alias("t0"))
     )
+    # firsts feeds the conversion join AND the final left join — pin the
+    # per-key dim once so the fact-table scan+agg doesn't run twice
+    if not firsts.isStreaming:
+        firsts = firsts.localCheckpoint(eager=True)
     tos = events.filter(F.col(type_col) == to_type).select(
         key_col, F.col(ts_col).cast("long").alias("__tt")
     )

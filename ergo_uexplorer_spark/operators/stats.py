@@ -674,6 +674,9 @@ def rfm_segments(
         F.count(F.lit(1)).alias("__f"),
         F.sum(F.col(amount_col).cast("long")).alias("__m"),
     )
+    # the entity dim feeds the count AND three rank passes — pin it once
+    # so the fact-table aggregation doesn't re-run per consumer
+    per = per.localCheckpoint(eager=True)
     n = per.count()
 
     def _score(d: DataFrame, col: str, out: str) -> DataFrame:
