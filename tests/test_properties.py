@@ -1073,3 +1073,86 @@ def test_linear_interpolate_invariants(spark, obs):
             )
             lo_v, hi_v = sorted((prev[1], nxt[1]))
             assert lo_v - 1 <= r.v <= hi_v
+
+
+interval_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),  # start
+        st.integers(min_value=1, max_value=60),  # length
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ivs=interval_strategy)
+def test_peak_concurrency_equals_naive_sweep(spark, ivs):
+    """Distributed sweep line (ordered_prefix running sum) ≡ the
+    single-threaded sweep on arbitrary interval sets, including heavy
+    boundary ties and fully-nested intervals."""
+    from ergo_uexplorer_spark.operators.intervals import peak_concurrency
+
+    intervals = [(s, s + ln) for s, ln in ivs]
+    df = spark.createDataFrame(intervals, "st long, en long")
+    r = peak_concurrency(df, "st", "en").collect()[0]
+
+    pts = sorted(
+        [(s, 1) for s, _ in intervals] + [(e, -1) for _, e in intervals]
+    )
+    cum, peak, at = 0, None, None
+    for t, d in pts:
+        cum += d
+        if peak is None or cum > peak:
+            peak, at = cum, t
+    assert (r.peak, r.ts_at_peak) == (peak, at)
+
+
+changes_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),  # key
+        st.integers(min_value=0, max_value=40),  # ts (ties likely)
+        st.sampled_from(["i", "u", "d"]),
+        st.integers(min_value=0, max_value=999),
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=changes_strategy)
+def test_cdc_latest_snapshot_equals_naive_replay(spark, rows):
+    """max_by-based latest-wins ≡ sequential per-key replay, including
+    delete-then-resurrect chains and timestamp ties (tiebreak = event
+    index)."""
+    from ergo_uexplorer_spark.operators.cdc import latest_snapshot
+
+    data = [(k, ts, i, op, v) for i, (k, ts, op, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "k long, ts long, eid long, op string, v long"
+    )
+    got = {
+        r.k: (r.last_op, r.last_v, r.n_changes)
+        for r in latest_snapshot(
+            df, "k", ["ts", "eid"], "op", ("d",), ["v"]
+        ).collect()
+    }
+    state, counts = {}, {}
+    for k, ts, eid, op, v in sorted(data, key=lambda r: (r[0], r[1], r[2])):
+        state[k] = (op, v)
+        counts[k] = counts.get(k, 0) + 1
+    want = {
+        k: (op, v, counts[k])
+        for k, (op, v) in state.items()
+        if op != "d"
+    }
+    assert got == want
