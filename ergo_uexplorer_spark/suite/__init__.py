@@ -20,3 +20,4 @@ from . import zyd  # noqa: F401
 from . import zye  # noqa: F401
 from . import zyf  # noqa: F401
 from . import zyg  # noqa: F401
+from . import zyh  # noqa: F401

@@ -328,3 +328,61 @@ def test_centroid_stats_exact_and_order_independent(spark):
         ).collect()
     }
     assert got2 == want
+
+
+def test_gs_percentiles_matches_per_granularity_bruteforce(spark):
+    """zyh1: the grouping-sets median at every granularity must equal
+    independently computed per-slice medians."""
+    from ergo_uexplorer_spark.suite import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["zyh1_gs_percentiles"].fn(spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "source", "lang", "n_chars"
+    ).collect()
+
+    def median(vs):
+        vs = sorted(vs)
+        return vs[(len(vs) - 1) // 2]  # smallest v with 2*cum >= n
+
+    for r in rows:
+        vs = [
+            d.n_chars
+            for d in docs
+            if (r.g_src == 1 or d.source == r.source)
+            and (r.g_lang == 1 or d.lang == r.lang)
+        ]
+        assert (r.n, r.p50) == (len(vs), median(vs)), (
+            r.source, r.lang, r.g_src, r.g_lang)
+    # all four granularities present
+    assert {(r.g_src, r.g_lang) for r in rows} == {
+        (0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+def test_minhash_calibration_est_matches_signatures(spark):
+    """zyh2: est12 must equal the actual per-pair signature agreement,
+    and exact Jaccard must match a python recount on the hashed sets."""
+    from ergo_uexplorer_spark.operators import dedup as D
+    from ergo_uexplorer_spark.suite import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["zyh2_minhash_calibration"].fn(spark, sf).collect()
+    assert len(rows) > 5
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sh = D.hashed_shingle_sets(docs)
+    sets = {}
+    for r in sh.collect():
+        sets.setdefault(r.doc_id, set()).add(r.h)
+    sigs = {
+        r.doc_id: [r[f"mh{i}"] for i in range(D.NUM_HASHES)]
+        for r in D.minhash_signatures(sh).collect()
+    }
+    for r in rows:
+        agree = sum(
+            1
+            for i in range(D.NUM_HASHES)
+            if sigs[r.doc_a][i] == sigs[r.doc_b][i]
+        )
+        inter = len(sets[r.doc_a] & sets[r.doc_b])
+        assert (r.est12, r.shared, r.na, r.nb) == (
+            agree, inter, len(sets[r.doc_a]), len(sets[r.doc_b]))
