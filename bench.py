@@ -200,6 +200,22 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # The driver records only a 2000-char stdout tail, which truncates
+    # most of the 160+ per-entry timings — persist the complete artifact
+    # in-repo so every bench run survives verbatim (committed per round
+    # as BENCH_LOCAL_r{N}.json). Override path via SPARK_GRAFT_BENCH_OUT.
+    artifact = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        ),
+    )
+    try:
+        with open(artifact, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench artifact write failed: {exc!r}", file=sys.stderr)
     try:
         spark.stop()
     except Exception:  # noqa: BLE001 — JSON already emitted

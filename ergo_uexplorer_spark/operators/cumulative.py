@@ -72,7 +72,10 @@ def ordered_prefix(
     )
 
     rows, acc_cnt = [], 0
-    acc_sum = {o: 0 for o in sum_cols}
+    # None until the first non-null contribution: the running sum must be
+    # NULL exactly while the global prefix has no non-null values (window
+    # sum semantics) — an "or 0" accumulator can't represent that
+    acc_sum: dict[str, int | None] = {o: None for o in sum_cols}
     prev_last: dict[str, int | None] = {o: None for o in lag_cols}
     prev_max: dict[str, int | None] = {o: None for o in strict_max_cols}
     for r in part_stats:
@@ -87,7 +90,9 @@ def ordered_prefix(
         )
         acc_cnt += r["__cnt"]
         for o in sum_cols:
-            acc_sum[o] += r[f"__sum_{o}"] or 0
+            ps = r[f"__sum_{o}"]
+            if ps is not None:
+                acc_sum[o] = (acc_sum[o] or 0) + ps
         for o in lag_cols:
             if r["__cnt"]:
                 prev_last[o] = r[f"__last_{o}"]
@@ -111,16 +116,28 @@ def ordered_prefix(
             row_col, (F.row_number().over(w) + F.col("__off_cnt")).cast("long")
         )
     for o, src in sum_cols.items():
+        # null-aware boundary add: plain `local + offset` nulls the whole
+        # sum whenever the partition-local prefix is all-NULL; window-sum
+        # semantics want NULL only while the GLOBAL prefix has no
+        # non-null value (adversarial null property test)
+        local = F.sum(F.col(src).cast("long")).over(wcum)
+        off = F.col(f"__off_{o}")
         out = out.withColumn(
             o,
-            F.sum(F.col(src).cast("long")).over(wcum) + F.col(f"__off_{o}"),
+            F.when(local.isNull() & off.isNull(), F.lit(None)).otherwise(
+                F.coalesce(local, F.lit(0)) + F.coalesce(off, F.lit(0))
+            ),
         )
     for o, src in lag_cols.items():
+        # NOT coalesce(lag, boundary): lag() is also NULL when the
+        # in-partition previous row's VALUE is null, and that null must
+        # survive — only the partition's true first row takes the
+        # boundary carry (found by the adversarial null property test)
         out = out.withColumn(
             o,
-            F.coalesce(
-                F.lag(F.col(src).cast("long")).over(w), F.col(f"__prev_{o}")
-            ),
+            F.when(
+                F.row_number().over(w) == 1, F.col(f"__prev_{o}")
+            ).otherwise(F.lag(F.col(src).cast("long")).over(w)),
         )
     wexcl = w.rowsBetween(Window.unboundedPreceding, -1)
     for o, src in strict_max_cols.items():

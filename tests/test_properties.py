@@ -73,6 +73,102 @@ def test_ordered_prefix_equals_naive_window(spark, rows):
     assert got == want
 
 
+# Adversarial shape for the boundary-correction machinery: a TINY key
+# domain (0..2, so duplicate order keys straddle every range-partition
+# boundary), num_partitions > rows (repartitionByRange emits EMPTY
+# partitions), and nullable values (a genuine NULL previous-row value
+# must survive lag — not be papered over by the boundary carry).
+adversarial_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # order key, heavy dups
+        st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=adversarial_rows)
+def test_ordered_prefix_adversarial_boundaries(spark, rows):
+    """Duplicate order keys across partition boundaries + empty
+    partitions + NULL values: ordered_prefix ≡ single-task window for
+    row_number, running sum, lag AND strict (exclusive) prefix max."""
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "uid long, k long, v long")
+    out = (
+        ordered_prefix(
+            df,
+            order_cols=["k", "uid"],
+            sum_cols={"run_v": "v"},
+            lag_cols={"prev_v": "v"},
+            row_col="rn",
+            strict_max_cols={"pmax_v": "v"},
+            num_partitions=8,  # > max_size/3 distinct keys, often > rows
+        )
+        .orderBy("k", "uid")
+        .collect()
+    )
+    w = Window.orderBy("k", "uid")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    wx = w.rowsBetween(Window.unboundedPreceding, -1)
+    naive = (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("run_v", F.sum("v").over(wc))
+        .withColumn("prev_v", F.lag("v").over(w))
+        .withColumn("pmax_v", F.max("v").over(wx))
+        .orderBy("k", "uid")
+        .collect()
+    )
+    cols = ("uid", "rn", "run_v", "prev_v", "pmax_v")
+    got = [tuple(r[c] for c in cols) for r in out]
+    want = [tuple(r[c] for c in cols) for r in naive]
+    assert got == want
+
+
+def test_ordered_prefix_single_row_and_constant_key(spark):
+    """Degenerate totals: one row (every prefix column at its identity)
+    and an all-equal order key at 8 partitions (the whole order rests on
+    the uid tiebreak and the boundary carries)."""
+    one = spark.createDataFrame([(0, 7, 42)], "uid long, k long, v long")
+    r = ordered_prefix(
+        one,
+        order_cols=["k", "uid"],
+        sum_cols={"run_v": "v"},
+        lag_cols={"prev_v": "v"},
+        row_col="rn",
+        strict_max_cols={"pmax_v": "v"},
+        num_partitions=8,
+    ).collect()[0]
+    assert (r["rn"], r["run_v"], r["prev_v"], r["pmax_v"]) == (1, 42, None, None)
+
+    const = spark.createDataFrame(
+        [(i, 0, i * 10) for i in range(9)], "uid long, k long, v long"
+    )
+    rows = (
+        ordered_prefix(
+            const,
+            order_cols=["k", "uid"],
+            sum_cols={"run_v": "v"},
+            lag_cols={"prev_v": "v"},
+            row_col="rn",
+            strict_max_cols={"pmax_v": "v"},
+            num_partitions=8,
+        )
+        .orderBy("uid")
+        .collect()
+    )
+    for i, r in enumerate(rows):
+        assert r["rn"] == i + 1
+        assert r["run_v"] == sum(j * 10 for j in range(i + 1))
+        assert r["prev_v"] == (None if i == 0 else (i - 1) * 10)
+        assert r["pmax_v"] == (None if i == 0 else (i - 1) * 10)
+
+
 asof_strategy = st.tuples(
     st.lists(  # left: (key, ts)
         st.tuples(
