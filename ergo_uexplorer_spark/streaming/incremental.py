@@ -119,11 +119,39 @@ class UtxoState:
                         return v
         return None
 
+    def tip(self, version: int | None = None) -> tuple[int, str] | None:
+        """(height, block_id) recorded at `version` (default: newest
+        version carrying one) — the chain cursor the fork-aware
+        scheduler compares branches against."""
+        v = self.current_version() if version is None else version
+        for x in reversed([y for y in self.versions() if y <= v]):
+            marker = os.path.join(self._vdir(x), "_tip")
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    h, _, bid = f.read().strip().partition(":")
+                return int(h), bid
+        return None
+
+    def applied_headers(self) -> dict[str, tuple[int, str]]:
+        """{block_id: (height, parent_id)} over the RETAINED versions'
+        header sidecars — the bounded recent-chain cache the reference's
+        scheduler keeps in memory (C1): fork depth beyond the retention
+        window is unrecoverable anyway, so this never grows O(chain)."""
+        out: dict[str, tuple[int, str]] = {}
+        for v in self.versions():
+            hdir = os.path.join(self._vdir(v), "headers")
+            if os.path.exists(hdir):
+                for r in self.spark.read.parquet(hdir).collect():
+                    out[r["block_id"]] = (r["height"], r["parent_id"])
+        return out
+
     def commit(
         self,
         created: DataFrame,
         spent: DataFrame,
         batch_id: int | None = None,
+        headers: DataFrame | None = None,
+        tip: tuple[int, str] | None = None,
     ) -> int:
         """O(batch) delta commit: write the batch's created rows and
         spent box-ids, atomically publish the version, then (on the
@@ -150,6 +178,13 @@ class UtxoState:
         if batch_id is not None:
             with open(os.path.join(tmp, "_batch_id"), "w") as f:
                 f.write(str(batch_id))
+        if headers is not None:
+            headers.select("block_id", "height", "parent_id").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(tmp, "headers"))
+        if tip is not None:
+            with open(os.path.join(tmp, "_tip"), "w") as f:
+                f.write(f"{tip[0]}:{tip[1]}")
         os.rename(tmp, self._vdir(v))
         if self.compact_every and v % self.compact_every == 0:
             tmp_base = os.path.join(self._vdir(v), ".tmp_base")
@@ -210,6 +245,117 @@ def apply_block_batch(
     return state.commit(new_boxes, spent, batch_id=batch_id)
 
 
+def _batch_headers(raw_batch: DataFrame) -> DataFrame:
+    return raw_batch.select(
+        F.col("header.id").alias("block_id"),
+        F.col("header.height").alias("height"),
+        F.col("header.parentId").alias("parent_id"),
+    )
+
+
+def apply_block_batch_forkaware(
+    state: UtxoState,
+    raw_batch: DataFrame,
+    batch_id: int | None = None,
+    genesis_parent: str | None = None,
+) -> int | None:
+    """C3-under-streaming: per-batch UTXO application with the
+    reference scheduler's fork handling (StreamScheduler.scala:25-64,
+    BlockWriter.scala:35-77 winning-branch semantics):
+
+    - batch extends the tip → plain delta commit;
+    - batch is a branch diverging below the tip → applied ONLY if its
+      best linked tip is strictly higher than the current one (longest
+      chain wins; the same-height incumbent keeps — first-seen-wins,
+      BlockWriter.scala:66-69): `rollback_to` the newest version wholly
+      below the divergence, then commit the branch's blocks from the
+      divergence up as one new version;
+    - losing / orphan branch → no-op (returns None).
+
+    Driver-side work is O(|batch headers| + retained window): only the
+    3-string header tuples are collected, never block bodies — the same
+    bounded recent-chain cache the reference scheduler holds in memory.
+    Fork depth beyond the rollback retention raises (the reference
+    cannot rewind past its kept MVStore versions either)."""
+    if batch_id is not None:
+        existing = state.batch_version(batch_id)
+        if existing is not None:
+            return existing
+    hdrs = {
+        r["block_id"]: (r["height"], r["parent_id"])
+        for r in _batch_headers(raw_batch).collect()
+    }
+    if not hdrs:
+        return None
+    applied = state.applied_headers()
+    cur_tip = state.tip()
+
+    # best linked tip in the batch: walk parents through batch headers
+    # until hitting an applied block (divergence anchor) or a chain root
+    best: tuple[int, str, int] | None = None  # (tip_h, tip_id, diverge_h)
+    for bid, (h, _p) in hdrs.items():
+        if any(p == bid for (_hh, p) in hdrs.values()):
+            continue  # not a tip within the batch
+        node, anchor_child_h = bid, None
+        seen = set()
+        while node in hdrs and node not in seen:
+            seen.add(node)
+            nh, parent = hdrs[node]
+            if parent in applied or (
+                nh == 1 and (genesis_parent is None or parent == genesis_parent)
+            ):
+                anchor_child_h = nh
+                break
+            node = parent
+        if anchor_child_h is None:
+            continue  # orphan: parent chain leaves batch without anchoring
+        if best is None or h > best[0]:
+            best = (h, bid, anchor_child_h)
+    if best is None:
+        return None
+    tip_h, tip_id, diverge_h = best
+    if cur_tip is not None and diverge_h <= cur_tip[0]:
+        # branch: strictly-longer wins, ties keep the incumbent
+        if tip_h <= cur_tip[0]:
+            return None
+        target = None
+        for v in state.versions():
+            t = state.tip(v)
+            if t is not None and t[0] < diverge_h:
+                target = v
+        if target is None and diverge_h > 1:
+            raise RuntimeError(
+                f"fork at height {diverge_h} is below the retained rollback "
+                f"window — cannot rewind (reference keeps {KEEP_VERSIONS} "
+                "versions too)"
+            )
+        state.rollback_to(target or 0)
+    # winning path ids from the tip down to the divergence
+    path, node = [], tip_id
+    while node in hdrs:
+        path.append(node)
+        nh, parent = hdrs[node]
+        if nh == diverge_h:
+            break
+        node = parent
+    win = (
+        raw_batch
+        if len(path) == len(hdrs)  # pure append: the whole batch wins
+        else raw_batch.filter(F.col("header.id").isin(path))
+    )
+    out = N.outputs(win)
+    trees = N.ergo_trees(out)
+    new_boxes = N.boxes(out, trees).select(*UTXO_COLS)
+    spent = spent_inputs(N.inputs(win)).select("box_id")
+    return state.commit(
+        new_boxes,
+        spent,
+        batch_id=batch_id,
+        headers=_batch_headers(win),
+        tip=(tip_h, tip_id),
+    )
+
+
 def incremental_sync(
     spark: SparkSession,
     blocks_dir: str,
@@ -217,19 +363,26 @@ def incremental_sync(
     checkpoint_dir: str,
     available_now: bool = True,
     state: "UtxoState | None" = None,
+    fork_aware: bool = False,
 ):
     """C10: Structured Streaming over arriving block files; one UTXO
     version per micro-batch. `Trigger.AvailableNow` drains the backlog
     then stops (the batch-catchup mode); leave it False for continuous
     tailing of a node dump directory. Pass `state` to run against a
-    different versioned backend (e.g. `delta_state.DeltaUtxoState`)."""
+    different versioned backend (e.g. `delta_state.DeltaUtxoState`).
+    `fork_aware=True` routes each micro-batch through the reference
+    scheduler's branch resolution (rollback + winning-chain re-apply;
+    parquet `UtxoState` backend — it needs the tip/header sidecars)."""
     state = state or UtxoState(spark, state_dir)
     stream = spark.readStream.schema(BLOCK_SCHEMA).json(blocks_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        apply_block_batch(state, batch_df, batch_id=batch_id)
+        if fork_aware:
+            apply_block_batch_forkaware(state, batch_df, batch_id=batch_id)
+        else:
+            apply_block_batch(state, batch_df, batch_id=batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(_apply)

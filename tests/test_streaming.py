@@ -417,3 +417,89 @@ def test_streaming_corpus_refresh_redelivery_idempotent(spark, tmp_path):
         r["doc_id"]: r for r in spark.read.parquet(dec_path).collect()
     }
     assert dec[2]["keep"] and not dec[1]["keep"] and dec[1]["dup_of"] == 100
+
+
+def test_fork_mid_stream_rollback_in_availablenow_loop(spark, tmp_path):
+    """C3 under streaming (StreamSchedulerSpec.scala:78-83): a fork
+    arriving MID-STREAM — prefix, main tip, a same-length losing branch,
+    then a longer winning branch, each drained by its own availableNow
+    run of the fork-aware sync — must end in exactly the state of batch-
+    recomputing the winning chain. The losing branch must leave state
+    untouched; the winning one must roll back to the pre-divergence
+    version and re-apply its blocks in the same micro-batch loop."""
+    from ergo_uexplorer_spark.streaming.incremental import (
+        apply_block_batch_forkaware,
+    )
+
+    n, fork_at = 60, 59
+    gen = ChainGen(seed=33)
+    gen.generate(n)
+    shorter = gen.fork(fork_at, 0, "fshort")  # heights 59..60, ties
+    longer = gen.fork(fork_at - 1, 1, "flong")  # heights 58..61, wins
+
+    blocks_dir = tmp_path / "in"
+    blocks_dir.mkdir()
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = incremental_sync(
+            spark, str(blocks_dir), state_dir, ckpt, fork_aware=True
+        )
+        q.awaitTermination(300)
+
+    def utxo_ids():
+        df = UtxoState(spark, state_dir).read()
+        return {r["box_id"] for r in df.select("box_id").collect()}
+
+    # batch 1: common prefix 1..57; batch 2: main 58..60
+    write_jsonl_gz(
+        [b for b in gen.blocks if b["header"]["height"] <= fork_at - 2],
+        str(blocks_dir / "b1.jsonl.gz"),
+    )
+    drain()
+    write_jsonl_gz(
+        [b for b in gen.blocks if b["header"]["height"] > fork_at - 2],
+        str(blocks_dir / "b2.jsonl.gz"),
+    )
+    drain()
+    state = UtxoState(spark, state_dir)
+    assert state.tip()[0] == n
+    main_ids = utxo_ids()
+
+    # batch 3: the same-length branch loses — state must be untouched
+    write_jsonl_gz(
+        [b for b in shorter if b["header"]["height"] >= fork_at],
+        str(blocks_dir / "b3.jsonl.gz"),
+    )
+    drain()
+    assert state.tip()[0] == n
+    assert state.tip()[1] == gen.blocks[-1]["header"]["id"]
+    assert utxo_ids() == main_ids
+
+    # batch 4: the longer branch wins — rollback below height 58, then
+    # the branch's four blocks applied as one new version
+    v_before = state.current_version()
+    write_jsonl_gz(
+        [b for b in longer if b["header"]["height"] >= fork_at - 1],
+        str(blocks_dir / "b4.jsonl.gz"),
+    )
+    drain()
+    assert state.tip() == (n + 1, longer[-1]["header"]["id"])
+    # the losing tip's version was dropped before the new commit
+    assert state.current_version() == v_before  # rollback freed v2's slot
+
+    win_path = str(tmp_path / "winning.jsonl.gz")
+    write_jsonl_gz(longer, win_path)
+    batch = ingest_blocks(spark, win_path)
+    want = {r["box_id"] for r in batch["utxo"].select("box_id").collect()}
+    assert utxo_ids() == want
+
+    # replaying the winning batch id is a no-op (exactly-once survives
+    # the rollback path too)
+    from ergo_uexplorer_spark.sources.blocks import read_blocks
+
+    raw = read_blocks(spark, str(blocks_dir / "b4.jsonl.gz"))
+    v = apply_block_batch_forkaware(state, raw, batch_id=3)
+    assert v == state.current_version()
+    assert utxo_ids() == want
