@@ -1469,3 +1469,63 @@ def embedding_centroid_stats(
             F.sum("__x").cast("decimal(38,0)").alias("sx"),
         )
     )
+
+
+GRAM_SCHEMA = "i int, j int, n long, gram long, sum_i long, sum_j long"
+
+
+def embedding_gram_stats(
+    emb: DataFrame, vec_col: str = "embedding", scale: int = 10**6
+) -> DataFrame:
+    """Covariance/whitening sufficient statistics for PCA / whitening /
+    ZCA over an embedding column: the upper-triangle Gram matrix
+    Σ qᵢqⱼ plus per-dim sums, with vectors quantized to integers
+    (floor(x·scale + ½)) so the sums are order-independent and exact —
+    the same trick `embedding_centroid_stats` uses, extended to second
+    moments. Covariance falls out driver-side: cov[i,j] =
+    (gram − sum_i·sum_j/n)/n (÷scale²).
+
+    Spark-first shape: `mapInPandas` computes one d×d numpy Gram matrix
+    per Arrow batch (QᵀQ — a single integer matmul, no per-element
+    explode: the d²-row blow-up never exists at row scale), emits
+    d(d+1)/2 partial rows per batch, and a final hash-agg over the
+    (i, j) key — d(d+1)/2 groups — sums partials. Shuffle volume is
+    O(batches · d²), INDEPENDENT of row count; at 100 TB this is
+    the canonical tree-aggregate shape. Per-BATCH gram fits int64
+    (|q| ≤ scale → one product ≤ scale² = 10¹², Arrow batches ≤ 10⁴
+    rows → ≤ 10¹⁶); the FINAL agg accumulates in DECIMAL(38,0), where
+    int64 would overflow past ~9·10⁶ rows."""
+    import pandas as pd
+
+    def _partial(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(X * scale + 0.5).astype(np.int64)
+            d = Q.shape[1]
+            G = Q.T @ Q
+            s = Q.sum(axis=0)
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "n": np.full(len(iu), len(Q), dtype="int64"),
+                    "gram": G[iu, ju],
+                    "sum_i": s[iu],
+                    "sum_j": s[ju],
+                }
+            )
+
+    partials = emb.select(vec_col).mapInPandas(_partial, GRAM_SCHEMA)
+    return partials.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum(F.col("gram").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("gram"),
+        F.sum("sum_i").alias("sum_i"),
+        F.sum("sum_j").alias("sum_j"),
+    )

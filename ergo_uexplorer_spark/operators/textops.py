@@ -393,3 +393,44 @@ def inverted_index(
         )
         .filter(F.col("df") >= min_df)
     )
+
+
+def token_rank_surprisal(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """CCNet-style LM quality scoring, integer-exact: score each document
+    by the mean GLOBAL FREQUENCY RANK of its tokens (rank 1 = most
+    common word). Rare-token-heavy documents score high — the same
+    signal a unigram-LM perplexity filter thresholds on, but built from
+    ranks so both engines agree bit-for-bit (log-probabilities are
+    irrational; ranks are integers).
+
+    Spark-first shape: one explode → vocab hash-agg (map-side combined),
+    global rank over the VOCAB (|V| rows, not |tokens|) via
+    `ordered_prefix` — range-partitioned row_number, no single-task
+    window — then an equi-join of the token stream back to the ranked
+    vocab on the token key (co-partitioned with the vocab agg's
+    exchange) and a per-doc hash-agg. At 100 TB the only large shuffles
+    are keyed by token — uniformly distributed after the stopword head,
+    and AQE splits that head."""
+    from .cumulative import ordered_prefix
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = ordered_prefix(
+        vocab.withColumn("neg_cnt", -F.col("cnt")),
+        order_cols=["neg_cnt", "tok"],
+        row_col="rnk",
+    ).select("tok", "rnk")
+    return (
+        toks.join(ranked, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("rnk").alias("sum_rank"),
+        )
+        .withColumn(
+            "mean_rank", F.expr("sum_rank div n_toks").cast("long")
+        )
+    )

@@ -12,6 +12,7 @@ from . import grouped  # noqa: F401
 from . import registers  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import extras  # noqa: F401
+from . import zw  # noqa: F401
 from . import zy  # noqa: F401
 from . import zya  # noqa: F401
 from . import zyb  # noqa: F401

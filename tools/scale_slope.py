@@ -82,6 +82,14 @@ QUERIES = (
     # first-owner min-agg + co-partitioned join back on the gram hash;
     # disjoint per-copy universes keep novelty structure per copy
     "zx5_ngram_novelty",
+    # r8 additions (the last never-soaked heavy entries):
+    # containment join: lossless prefix filter — disjoint per-copy
+    # shingle universes keep candidate pairs ~linear in copies
+    "zz_z30_containment_join",
+    # source-overlap matrix: per-(source,source) MinHash-bucket
+    # agreement counts; per-copy token suffixes keep bucket collisions
+    # within-copy, so matrix cell work scales ~linearly
+    "zz_z25_source_overlap",
 )
 
 
