@@ -114,7 +114,17 @@ def k_hop_neighbors(
         e = e.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    e = e.repartition(n, "src").persist()
+    # The edge table is persisted UNPARTITIONED first: while the frontier
+    # side stays under the broadcast gate (the common case for a
+    # seed-bounded BFS), every level is a broadcast hash join that scans
+    # the cached edge partitions in place — a pre-repartition by src
+    # would be a full shuffle of the big side bought for nothing
+    # (measured ~0.9 s of the 7 s g02 time at sf0.1). The src-hash
+    # layout is built lazily, ONCE, the first time a level actually
+    # demotes to the shuffled join — from the cached copy, not the
+    # source scan — and reused by every subsequent shuffled level.
+    e = e.persist()
+    e_part: DataFrame | None = None
     schema = T.StructType(
         [
             T.StructField("id", edges.schema["src"].dataType),
@@ -124,27 +134,38 @@ def k_hop_neighbors(
     visited = spark.createDataFrame([(s, 0) for s in start_ids], schema)
     frontier = visited.persist()
     f_rows = len(start_ids)
+    v_rows = len(start_ids)  # exact visited size (sum of counted levels)
     retired: list[DataFrame] = []
     for level in range(1, k + 1):
-        fr = (
-            F.broadcast(frontier)
-            if f_rows <= broadcast_frontier_max_rows
-            else frontier
+        small_frontier = f_rows <= broadcast_frontier_max_rows
+        fr = F.broadcast(frontier) if small_frontier else frontier
+        if not small_frontier and e_part is None:
+            e_part = e.repartition(n, "src").persist()
+        side = e if small_frontier else e_part
+        # The visited side of the anti-join is broadcast while its
+        # EXACT size (every level is counted anyway) stays under the
+        # same gate: without this, the growing visited accumulator is
+        # re-shuffled every single level. The frontier distinct still
+        # runs as a plain distinct (NOT repartition-then-distinct): the
+        # partial aggregation BEFORE the exchange dedupes the join
+        # fan-out map-side — at a dense level the dst stream is
+        # ~avg-degree× larger than its distinct set — and with a
+        # broadcast visited the anti-join then adds NO exchange at all.
+        seen = (
+            F.broadcast(visited)
+            if v_rows <= broadcast_frontier_max_rows
+            else visited
         )
-        # plain distinct (NOT repartition-then-distinct): the partial
-        # aggregation BEFORE the exchange dedupes the join fan-out
-        # map-side — at a dense level the dst stream is ~avg-degree×
-        # larger than its distinct set. AQE coalesces the post-shuffle
-        # partitions of these small exchanges.
         nxt = (
-            e.join(fr, fr["id"] == e["src"])
+            side.join(fr, fr["id"] == side["src"])
             .select(F.col("dst").alias("id"))
             .distinct()
-            .join(visited, "id", "left_anti")
+            .join(seen, "id", "left_anti")
             .withColumn("hops", F.lit(level))
             .persist()
         )
         f_rows = nxt.count()  # materialize: gate signal + early exit
+        v_rows += f_rows
         visited = visited.unionByName(nxt)
         # the previous frontier's dependents are materialized now
         retired.append(frontier)
@@ -164,6 +185,8 @@ def k_hop_neighbors(
             nxt = nxt.localCheckpoint(eager=False)
         frontier = nxt
     e.unpersist(blocking=False)
+    if e_part is not None:
+        e_part.unpersist(blocking=False)
     return visited
 
 

@@ -175,3 +175,58 @@ def rrf_fuse(
             F.col("rrf_score").desc(), F.col(id_col).asc()
         ).limit(top)
     return out
+
+
+def retrieval_eval(
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    relevance: DataFrame,
+    k: int = 50,
+    p_cut: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Ranking-quality evaluation over a labelled corpus — the offline
+    eval loop of a retrieval stack (MRR / precision@N without the
+    floats): for each named query, BM25-odds top-k is ranked exactly and
+    scored against a per-doc boolean `relevance` table (doc_id, is_rel).
+
+    Returns one row per query: n_topk, n_rel (relevant in top-k),
+    first_rel_rank (the MRR numerator's rank, NULL when no relevant doc
+    made the cut — exactly SQL's min-over-empty), rel_at_p
+    (precision@`p_cut` numerator). All integers: MRR = mean(1/rank) and
+    P@N = rel_at_p/p_cut follow driver-side.
+
+    Scale shape: per query, the cost IS bm25_topk (pre-filtered explode,
+    broadcast (N,L)/df dims, TakeOrderedAndProject top-k); the global
+    rank over the ≤k survivors goes through `ordered_prefix` (never a
+    single-task window), and the relevance join broadcasts the ≤k-row
+    ranked side against the big labelled table."""
+    from functools import reduce as _reduce
+
+    from .cumulative import ordered_prefix
+
+    outs = []
+    for qname, terms in queries.items():
+        top = bm25_topk(
+            docs, terms, k=k, id_col=id_col, text_col=text_col, scale=scale
+        )
+        ranked = ordered_prefix(
+            top.withColumn("__neg", -F.col("score")),
+            order_cols=["__neg", id_col],
+            row_col="rank",
+        ).select(id_col, "rank")
+        j = relevance.join(F.broadcast(ranked), id_col)
+        rel = F.col("is_rel")
+        outs.append(
+            j.agg(
+                F.count(F.lit(1)).alias("n_topk"),
+                F.sum(rel.cast("long")).alias("n_rel"),
+                F.min(F.when(rel, F.col("rank"))).alias("first_rel_rank"),
+                F.sum(
+                    (rel & (F.col("rank") <= p_cut)).cast("long")
+                ).alias("rel_at_p"),
+            ).select(F.lit(qname).alias("query"), "*")
+        )
+    return _reduce(lambda a, b: a.unionByName(b), outs)

@@ -1529,3 +1529,90 @@ def embedding_gram_stats(
         F.sum("sum_i").alias("sum_i"),
         F.sum("sum_j").alias("sum_j"),
     )
+
+
+def embedding_quant_stats(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 10**6,
+    levels: int = 255,
+) -> DataFrame:
+    """Per-dimension int8 quantization statistics for vector-index
+    compression (the scalar-quantization prep every large ANN index
+    does before PQ/IVF storage): per-dim min/max → (scale, zero-point),
+    plus the exact total and max absolute reconstruction error of the
+    round-trip code = ⌊(v−min)·levels / (max−min)⌋, recon = min +
+    ⌊code·(max−min)/levels⌋.
+
+    Everything runs on integer-quantized values (⌊x·scale+½⌋, the
+    repo-wide exactness trick) so both passes are engine-exact integer
+    arithmetic — all intermediate divisions have non-negative operands,
+    where floor and truncate agree across engines.
+
+    Scale shape: NO explode, no (row, dim) blow-up, no Python. Pass 1
+    is one scan with 2d map-side partial min/max aggregates (shuffle =
+    one row of 2d columns); the 1-row stats are broadcast back; pass 2
+    re-scans with d error expressions folded into 2d sum/max partial
+    aggregates (shuffle = one row again). Total shuffle volume is O(d)
+    regardless of row count — at 100 TB both passes are pure codegen
+    maps over the column scan."""
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    base = emb.select(qv.alias("qv"))
+
+    p1 = [F.count(F.lit(1)).alias("n")]
+    for i in range(dim):
+        p1.append(F.min(F.col("qv")[i]).alias(f"mn{i}"))
+        p1.append(F.max(F.col("qv")[i]).alias(f"mx{i}"))
+    stats = base.agg(*p1)
+
+    joined = base.crossJoin(F.broadcast(stats))
+    lv = F.lit(levels).cast("long")
+    errs = []
+    for i in range(dim):
+        v = F.col("qv")[i]
+        mn, mx = F.col(f"mn{i}"), F.col(f"mx{i}")
+        den = F.greatest(mx - mn, F.lit(1).cast("long"))
+        num = (v - mn) * lv
+        # integer ⌊num/den⌋ via subtract-the-remainder: operands stay
+        # ≤ levels·(2·scale) ≈ 5·10⁸, exact in the double division
+        code = ((num - num % den) / den).cast("long")
+        back = code * den
+        rec = mn + ((back - back % lv) / lv).cast("long")
+        errs.append(F.abs(v - rec).alias(f"e{i}"))
+    carry = ["n"] + [f"mn{i}" for i in range(dim)] + [f"mx{i}" for i in range(dim)]
+    pass2 = joined.select(*carry, *errs)
+
+    p2 = [F.min("n").alias("n")]
+    for i in range(dim):
+        p2.append(F.min(f"mn{i}").alias(f"mn{i}"))
+        p2.append(F.min(f"mx{i}").alias(f"mx{i}"))
+        p2.append(F.sum(f"e{i}").alias(f"se{i}"))
+        p2.append(F.max(f"e{i}").alias(f"me{i}"))
+    one = pass2.agg(*p2)
+
+    per_dim = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("dim"),
+                F.col(f"mn{i}").alias("min_q"),
+                F.col(f"mx{i}").alias("max_q"),
+                F.col(f"se{i}").alias("sum_abs_err"),
+                F.col(f"me{i}").alias("max_abs_err"),
+            )
+            for i in range(dim)
+        ]
+    )
+    return one.select("n", F.explode(per_dim).alias("s")).select(
+        F.col("s.dim").alias("dim"),
+        F.col("n"),
+        F.col("s.min_q").alias("min_q"),
+        F.col("s.max_q").alias("max_q"),
+        F.col("s.sum_abs_err").alias("sum_abs_err"),
+        F.col("s.max_abs_err").alias("max_abs_err"),
+    )

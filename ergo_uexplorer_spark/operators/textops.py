@@ -434,3 +434,67 @@ def token_rank_surprisal(docs, id_col: str = "doc_id", text_col: str = "text"):
             "mean_rank", F.expr("sum_rank div n_toks").cast("long")
         )
     )
+
+
+def char_collision_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document character-distribution sufficient statistics for the
+    Gopher/C4-style "randomness" quality filters: character count,
+    distinct-character count, and the collision sum Σ cᵢ² over per-char
+    counts cᵢ (Rényi-2 / collision entropy = −log₂(Σcᵢ²/n²) follows from
+    these exact integers downstream).
+
+    Scale shape: ZERO shuffle. The per-char histogram is folded inside a
+    single whole-stage-codegen projection — sort the char array, then one
+    `aggregate` HOF pass accumulates (run length → Σ run², distinct
+    runs). Input row → output row with no explode of |text| rows and no
+    (doc, char) exchange, so at 100 TB the operator is a pure map over
+    the scan (the naive explode+groupBy ships one row per CHARACTER).
+    Integer-exact, so the DuckDB oracle (which does pay the unnest) is
+    hash-identical."""
+    chars = F.array_sort(
+        F.filter(F.split(F.col(text_col), ""), lambda c: c != F.lit(""))
+    )
+    # fold state: (prev char sentinel "", current run length, Σ finished
+    # run², finished distinct-run count); empty strings were filtered so
+    # the "" sentinel can never match a real char
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("sumsq"),
+        F.lit(0).cast("long").alias("nd"),
+    )
+
+    def step(acc, c):
+        same = c == acc["prev"]
+        return F.struct(
+            c.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["sumsq"])
+            .otherwise(acc["sumsq"] + acc["run"] * acc["run"])
+            .alias("sumsq"),
+            F.when(same, acc["nd"]).otherwise(acc["nd"] + 1).alias("nd"),
+        )
+
+    folded = F.aggregate(
+        chars,
+        zero,
+        step,
+        # close the final open run (run=0 ⇒ empty text ⇒ adds nothing)
+        lambda acc: F.struct(
+            (acc["sumsq"] + acc["run"] * acc["run"]).alias("sumsq"),
+            acc["nd"].alias("nd"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        # char count == string length (split('') is every char); length()
+        # avoids re-evaluating the split+sort, which CSE cannot share
+        # across the HOF lambda boundary
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        folded.alias("_f"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.col("_f")["nd"].alias("n_distinct"),
+        F.col("_f")["sumsq"].alias("sum_sq"),
+    )

@@ -108,3 +108,180 @@ def zw2_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_i",
         "sum_j",
     )
+
+
+# --------------------------------------------------------------------------
+# zw3: character collision-entropy sufficient stats — the Gopher/C4
+# "randomness" quality-filter signal (n_chars, distinct chars, Σ cᵢ²;
+# Rényi-2 entropy = −log₂(Σcᵢ²/n²) follows exactly from the integers).
+# The Spark side is a ZERO-shuffle per-row fold (sorted char array +
+# one aggregate-HOF pass inside codegen); the oracle pays the per-char
+# unnest + groupBy instead — identical integers.
+# --------------------------------------------------------------------------
+@register(
+    "zw3_char_entropy_stats",
+    sql="""
+    WITH ch AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ''), c -> c <> ''))
+               AS c
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2)
+    SELECT d.doc_id,
+           CAST(length(d.text) AS BIGINT) AS n_chars,
+           CAST(COALESCE(count(cnt.k), 0) AS BIGINT) AS n_distinct,
+           CAST(COALESCE(sum(cnt.k * cnt.k), 0) AS BIGINT) AS sum_sq
+    FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+    GROUP BY 1, 2
+    """,
+    survey_ref="LLM-pipeline: quality filtering, char-distribution "
+    "randomness signal (textops.char_collision_stats)",
+    tags=("text", "curation"),
+)
+def zw3_char_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import char_collision_stats
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return char_collision_stats(docs)
+
+
+# --------------------------------------------------------------------------
+# zw4: per-dimension int8 scalar quantization of the embedding column —
+# the vector-index compression prep (min/max → scale/zero-point) plus
+# the EXACT total/max reconstruction error of the code round-trip, all
+# on integer-quantized values so floor-division arithmetic is
+# engine-identical. Spark side: two codegen-only scans whose shuffles
+# are each ONE row (2d partial min/max, then 2d sum/max of per-dim
+# errors) — O(d) shuffle volume at any corpus size.
+# --------------------------------------------------------------------------
+_QUANT_LEVELS = 255
+
+
+@register(
+    "zw4_embedding_quantization",
+    sql=f"""
+    WITH q AS (
+      SELECT list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_GRAM_SCALE} + 0.5)
+                         AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    per AS (
+      SELECT d.range AS dim, qv[d.range + 1] AS v
+      FROM q, range({_EMB_DIM}) d
+    ),
+    mm AS (
+      SELECT dim, min(v) AS min_q, max(v) AS max_q, count(*) AS n
+      FROM per GROUP BY 1
+    ),
+    err AS (
+      SELECT per.dim,
+             abs(per.v - (mm.min_q
+                 + (((per.v - mm.min_q) * {_QUANT_LEVELS}
+                     // greatest(mm.max_q - mm.min_q, 1))
+                    * greatest(mm.max_q - mm.min_q, 1))
+                   // {_QUANT_LEVELS})) AS e
+      FROM per JOIN mm USING (dim)
+    )
+    SELECT mm.dim AS dim, CAST(mm.n AS BIGINT) AS n,
+           mm.min_q, mm.max_q,
+           CAST(sum(err.e) AS BIGINT) AS sum_abs_err,
+           CAST(max(err.e) AS BIGINT) AS max_abs_err
+    FROM mm JOIN err USING (dim)
+    GROUP BY 1, 2, 3, 4
+    """,
+    survey_ref="LLM-pipeline: ANN index compression — scalar int8 "
+    "quantization stats (similarity.embedding_quant_stats)",
+    tags=("similarity", "agg"),
+)
+def zw4_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_quant_stats
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return embedding_quant_stats(
+        emb, dim=_EMB_DIM, scale=_GRAM_SCALE, levels=_QUANT_LEVELS
+    )
+
+
+# --------------------------------------------------------------------------
+# zw5: retrieval ranking-quality evaluation (the offline eval loop of a
+# RAG/retrieval stack) — per single-term query, exact BM25-odds top-50
+# scored against a relevance label (lang = 'en'): hits, first-relevant
+# rank (the MRR numerator, NULL when none), precision@10 numerator. All
+# integers; MRR/P@N follow driver-side. Ranks go through ordered_prefix
+# on the Spark side, never a single-task window.
+# --------------------------------------------------------------------------
+_EVAL_TERMS = ("vector", "hash", "spark")
+_EVAL_K = 50
+_EVAL_P = 10
+_EVAL_SCALE = 10**6
+
+
+@register(
+    "zw5_retrieval_eval",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    base AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n, sum(dl) AS l FROM base),
+    terms AS (SELECT doc_id, dl, unnest(t) AS term FROM base),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM terms
+      WHERE term IN {tuple(_EVAL_TERMS)} GROUP BY 1, 2, 3
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    sc AS (
+      SELECT tf.term, tf.doc_id,
+             (CAST(2 * (s.n - dfq.df) + 1 AS HUGEINT) * {_EVAL_SCALE}
+              // (2 * dfq.df + 1))
+             * (CAST({_EVAL_SCALE} AS HUGEINT) * 22 * tf.tf * s.l
+                // (CAST(10 AS HUGEINT) * tf.tf * s.l
+                    + CAST(3 AS HUGEINT) * s.l
+                    + CAST(9 AS HUGEINT) * tf.dl * s.n)) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN stats s
+    ),
+    ranked AS (
+      SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM sc
+    ),
+    top AS (SELECT * FROM ranked WHERE rnk <= {_EVAL_K})
+    SELECT top.term AS query,
+           CAST(count(*) AS BIGINT) AS n_topk,
+           CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rel,
+           CAST(min(CASE WHEN d.lang = 'en' THEN rnk END) AS BIGINT)
+             AS first_rel_rank,
+           CAST(sum(CASE WHEN d.lang = 'en' AND rnk <= {_EVAL_P}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rel_at_p
+    FROM top JOIN documents d USING (doc_id)
+    GROUP BY 1
+    """,
+    survey_ref="LLM-pipeline: retrieval eval (MRR/P@N numerators, "
+    "integer-exact; retrieval.retrieval_eval)",
+    tags=("text", "retrieval", "eval"),
+)
+def zw5_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import retrieval_eval
+
+    (docs,) = load(spark, sf_dir, "documents")
+    relevance = docs.select(
+        "doc_id", (F.col("lang") == "en").alias("is_rel")
+    )
+    out = retrieval_eval(
+        docs,
+        {t: [t] for t in _EVAL_TERMS},
+        relevance,
+        k=_EVAL_K,
+        p_cut=_EVAL_P,
+        scale=_EVAL_SCALE,
+    )
+    return out.select(
+        "query",
+        "n_topk",
+        "n_rel",
+        F.col("first_rel_rank").cast("long").alias("first_rel_rank"),
+        "rel_at_p",
+    )

@@ -89,3 +89,186 @@ def test_embedding_gram_empty_partitions(spark):
     m = 10**6
     assert int(rows[(0, 1)]["gram"]) == 1 * m * 2 * m + 3 * m * 4 * m
     assert rows[(0, 1)]["n"] == 2
+
+
+def test_char_collision_stats_hand_computed(spark):
+    """'aabcc' → n=5, distinct=3, Σc² = 4+1+4 = 9; empty text → zeros;
+    single char → 1/1/1. The fold is zero-shuffle, so correctness here
+    is the whole story (no boundary cases from partitioning exist)."""
+    from ergo_uexplorer_spark.operators.textops import char_collision_stats
+
+    docs = spark.createDataFrame(
+        [(0, "aabcc"), (1, ""), (2, "z"), (3, "abab")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_collision_stats(docs).collect()}
+    assert (got[0]["n_chars"], got[0]["n_distinct"], got[0]["sum_sq"]) == (
+        5,
+        3,
+        9,
+    )
+    assert (got[1]["n_chars"], got[1]["n_distinct"], got[1]["sum_sq"]) == (
+        0,
+        0,
+        0,
+    )
+    assert (got[2]["n_chars"], got[2]["n_distinct"], got[2]["sum_sq"]) == (
+        1,
+        1,
+        1,
+    )
+    # 'abab': counts 2,2 → Σc² = 8 (the sort makes runs out of
+    # interleaved chars — the case a naive run-length over the RAW
+    # string would get wrong)
+    assert (got[3]["n_chars"], got[3]["n_distinct"], got[3]["sum_sq"]) == (
+        4,
+        2,
+        8,
+    )
+
+
+def test_char_collision_stats_zero_shuffle_plan(spark):
+    """The per-doc histogram must never explode or exchange: the
+    physical plan is scan → project only."""
+    from ergo_uexplorer_spark.operators.textops import char_collision_stats
+
+    docs = spark.createDataFrame(
+        [(0, "hello world")], "doc_id long, text string"
+    )
+    plan = (
+        char_collision_stats(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+
+
+def test_embedding_quant_stats_hand_computed(spark):
+    """Two dims with known ranges: dim0 spans [1e6, 3e6] (values 1.0,
+    2.0, 3.0), dim1 constant (den clamps to 1, zero error)."""
+    from ergo_uexplorer_spark.operators.similarity import (
+        embedding_quant_stats,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 7.0]), (1, [2.0, 7.0]), (2, [3.0, 7.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["dim"]: r for r in embedding_quant_stats(emb, dim=2).collect()
+    }
+    m = 10**6
+    assert (got[0]["min_q"], got[0]["max_q"], got[0]["n"]) == (m, 3 * m, 3)
+    assert (got[1]["min_q"], got[1]["max_q"]) == (7 * m, 7 * m)
+    # constant dim: code 0, recon = min, error 0
+    assert got[1]["sum_abs_err"] == 0 and got[1]["max_abs_err"] == 0
+    # dim0 round-trip: den = 2e6; v=2e6 → code = (1e6*255)//2e6 = 127,
+    # recon = 1e6 + (127*2e6)//255 = 1e6 + 996078 = 1996078 → err 3922;
+    # endpoints reconstruct exactly (code 0 and 255)
+    assert got[0]["max_abs_err"] == 3922
+    assert got[0]["sum_abs_err"] == 3922
+
+
+def test_embedding_quant_matches_numpy(spark):
+    """Random 8-dim vectors: exact agreement with the numpy replay of
+    the same integer arithmetic."""
+    import numpy as np
+
+    from ergo_uexplorer_spark.operators.similarity import (
+        embedding_quant_stats,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(50, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["dim"]: r for r in embedding_quant_stats(emb, dim=8).collect()
+    }
+    Q = np.floor(X.astype(np.float64) * 10**6 + 0.5).astype(np.int64)
+    for d in range(8):
+        v = Q[:, d]
+        mn, mx = v.min(), v.max()
+        den = max(mx - mn, 1)
+        code = (v - mn) * 255 // den
+        rec = mn + code * den // 255
+        err = np.abs(v - rec)
+        r = got[d]
+        assert (r["min_q"], r["max_q"]) == (mn, mx)
+        assert r["sum_abs_err"] == err.sum()
+        assert r["max_abs_err"] == err.max()
+
+
+def test_retrieval_eval_hand_computed(spark):
+    """Tiny corpus with a known ranking: doc relevance by label table;
+    a query with NO relevant doc in top-k must yield NULL
+    first_rel_rank (SQL min-over-empty), not 0."""
+    from pyspark.sql import functions as F
+
+    from ergo_uexplorer_spark.operators.retrieval import retrieval_eval
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple apple"),
+            (1, "apple banana"),
+            (2, "banana banana"),
+            (3, "cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    relevance = spark.createDataFrame(
+        [(0, False), (1, True), (2, False), (3, False)],
+        "doc_id long, is_rel boolean",
+    )
+    out = {
+        r["query"]: r
+        for r in retrieval_eval(
+            docs,
+            {"qa": ["apple"], "qb": ["banana"], "qc": ["cherry"]},
+            relevance,
+            k=2,
+            p_cut=1,
+        ).collect()
+    }
+    # qa: top-2 = docs 0, 1 (doc0 higher tf); relevant doc1 at rank 2
+    assert out["qa"]["n_topk"] == 2
+    assert out["qa"]["n_rel"] == 1
+    assert out["qa"]["first_rel_rank"] == 2
+    assert out["qa"]["rel_at_p"] == 0  # p_cut=1, rank-1 doc not relevant
+    # qb: top-2 = docs 2, 1; relevant doc1 at rank 2
+    assert out["qb"]["first_rel_rank"] == 2
+    # qc: only doc3 matches, not relevant → NULL first_rel_rank
+    assert out["qc"]["n_topk"] == 1
+    assert out["qc"]["n_rel"] == 0
+    assert out["qc"]["first_rel_rank"] is None
+
+
+def test_k_hop_demoted_path_equals_broadcast_path(spark):
+    """Force the shuffled fallback (gate=0: no broadcast frontier, no
+    broadcast visited, lazy src-repartitioned edge build) and assert it
+    returns exactly the default broadcast path's labels."""
+    from ergo_uexplorer_spark.operators.graph import k_hop_neighbors
+
+    edges = spark.createDataFrame(
+        [
+            (f"n{i}", f"n{j}")
+            for i in range(30)
+            for j in ((i * 7 + 3) % 30, (i * 11 + 5) % 30)
+        ],
+        "src string, dst string",
+    )
+    fast = {
+        (r["id"], r["hops"])
+        for r in k_hop_neighbors(edges, ["n0"], k=3).collect()
+    }
+    slow = {
+        (r["id"], r["hops"])
+        for r in k_hop_neighbors(
+            edges, ["n0"], k=3, broadcast_frontier_max_rows=0
+        ).collect()
+    }
+    assert fast == slow and len(fast) > 1

@@ -503,3 +503,36 @@ def test_fork_mid_stream_rollback_in_availablenow_loop(spark, tmp_path):
     v = apply_block_batch_forkaware(state, raw, batch_id=3)
     assert v == state.current_version()
     assert utxo_ids() == want
+
+
+def test_fork_aware_orphan_batch_is_noop(spark, tmp_path):
+    """A branch that cannot link to the applied chain (its anchor block
+    never arrived) must be skipped entirely — no commit, no rollback."""
+    from ergo_uexplorer_spark.sources.blocks import read_blocks
+    from ergo_uexplorer_spark.streaming.incremental import (
+        UtxoState,
+        apply_block_batch_forkaware,
+    )
+
+    gen = ChainGen(seed=11)
+    gen.generate(30)
+    state = UtxoState(spark, str(tmp_path / "state"))
+
+    base = str(tmp_path / "base.jsonl.gz")
+    write_jsonl_gz(gen.blocks[:20], base)
+    v1 = apply_block_batch_forkaware(state, read_blocks(spark, base))
+    assert v1 == 1 and state.tip()[0] == 20
+
+    # blocks 25..30 without 21..24: parents never anchor
+    orphan = str(tmp_path / "orphan.jsonl.gz")
+    write_jsonl_gz(gen.blocks[24:], orphan)
+    v2 = apply_block_batch_forkaware(state, read_blocks(spark, orphan))
+    assert v2 is None
+    assert state.current_version() == 1
+    assert state.tip()[0] == 20
+
+    # the gap arrives later: 21..30 now anchors at the tip and applies
+    rest = str(tmp_path / "rest.jsonl.gz")
+    write_jsonl_gz(gen.blocks[20:], rest)
+    v3 = apply_block_batch_forkaware(state, read_blocks(spark, rest))
+    assert v3 == 2 and state.tip()[0] == 30
