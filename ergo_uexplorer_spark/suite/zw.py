@@ -151,9 +151,9 @@ def zw3_char_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the vector-index compression prep (min/max → scale/zero-point) plus
 # the EXACT total/max reconstruction error of the code round-trip, all
 # on integer-quantized values so floor-division arithmetic is
-# engine-identical. Spark side: two codegen-only scans whose shuffles
-# are each ONE row (2d partial min/max, then 2d sum/max of per-dim
-# errors) — O(d) shuffle volume at any corpus size.
+# engine-identical. Spark side: two posexplode → partial-agg passes
+# (d groups collapse map-side before any exchange, stats broadcast
+# back) — O(partitions · d) shuffle volume at any corpus size.
 # --------------------------------------------------------------------------
 _QUANT_LEVELS = 255
 

@@ -54,8 +54,6 @@ BNLJ_ALLOW = {
     "zz_z33_ngram_diversity": 1,
     "zz_z43_hapax_zipf": 2,
     "zya3_profile": 1,  # single-row wide aggregate → stack
-    "zw4_embedding_quantization": 1,  # broadcast 1-row min/max stats
-    # back over the scan (similarity.embedding_quant_stats pass 2)
     "zw5_retrieval_eval": 6,  # the single-row (N, L) corpus-scalar
     # join, ×3 queries ×2 (it prints once in the live branch and once
     # under ordered_prefix's persisted branch) — same scalar as zyc1
