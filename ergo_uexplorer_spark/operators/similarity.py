@@ -1602,3 +1602,48 @@ def embedding_quant_stats(
             "max_abs_err",
         )
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    query vector, the top-k most-similar corpus vectors whose LABEL
+    differs (the highest-loss negatives a trainer wants in the batch).
+    Same deterministic contract as `brute_force_topk` (cos desc, id asc;
+    the label filter excludes self-matches for free since a row shares
+    its own label).
+
+    Scale shape: the query side is broadcast (queries are a bounded
+    working set by construction); the label filter prunes BEFORE the
+    per-query rank so only cross-label pairs are scored and ranked. For
+    corpus-scale query sets, swap the broadcast product for the IVF
+    probe path (`ivf_topk`) and apply the same label filter on the cell
+    scan — the filter composes with any candidate generator."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("nv"),
+        F.col(label_col).alias("n_label"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_label") != F.col("n_label"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "cos_sim")
+    )

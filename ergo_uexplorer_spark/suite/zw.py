@@ -285,3 +285,246 @@ def zw5_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_rel_rank").cast("long").alias("first_rel_rank"),
         "rel_at_p",
     )
+
+
+# --------------------------------------------------------------------------
+# zw6: hard-negative mining — for each query vector, the top-k most
+# similar corpus vectors with a DIFFERENT label (the highest-loss
+# negatives a contrastive trainer batches). Brute-force scored here
+# (query side broadcast, label filter BEFORE the per-query rank); at
+# corpus scale the same filter composes with the IVF probe path.
+# --------------------------------------------------------------------------
+_HN_QUERIES = 5
+_HN_K = 10
+
+
+def _hard_neg_sql() -> str:
+    from ..operators import similarity as S
+    from .similarity import _sql_cos
+
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < {_HN_QUERIES}),
+    c AS (SELECT vec_id AS n_id, embedding AS nv, label AS nl
+          FROM embeddings),
+    scored AS (
+      SELECT q_id, n_id, {_sql_cos('qv', 'nv')} AS cos
+      FROM q CROSS JOIN c WHERE ql <> nl
+    ),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, n_id ASC) AS rn
+      FROM scored
+    )
+    SELECT q_id, n_id, round(cos, 3) AS cos_sim
+    FROM ranked WHERE rn <= {_HN_K}
+    """
+
+
+@register(
+    "zw6_hard_negatives",
+    sql=_hard_neg_sql(),
+    survey_ref="LLM-pipeline: contrastive-training hard-negative "
+    "mining (similarity.hard_negatives)",
+    tags=("similarity", "topk"),
+)
+def zw6_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hard_negatives
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    out = hard_negatives(
+        emb, emb.filter(F.col("vec_id") < _HN_QUERIES), k=_HN_K
+    )
+    return out.select(
+        "q_id", "n_id", F.round("cos_sim", 3).alias("cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# zw7: IVF cell-balance diagnostics — per-cell membership counts and the
+# exact quantized-norm mass of each cell (the index-health signal that
+# decides when to retrain the coarse quantizer: skewed cells ruin probe
+# latency). Cell assignment replays the seeded FIXED_CENTROIDS argmax
+# in both engines; per-row ‖qv‖² fits int64 (64 · (2·10⁶)² ≈ 2.6·10¹⁴),
+# the per-cell sum accumulates in DECIMAL(38,0)/HUGEINT.
+# --------------------------------------------------------------------------
+def _cell_balance_sql() -> str:
+    from .similarity import _ivf_sql  # noqa: F401 — shares the seeded form
+    from ..operators import similarity as S
+    from .similarity import _sql_cos
+
+    values = ",\n      ".join(
+        "({}, [{}]::DOUBLE[])".format(ci, ", ".join(repr(v) for v in cent))
+        for ci, cent in enumerate(S.FIXED_CENTROIDS)
+    )
+    return f"""
+    WITH cents(cell, cv) AS (VALUES
+      {values}),
+    e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    ranked_cells AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {_sql_cos('v', 'cv')} DESC,
+                                         cell ASC) AS rn
+      FROM e CROSS JOIN cents
+    ),
+    members AS (
+      SELECT cell,
+             list_sum(list_transform(
+               v, x -> CAST(floor(CAST(x AS DOUBLE) * {_GRAM_SCALE} + 0.5)
+                            AS BIGINT)
+                       * CAST(floor(CAST(x AS DOUBLE) * {_GRAM_SCALE} + 0.5)
+                              AS BIGINT))) AS qnorm
+      FROM ranked_cells WHERE rn = 1
+    )
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CAST(qnorm AS HUGEINT)) AS VARCHAR) AS sum_qnorm
+    FROM members GROUP BY 1
+    """
+
+
+@register(
+    "zw7_ivf_cell_balance",
+    sql=_cell_balance_sql(),
+    survey_ref="LLM-pipeline: ANN index health — IVF cell balance "
+    "(similarity.ivf_assign + exact norm mass)",
+    tags=("similarity", "agg"),
+)
+def zw7_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    assigned = S.ivf_assign(emb, list(S.FIXED_CENTROIDS))
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            x.cast("double") * _GRAM_SCALE + F.lit(0.5)
+        ).cast("long"),
+    )
+    qnorm = F.aggregate(
+        qv,
+        F.lit(0).cast("long"),
+        lambda acc, q: acc + q * q,
+    )
+    return (
+        assigned.select(
+            F.col("centroid_id").cast("long").alias("cell"),
+            qnorm.alias("qnorm"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("qnorm").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("sum_qnorm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# zw8: ANN recall@k evaluation — the quality loop of the ANN stack: per
+# query, how many of the EXACT cosine top-k the IVF probe path returned
+# (recall numerator, all integers). Exact side = brute-force ranking;
+# approximate side = the same seeded IVF index s03 searches.
+# --------------------------------------------------------------------------
+_RECALL_K = 5
+
+
+def _ann_recall_sql() -> str:
+    from ..operators import similarity as S
+    from .similarity import _IVF_PROBES, _N_QUERIES, _sql_cos
+
+    values = ",\n      ".join(
+        "({}, [{}]::DOUBLE[])".format(ci, ", ".join(repr(v) for v in cent))
+        for ci, cent in enumerate(S.FIXED_CENTROIDS)
+    )
+    return f"""
+    WITH cents(cell, cv) AS (VALUES
+      {values}),
+    e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    exact_scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             {_sql_cos('q.v', 'c.v')} AS cos
+      FROM e q CROSS JOIN e c
+      WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    exact_top AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, n_id ASC) AS rn
+        FROM exact_scored
+      ) WHERE rn <= {_RECALL_K}
+    ),
+    ranked_cells AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {_sql_cos('v', 'cv')} DESC,
+                                         cell ASC) AS rn
+      FROM e CROSS JOIN cents
+    ),
+    corpus AS (SELECT vec_id AS n_id, v AS nv, cell
+               FROM ranked_cells WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, v AS qv, cell
+               FROM ranked_cells
+               WHERE rn <= {_IVF_PROBES} AND vec_id < {_N_QUERIES}),
+    ivf_scored AS (
+      SELECT q_id, n_id, {_sql_cos('qv', 'nv')} AS cos
+      FROM probes JOIN corpus USING (cell) WHERE q_id <> n_id
+    ),
+    ivf_top AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, n_id ASC) AS rn
+        FROM ivf_scored
+      ) WHERE rn <= {_RECALL_K}
+    )
+    SELECT b.q_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit
+    FROM exact_top b LEFT JOIN ivf_top a USING (q_id, n_id)
+    GROUP BY 1
+    """
+
+
+@register(
+    "zw8_ann_recall",
+    sql=_ann_recall_sql(),
+    survey_ref="LLM-pipeline: ANN recall@k eval (brute-force truth vs "
+    "the s03 IVF probe path)",
+    tags=("similarity", "eval"),
+)
+def zw8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+    from .similarity import _IVF_PROBES, _N_QUERIES, _built_index
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    exact = S.brute_force_topk(emb, queries, k=_RECALL_K).select(
+        "q_id", "n_id"
+    )
+    idx = _built_index(
+        spark, sf_dir, "ivf",
+        lambda: S.ivf_index(emb, list(S.FIXED_CENTROIDS)),
+    )
+    approx = S.ivf_topk(
+        emb,
+        queries,
+        list(S.FIXED_CENTROIDS),
+        k=_RECALL_K,
+        n_probes=_IVF_PROBES,
+        corpus=idx,
+    ).select("q_id", "n_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(approx, ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )

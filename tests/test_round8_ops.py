@@ -272,3 +272,59 @@ def test_k_hop_demoted_path_equals_broadcast_path(spark):
         ).collect()
     }
     assert fast == slow and len(fast) > 1
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """Most-similar same-label vector must be skipped; ranking among
+    cross-label candidates is (cos desc, id asc)."""
+    from ergo_uexplorer_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 7),   # query
+        (1, [0.99, 0.14], 7),  # nearly identical but SAME label
+        (2, [0.9, 0.44], 3),   # best cross-label
+        (3, [0.0, 1.0], 4),    # orthogonal cross-label
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = hard_negatives(
+        emb, emb.filter("vec_id = 0"), k=2
+    ).collect()
+    assert [r["n_id"] for r in out] == [2, 3]
+    assert all(r["q_id"] == 0 for r in out)
+
+
+def test_ann_recall_full_probe_is_perfect(spark):
+    """Probing EVERY cell makes IVF exhaustive, so recall@k against the
+    brute-force truth must be k/k for every query."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ergo_uexplorer_spark.operators import similarity as S
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(40, 4)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = S.brute_force_topk(emb, queries, k=4).select("q_id", "n_id")
+    approx = S.ivf_topk(
+        emb, queries, cents, k=4, n_probes=len(cents),
+        corpus=S.ivf_index(emb, cents),
+    ).select("q_id", "n_id", F.lit(1).alias("hit"))
+    got = (
+        exact.join(approx, ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        )
+        .collect()
+    )
+    assert len(got) == 3
+    for r in got:
+        assert r["n_exact"] == 4 and r["n_hit"] == 4

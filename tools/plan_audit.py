@@ -54,6 +54,10 @@ BNLJ_ALLOW = {
     "zz_z33_ngram_diversity": 1,
     "zz_z43_hapax_zipf": 2,
     "zya3_profile": 1,  # single-row wide aggregate → stack
+    "zw6_hard_negatives": 1,  # broadcast QUERY side — documented
+    # brute-force shape, same sanction as zz_s01
+    "zw8_ann_recall": 1,  # the brute-force TRUTH side of the recall
+    # eval (broadcast query product); the IVF side is equi-joined
     "zw5_retrieval_eval": 6,  # the single-row (N, L) corpus-scalar
     # join, ×3 queries ×2 (it prints once in the live branch and once
     # under ordered_prefix's persisted branch) — same scalar as zyc1
@@ -68,6 +72,7 @@ UNPART_WINDOW_ALLOW_PATTERNS = (
     "zyd2",  # PSI totals over the bucket histogram
     "zy5",  # benford digit histogram (≤ 9 rows)
     "zz_s03",  # IVF probe-candidate rank (≤ probes × cell sizes)
+    "zw8",  # ann-recall's IVF side — same bound as zz_s03
     "zz_z02",  # IVFPQ, same bound
     "zz_z22",  # quality-floor score domain (≤ 1001 rows/group)
     "zz_z24",  # token-budget score table (≤ 1001 rows)
