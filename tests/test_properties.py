@@ -1252,3 +1252,42 @@ def test_cdc_latest_snapshot_equals_naive_replay(spark, rows):
         if op != "d"
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# char_collision_stats: the zero-shuffle fold vs the naive explode+groupBy
+# on adversarial text (repeats, unicode, whitespace runs, empties)
+# ---------------------------------------------------------------------------
+_char_alphabet = st.sampled_from(list("ab xy\t.é漢🙂") + ["ss"])
+_texts = st.lists(
+    st.lists(_char_alphabet, min_size=0, max_size=40).map("".join),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_texts)
+def test_char_collision_stats_equals_python_counter(spark, texts):
+    """The codegen fold must reproduce collections.Counter exactly for
+    every doc — including multi-codepoint text, whitespace runs, and
+    empty strings (n=0 rows, not nulls)."""
+    from collections import Counter
+
+    from ergo_uexplorer_spark.operators.textops import char_collision_stats
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in char_collision_stats(docs).collect()}
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        c = Counter(t)
+        r = got[i]
+        assert r["n_chars"] == len(t), (t, r)
+        assert r["n_distinct"] == len(c), (t, r)
+        assert r["sum_sq"] == sum(k * k for k in c.values()), (t, r)
