@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textops import tokens
@@ -42,6 +42,56 @@ from .textops import tokens
 # see module docstring for the closed integer form they produce).
 BM25_K1_NUM, BM25_K1_DEN = 6, 5
 BM25_B_NUM, BM25_B_DEN = 3, 4
+
+
+def _bm25_prepare(
+    docs: DataFrame,
+    all_terms: list[str],
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared BM25 inputs for one or many queries: the pinned
+    term-frequency table (id, __dl, term, __tf) restricted to
+    `all_terms`, the per-term document frequencies, and the one-row
+    corpus scalars (__n, __l). The corpus text is tokenized in exactly
+    ONE scan regardless of how many queries consume the result: the
+    scan reduces each doc to a narrow (id, dl, matched-terms) row —
+    the matched array is empty for almost every doc, so the pinned
+    table is ~tens of bytes/row (the d04 doc-dim-signature shape; at
+    true scale this is the table you'd stage to temp storage) — and
+    both the corpus scalars and the tf table derive from it without
+    re-tokenizing. The multi-query eval loop used to pay 2 full
+    tokenize scans PER query."""
+    base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    narrow = base.select(
+        id_col,
+        F.size("__t").cast("long").alias("__dl"),
+        F.filter("__t", lambda c: c.isin(all_terms)).alias("__m"),
+    )
+    if not narrow.isStreaming:
+        narrow = narrow.localCheckpoint(eager=True)
+
+    # corpus scalars: one row, broadcast (the same single-row-scalar
+    # shape corpus.py uses for dataset totals); derived from the pinned
+    # narrow table, so downstream broadcast-join consumers never
+    # re-scan the corpus text.
+    stats = narrow.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__l")
+    )
+    tf = (
+        narrow.filter(F.size("__m") > 0)
+        .select(id_col, "__dl", F.explode("__m").alias("term"))
+        .groupBy(id_col, "__dl", "term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    # pin tf too: it feeds both the df aggregate and one scored join
+    # per query (the common_neighbor_links / d04 lesson); it is
+    # ≤ |matched docs|·|terms| rows — cheap to pin.
+    if not tf.isStreaming:
+        tf = tf.localCheckpoint(eager=True)
+        stats = stats.localCheckpoint(eager=True)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    return tf, dfreq, stats
 
 
 def bm25_topk(
@@ -63,32 +113,21 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    base = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__t")
-    ).withColumn("__dl", F.size("__t").cast("long"))
-
-    # corpus scalars: one row, broadcast (the same single-row-scalar
-    # shape corpus.py uses for dataset totals)
-    stats = base.agg(
-        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__l")
+    tf, dfreq, stats = _bm25_prepare(docs, query_terms, id_col, text_col)
+    return _bm25_score_topk(
+        tf, dfreq, stats, k=k, id_col=id_col, scale=scale, exact=exact
     )
 
-    terms_arr = F.array(*[F.lit(t) for t in query_terms])
-    tf = (
-        base.filter(F.arrays_overlap("__t", terms_arr))
-        .select(id_col, "__dl", F.explode("__t").alias("term"))
-        .filter(F.col("term").isin(query_terms))
-        .groupBy(id_col, "__dl", "term")
-        .agg(F.count(F.lit(1)).alias("__tf"))
-    )
-    # materialize tf ONCE: it feeds both the df aggregate and the scored
-    # join, and lazily each consumer re-runs the tokenize+explode subtree
-    # over the corpus (the common_neighbor_links / d04 lesson). The table
-    # is ≤ |matched docs|·|terms| rows — cheap to pin.
-    if not tf.isStreaming:
-        tf = tf.localCheckpoint(eager=True)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
 
+def _bm25_score_topk(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    k: int,
+    id_col: str,
+    scale: int,
+    exact: bool,
+) -> DataFrame:
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(stats))
@@ -198,25 +237,49 @@ def retrieval_eval(
     (precision@`p_cut` numerator). All integers: MRR = mean(1/rank) and
     P@N = rel_at_p/p_cut follow driver-side.
 
-    Scale shape: per query, the cost IS bm25_topk (pre-filtered explode,
-    broadcast (N,L)/df dims, TakeOrderedAndProject top-k); the global
-    rank over the ≤k survivors goes through `ordered_prefix` (never a
-    single-task window), and the relevance join broadcasts the ≤k-row
-    ranked side against the big labelled table."""
+    Scale shape: the corpus is scanned exactly TWICE no matter how many
+    queries are evaluated — `_bm25_prepare` pins the tf table for the
+    UNION of all query terms plus the one-row (N, L) scalars, and each
+    query then scores from that tiny pinned table (broadcast df dims,
+    TakeOrderedAndProject top-k). The global rank over the ≤k survivors
+    runs as one unpartitioned window over a ≤k-row input (bounded by
+    the parameter, never by data), and the relevance join broadcasts
+    the ≤k-row ranked side against the big labelled table. Per-term
+    document frequencies are identical whether computed per query or
+    over the union — df is a property of the term alone — so results
+    match the per-query `bm25_topk` exactly."""
     from functools import reduce as _reduce
 
-    from .cumulative import ordered_prefix
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    if not all_terms:
+        raise ValueError("queries must contain at least one term")
+    tf, dfreq, stats = _bm25_prepare(docs, all_terms, id_col, text_col)
 
     outs = []
     for qname, terms in queries.items():
-        top = bm25_topk(
-            docs, terms, k=k, id_col=id_col, text_col=text_col, scale=scale
+        top = _bm25_score_topk(
+            tf.filter(F.col("term").isin(terms)),
+            dfreq.filter(F.col("term").isin(terms)),
+            stats,
+            k=k,
+            id_col=id_col,
+            scale=scale,
+            exact=True,
         )
-        ranked = ordered_prefix(
-            top.withColumn("__neg", -F.col("score")),
-            order_cols=["__neg", id_col],
-            row_col="rank",
-        ).select(id_col, "rank")
+        # Rank the ≤k survivors with ONE unpartitioned window: the
+        # input is bounded by the function parameter k (top-k output),
+        # so the single task holds ≤k rows by construction — the same
+        # provably-bounded sanction as the IVF probe-candidate ranks.
+        # The order key casts the digit-string score back to
+        # DECIMAL(38,0): ordering the string numerically via a double
+        # (what a generic negate would do) could merge distinct
+        # 38-digit scores that collide in 53-bit mantissa space.
+        w = Window.orderBy(
+            F.col("score").cast("decimal(38,0)").desc(), F.col(id_col)
+        )
+        ranked = top.select(
+            id_col, F.row_number().over(w).alias("rank")
+        )
         j = relevance.join(F.broadcast(ranked), id_col)
         rel = F.col("is_rel")
         outs.append(

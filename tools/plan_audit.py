@@ -58,9 +58,8 @@ BNLJ_ALLOW = {
     # brute-force shape, same sanction as zz_s01
     "zw8_ann_recall": 1,  # the brute-force TRUTH side of the recall
     # eval (broadcast query product); the IVF side is equi-joined
-    "zw5_retrieval_eval": 6,  # the single-row (N, L) corpus-scalar
-    # join, ×3 queries ×2 (it prints once in the live branch and once
-    # under ordered_prefix's persisted branch) — same scalar as zyc1
+    "zw5_retrieval_eval": 3,  # the single-row (N, L) corpus-scalar
+    # join, once per query — same scalar as zyc1
 }
 
 # entries whose unpartitioned windows run over PROVABLY bounded dims
@@ -73,6 +72,8 @@ UNPART_WINDOW_ALLOW_PATTERNS = (
     "zy5",  # benford digit histogram (≤ 9 rows)
     "zz_s03",  # IVF probe-candidate rank (≤ probes × cell sizes)
     "zw8",  # ann-recall's IVF side — same bound as zz_s03
+    "zw5",  # rank over the ≤k-row top-k output (bounded by the
+    # function parameter, never by data) — retrieval_eval
     "zz_z02",  # IVFPQ, same bound
     "zz_z22",  # quality-floor score domain (≤ 1001 rows/group)
     "zz_z24",  # token-budget score table (≤ 1001 rows)
