@@ -110,6 +110,32 @@ def hashed_shingle_sets(
     return sh.select("doc_id", portable_hash(F.col("s")).alias("h")).distinct()
 
 
+def hashed_shingle_arrays(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, hs) — each doc's DISTINCT hashed shingles as an ASCENDING
+    long array, equal as a set to `hashed_shingle_sets` but produced
+    entirely INSIDE one whole-stage-codegen scan projection: tokenize →
+    shingle → hash → array_distinct → array_sort are all per-row array
+    HOFs, so there is NO explode, NO distinct shuffle, and NO per-doc
+    window anywhere. This is the doc-dim signature-table shape (one row
+    per doc, ~|shingles|·8 bytes) the prefix-filter joins want: the
+    ascending order IS the global hash order the AllPairs prefix bound
+    is defined over, and set operations (∩ sizes) become
+    `array_intersect` on two bounded arrays instead of an
+    explode + count join."""
+    t = tokens(F.col(text_col))
+    hs = F.array_sort(
+        F.array_distinct(F.transform(shingles(F.col("t"), n), portable_hash))
+    )
+    return (
+        _ensure_parallelism(docs)
+        # token array materialized first — see shingle_sets
+        .select(F.col(id_col).alias("doc_id"), t.alias("t"))
+        .select("doc_id", hs.alias("hs"))
+    )
+
+
 def jaccard_pairs(
     sh: DataFrame, num: int = 4, den: int = 5, elem_col: str = "s"
 ) -> DataFrame:
@@ -172,23 +198,26 @@ def jaccard_prefix_pairs(
     (≈ (1−t)·|set| + 1, i.e. ~20% of shingles at t = 0.8). This is the
     graded scale path for exact-threshold Jaccard; `minhash_lsh_pairs`
     is the probabilistic one.
-    """
-    from pyspark.sql import Window
 
-    sh = hashed_shingle_sets(docs, id_col, text_col, n).persist()
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nn"))
-    w = Window.partitionBy("doc_id").orderBy("h")
-    # prefix length = nn - ceil(num*nn/den) + 1 (integer arithmetic)
-    prefix = (
-        sh.withColumn("rn", F.row_number().over(w))
-        .join(counts, "doc_id")
-        .filter(
-            F.col("rn")
-            <= F.col("nn")
-            - F.expr(f"({num} * nn + {den - 1}) div {den}")
-            + F.lit(1)
-        )
-        .select("doc_id", "h")
+    Plan shape: the doc-dim (doc_id, sorted hash array) table comes out
+    of ONE codegen scan (`hashed_shingle_arrays` — no explode/distinct
+    shuffle, no per-doc window; the old row-form path paid all three),
+    is pinned once, and feeds (a) the prefix explode — only the short
+    per-doc prefix slice ever leaves the array — and (b) the verify,
+    where shared = |array_intersect| on the two candidates' arrays, a
+    per-pair bounded computation with the tiny candidate table
+    broadcast. Nothing corpus-sized shuffles at any point.
+    """
+    arr = hashed_shingle_arrays(docs, id_col, text_col, n)
+    if release and not arr.isStreaming:
+        arr = arr.localCheckpoint(eager=True)
+    # prefix length = nn - ceil(num*nn/den) + 1 (integer arithmetic);
+    # the array is ascending, so slice(hs, 1, plen) IS the prefix in
+    # global hash order
+    nn = F.size("hs")
+    plen = nn - F.expr(f"({num} * size(hs) + {den - 1}) div {den}") + F.lit(1)
+    prefix = arr.select(
+        "doc_id", F.explode(F.slice("hs", F.lit(1), plen)).alias("h")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -207,20 +236,35 @@ def jaccard_prefix_pairs(
         # list is tiny — checkpoint it so the verify job starts from a
         # bounded RDD instead of re-walking the prefix-join DAG
         cand = cand.localCheckpoint(eager=True)
-    verified = jaccard_pairs(
-        sh.join(
-            cand.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-            .distinct(),
-            "doc_id",
-            "left_semi",
-        ),
-        num,
-        den,
-        elem_col="h",
+    out = (
+        F.broadcast(cand)
+        .join(
+            arr.select(
+                F.col("doc_id").alias("doc_a"), F.col("hs").alias("__ha")
+            ),
+            "doc_a",
+        )
+        .join(
+            arr.select(
+                F.col("doc_id").alias("doc_b"), F.col("hs").alias("__hb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__ha", "__hb")).cast("long").alias(
+                "shared"
+            ),
+            F.size("__ha").cast("long").alias("na"),
+            F.size("__hb").cast("long").alias("nb"),
+        )
+        .filter(
+            F.lit(den) * F.col("shared")
+            >= F.lit(num) * (F.col("na") + F.col("nb") - F.col("shared"))
+        )
     )
-    out = verified.join(cand, ["doc_a", "doc_b"], "left_semi")
-    return materialize_and_release(out, sh) if release else out
+    return materialize_and_release(out) if release else out
 
 
 def containment_pairs(
@@ -298,24 +342,28 @@ def containment_prefix_pairs(
 
     Verification computes exact shared counts over candidate docs only.
     Output is exactly the all-pairs `containment_pairs` result.
-    """
-    from pyspark.sql import Window
 
-    sh = hashed_shingle_sets(docs, id_col, text_col, n).persist()
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nn"))
-    w = Window.partitionBy("doc_id").orderBy("h")
-    prefix = (
-        sh.withColumn("rn", F.row_number().over(w))
-        .join(counts, "doc_id")
-        .filter(
-            F.col("rn")
-            <= F.col("nn")
-            - F.expr(f"({num} * nn + {den - 1}) div {den}")
-            + F.lit(1)
-        )
-        .select("doc_id", "h")
+    Plan shape: like `jaccard_prefix_pairs`, the doc-dim sorted-hash
+    arrays come out of ONE codegen scan and are pinned; the candidate
+    join explodes only the short prefix slice on one side (the full
+    side must stay full for the containment bound to be lossless — it
+    explodes from the pinned arrays straight into the join exchange,
+    with no distinct/window stage of its own), and the verify is
+    |array_intersect| with the tiny candidate table broadcast.
+    """
+    arr = hashed_shingle_arrays(docs, id_col, text_col, n)
+    if release and not arr.isStreaming:
+        arr = arr.localCheckpoint(eager=True)
+    plen = (
+        F.size("hs")
+        - F.expr(f"({num} * size(hs) + {den - 1}) div {den}")
+        + F.lit(1)
     )
-    a, b = prefix.alias("a"), sh.alias("b")
+    prefix = arr.select(
+        "doc_id", F.explode(F.slice("hs", F.lit(1), plen)).alias("h")
+    )
+    full = arr.select("doc_id", F.explode("hs").alias("h"))
+    a, b = prefix.alias("a"), full.alias("b")
     cand = (
         a.join(
             b,
@@ -330,20 +378,43 @@ def containment_prefix_pairs(
     )
     if release:
         cand = cand.localCheckpoint(eager=True)
-    verified = containment_pairs(
-        sh.join(
-            cand.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-            .distinct(),
-            "doc_id",
-            "left_semi",
-        ),
-        num,
-        den,
-        elem_col="h",
+    out = (
+        F.broadcast(cand)
+        .join(
+            arr.select(
+                F.col("doc_id").alias("doc_a"), F.col("hs").alias("__ha")
+            ),
+            "doc_a",
+        )
+        .join(
+            arr.select(
+                F.col("doc_id").alias("doc_b"), F.col("hs").alias("__hb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__ha", "__hb")).cast("long").alias(
+                "shared"
+            ),
+            F.size("__ha").cast("long").alias("na"),
+            F.size("__hb").cast("long").alias("nb"),
+        )
+        .filter(
+            F.lit(den) * F.col("shared")
+            >= F.lit(num) * F.least(F.col("na"), F.col("nb"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            "na",
+            "nb",
+            F.expr("1000 * shared div least(na, nb)").alias("cont_permille"),
+        )
     )
-    out = verified.join(cand, ["doc_a", "doc_b"], "left_semi")
-    return materialize_and_release(out, sh) if release else out
+    return materialize_and_release(out) if release else out
 
 
 def minhash_signatures(sh_hashed: DataFrame) -> DataFrame:

@@ -721,16 +721,26 @@ def connected_components(
     until fixpoint)."""
     u, v = F.col("u"), F.col("v")
     # Every per-round exchange is pinned to an EXPLICIT partition count
-    # (default: cluster parallelism) instead of the session's
-    # spark.sql.shuffle.partitions: the label table is node-sized —
-    # orders of magnitude below the corpus the session default is tuned
-    # for — and the loop schedules stages per ROUND, so 200 near-empty
-    # tasks per stage dominate wall-clock (measured 41 s → ~8 s at
-    # sf0.01 under a default-conf session). Keys are pre-partitioned so
-    # Catalyst reuses the layout: edges by v (the join key), nbr_min by
-    # u, labels by id — the round's join and agg add no extra exchange.
+    # instead of the session's spark.sql.shuffle.partitions: the label
+    # table is node-sized — orders of magnitude below the corpus the
+    # session default is tuned for — and the loop schedules stages per
+    # ROUND, so near-empty tasks dominate wall-clock (measured 41 s →
+    # ~8 s at sf0.01 under a default-conf session). The count is sized
+    # to the ACTUAL edge list (near-dup graphs are routinely a few
+    # hundred edges — 32 tasks × ~6 stages × N rounds of scheduling for
+    # 256 rows was pure overhead), capped at cluster parallelism for
+    # big graphs; `num_partitions` overrides. Keys are pre-partitioned
+    # so Catalyst reuses the layout: edges by v (the join key), nbr_min
+    # by u, labels by id — the round's join and agg add no exchange.
     spark = pairs.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    if not pairs.isStreaming:
+        # pin the input once: the symmetrize below scans it twice, and
+        # the sizing count must not recompute candidate generation
+        pairs = pairs.localCheckpoint(eager=True)
+    n = num_partitions or max(
+        1,
+        min(spark.sparkContext.defaultParallelism, pairs.count() // 10_000 + 1),
+    )
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(
@@ -854,7 +864,16 @@ def connected_components_two_phase(
     labels read off as each leaf's single neighbor.
     """
     spark = pairs.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    # same adaptive per-round exchange sizing as `connected_components`:
+    # size to the actual edge list (pinned once so the count and the
+    # node/edge builds don't recompute candidate generation), capped at
+    # cluster parallelism for big graphs
+    if not pairs.isStreaming:
+        pairs = pairs.localCheckpoint(eager=True)
+    n = num_partitions or max(
+        1,
+        min(spark.sparkContext.defaultParallelism, pairs.count() // 10_000 + 1),
+    )
     a, b = F.col("a"), F.col("b")
     u, v = F.col("u"), F.col("v")
 
