@@ -431,6 +431,29 @@ def minhash_signatures(sh_hashed: DataFrame) -> DataFrame:
     return hm.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_signatures_from_arrays(arr: DataFrame) -> DataFrame:
+    """12 minhashes per doc with ZERO shuffle: `array_min` over per-row
+    transforms of the doc's (already distinct) hashed-shingle array —
+    bit-identical to `minhash_signatures` (the same (a·(h mod p)+b)
+    mod p family over the same distinct sets; a·hm < 2³¹·2³¹ fits
+    int64). Docs with no shingles carry no signature row, matching the
+    groupBy form (which has no input rows for them)."""
+    def _mh(a: int, b: int):
+        # one-arg closure: a two-parameter lambda would be interpreted
+        # by F.transform as (element, index)
+        return lambda h: (F.lit(a) * (h % MINHASH_PRIME) + F.lit(b)) % (
+            MINHASH_PRIME
+        )
+
+    cols = [
+        F.array_min(
+            F.transform("hs", _mh(MINHASH_A[i], MINHASH_B[i]))
+        ).alias(f"mh{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return arr.filter(F.size("hs") > 0).select("doc_id", *cols)
+
+
 def banded_signatures(sig: DataFrame) -> DataFrame:
     """(doc_id, band, bsig) banded minhash rows — the LSH bucket key.
     Pure projection (a 4-way union of column slices), no shuffle."""
@@ -476,46 +499,57 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash→LSH→exact-verify near-dup pairs ≥ num/den Jaccard.
 
-    The exact verification join runs ONLY over LSH candidates (semi-join
-    pushes the candidate set into the shingle join) — this is the
-    shape that survives a 100× corpus scale-up.
+    The exact verification join runs ONLY over LSH candidates — this is
+    the shape that survives a 100× corpus scale-up.
 
-    The hashed shingle set feeds both the signature pass and the
-    verification join: persist it once (it is the expensive scan), and
-    every shuffle downstream carries longs, not strings.
+    Plan shape: ONE codegen scan builds the pinned doc-dim sorted-hash
+    arrays; signatures are a zero-shuffle projection of it
+    (`minhash_signatures_from_arrays`); only the band-bucket self-join
+    shuffles; verification is |array_intersect| over the two
+    candidates' arrays with the tiny candidate table broadcast. The
+    old row-form path additionally paid the explode+distinct shuffle,
+    a 12-agg signature groupBy, and an explode+count verify join.
+    Staged checkpoints between stages (signatures / candidates are
+    tiny) keep the verify job reading bounded RDDs instead of
+    re-analyzing one ~30-stage DAG — the same staged-beats-fused
+    A/B result measured in round 5 holds for the array form.
     """
-    sh = hashed_shingle_sets(docs, id_col, text_col, n)
+    arr = hashed_shingle_arrays(docs, id_col, text_col, n)
     if not release:
-        cand = lsh_candidates(minhash_signatures(sh))
+        cand = lsh_candidates(minhash_signatures_from_arrays(arr))
     else:
-        # staged execution: signatures and candidates are TINY (one row
-        # per doc / per collided pair) — materializing each stage as a
-        # small eager checkpoint lets the verify job read bounded RDDs
-        # instead of re-analyzing one ~30-stage DAG. Re-measured round 5
-        # in a same-session A/B after the r4 verdict hypothesized the
-        # checkpoints caused d03/c01 latency drift: staged beats the
-        # fused lazy plan at EVERY fixture scale (d03 best-of-3,
-        # staged vs fused: sf0.001 2.9 s vs 3.2 s; sf0.01 2.4 s vs
-        # 3.5 s; sf0.1 2.5 s vs 6.4 s) — the drift was environment
-        # noise, and an input-size-adaptive gate would only slow the
-        # small case down. Staged stays unconditional.
-        sh = sh.persist()
-        sig = minhash_signatures(sh).localCheckpoint(eager=True)
+        arr = arr.localCheckpoint(eager=True)
+        sig = minhash_signatures_from_arrays(arr).localCheckpoint(eager=True)
         cand = lsh_candidates(sig).localCheckpoint(eager=True)
-    verified = jaccard_pairs(
-        sh.join(
-            cand.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-            .distinct(),
-            "doc_id",
-            "left_semi",
-        ),
-        num,
-        den,
-        elem_col="h",
+    out = (
+        F.broadcast(cand)
+        .join(
+            arr.select(
+                F.col("doc_id").alias("doc_a"), F.col("hs").alias("__ha")
+            ),
+            "doc_a",
+        )
+        .join(
+            arr.select(
+                F.col("doc_id").alias("doc_b"), F.col("hs").alias("__hb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__ha", "__hb")).cast("long").alias(
+                "shared"
+            ),
+            F.size("__ha").cast("long").alias("na"),
+            F.size("__hb").cast("long").alias("nb"),
+        )
+        .filter(
+            F.lit(den) * F.col("shared")
+            >= F.lit(num) * (F.col("na") + F.col("nb") - F.col("shared"))
+        )
     )
-    out = verified.join(cand, ["doc_a", "doc_b"], "left_semi")
-    return materialize_and_release(out, sh) if release else out
+    return materialize_and_release(out) if release else out
 
 
 def incremental_dedup(
