@@ -574,26 +574,26 @@ def incremental_dedup(
     corpus against itself. The band join is strictly cross-side
     (new ⋈ base on (band, bsig)), so base×base collisions — the bulk of
     the bucket volume — are never generated; verification touches only
-    collided pairs, and the base side contributes exactly its banded
-    signature projection plus the candidate docs' shingle sets. At scale
-    the base signatures are a precomputed artifact written at accept
-    time (one narrow table, NUM_HASHES longs per doc) and this function
-    takes them as-is; here they're derived inline so the operator is
-    self-contained over the driver tables.
+    collided pairs via |array_intersect| on the two pinned doc-dim
+    hash arrays (the tiny candidate table broadcast). At scale the
+    base signatures are a precomputed artifact written at accept time
+    (`sigstore.write_signature_store`) and the store path takes them
+    as-is; here they're derived inline — zero-shuffle projections of
+    the arrays — so the operator is self-contained over the driver
+    tables.
     """
-    sh_new = hashed_shingle_sets(new_docs, id_col, text_col, n)
-    sh_base = hashed_shingle_sets(base_docs, id_col, text_col, n)
+    arr_new = hashed_shingle_arrays(new_docs, id_col, text_col, n)
+    arr_base = hashed_shingle_arrays(base_docs, id_col, text_col, n)
     if release:
         # staged execution, same rationale as minhash_lsh_pairs: the
         # signature/candidate stages are doc-dim/collision-sized
-        sh_new, sh_base = sh_new.persist(), sh_base.persist()
-        sig_new = minhash_signatures(sh_new).localCheckpoint(eager=True)
-        sig_base = minhash_signatures(sh_base).localCheckpoint(eager=True)
-    else:
-        sig_new, sig_base = (
-            minhash_signatures(sh_new),
-            minhash_signatures(sh_base),
-        )
+        arr_new = arr_new.localCheckpoint(eager=True)
+        arr_base = arr_base.localCheckpoint(eager=True)
+    sig_new = minhash_signatures_from_arrays(arr_new)
+    sig_base = minhash_signatures_from_arrays(arr_base)
+    if release:
+        sig_new = sig_new.localCheckpoint(eager=True)
+        sig_base = sig_base.localCheckpoint(eager=True)
     bn = banded_signatures(sig_new).select(
         F.col("doc_id").alias("new_id"), "band", "bsig"
     )
@@ -603,11 +603,45 @@ def incremental_dedup(
     cand = bn.join(bb, ["band", "bsig"]).select("new_id", "base_id").distinct()
     if release:
         cand = cand.localCheckpoint(eager=True)
-    nb = sh_base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
-    out = screen_cross_candidates(
-        new_docs, sh_new, sh_base, nb, cand, num, den, id_col=id_col
+    verified = (
+        F.broadcast(cand)
+        .join(
+            arr_new.select(
+                F.col("doc_id").alias("new_id"), F.col("hs").alias("__ha")
+            ),
+            "new_id",
+        )
+        .join(
+            arr_base.select(
+                F.col("doc_id").alias("base_id"), F.col("hs").alias("__hb")
+            ),
+            "base_id",
+        )
+        .select(
+            "new_id",
+            "base_id",
+            F.size(F.array_intersect("__ha", "__hb")).cast("long").alias(
+                "shared"
+            ),
+            F.size("__ha").cast("long").alias("na"),
+            F.size("__hb").cast("long").alias("nb"),
+        )
+        .filter(
+            F.lit(den) * F.col("shared")
+            >= F.lit(num) * (F.col("na") + F.col("nb") - F.col("shared"))
+        )
+        .select("new_id", "base_id")
     )
-    return materialize_and_release(out, sh_new, sh_base) if release else out
+    out = (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .join(
+            verified.groupBy("new_id").agg(F.min("base_id").alias("dup_of")),
+            F.col("doc_id") == F.col("new_id"),
+            "left",
+        )
+        .select("doc_id", "dup_of", F.col("dup_of").isNull().alias("keep"))
+    )
+    return materialize_and_release(out) if release else out
 
 
 def all_keep_decisions(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -47,8 +47,8 @@ from .dedup import (
     MINHASH_B,
     NUM_HASHES,
     banded_signatures,
-    hashed_shingle_sets,
-    minhash_signatures,
+    hashed_shingle_arrays,
+    minhash_signatures_from_arrays,
     screen_cross_candidates,
 )
 
@@ -102,9 +102,17 @@ def write_signature_store(
                 f"(n={n_meta}, shards={shards_meta}, fp={fp}); "
                 f"got (n={n}, shards={n_shards}, fp={_hash_fingerprint()})"
             )
-    sh = hashed_shingle_sets(docs, id_col, text_col, n).persist()
-    bands = banded_signatures(minhash_signatures(sh))
+    # ONE codegen scan builds the doc-dim sorted-hash arrays; the
+    # row-form store tables (shingles, counts) and the signatures all
+    # derive from the pinned arrays without re-tokenizing — the store's
+    # ON-DISK format stays row-form (shard-pruned equi-joins at screen
+    # time), only the derivation changed.
+    arr = hashed_shingle_arrays(docs, id_col, text_col, n).localCheckpoint(
+        eager=True
+    )
+    bands = banded_signatures(minhash_signatures_from_arrays(arr))
     bands.write.mode("overwrite").parquet(f"{path}/bands/batch={batch}")
+    sh = arr.select("doc_id", F.explode("hs").alias("h"))
     (
         sh.withColumn("shard", _shard(F.col("doc_id"), n_shards))
         # cluster by shard before the partitioned write: one task per
@@ -116,15 +124,16 @@ def write_signature_store(
         .parquet(f"{path}/shingles/batch={batch}")
     )
     (
-        sh.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("nb"))
+        # counts read off the array sizes — docs with zero shingles
+        # carry no row, matching the old groupBy-over-rows form
+        arr.filter(F.size("hs") > 0)
+        .select("doc_id", F.size("hs").cast("long").alias("nb"))
         .withColumn("shard", _shard(F.col("doc_id"), n_shards))
         .repartition(n_shards, "shard")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(f"{path}/counts/batch={batch}")
     )
-    sh.unpersist()
     if meta is None:
         # meta is written LAST: its presence marks a complete seed, so
         # a crash mid-seed leaves a store that _read_meta reports as
@@ -192,8 +201,13 @@ def incremental_dedup_from_store(
             f"signature store at {path} uses hash config {fp}, "
             f"engine has {_hash_fingerprint()}"
         )
-    sh_new = hashed_shingle_sets(new_docs, id_col, text_col, n).persist()
-    sig_new = minhash_signatures(sh_new).localCheckpoint(eager=True)
+    arr_new = hashed_shingle_arrays(
+        new_docs, id_col, text_col, n
+    ).localCheckpoint(eager=True)
+    sh_new = arr_new.select("doc_id", F.explode("hs").alias("h"))
+    sig_new = minhash_signatures_from_arrays(arr_new).localCheckpoint(
+        eager=True
+    )
     bn = banded_signatures(sig_new).select(
         F.col("doc_id").alias("new_id"), "band", "bsig"
     )
@@ -214,7 +228,6 @@ def incremental_dedup_from_store(
     )
     shards = [r["s"] for r in shard_rows]
     if not shards:  # no band collisions: the whole batch is novel
-        sh_new.unpersist()
         return all_keep_decisions(new_docs, id_col)
     sh_base = (
         _read_part(spark, path, "shingles", exclude_batch)
@@ -231,6 +244,4 @@ def incremental_dedup_from_store(
     out = screen_cross_candidates(
         new_docs, sh_new, sh_base, nb, cand, num, den, id_col=id_col
     )
-    out = out.localCheckpoint(eager=True)
-    sh_new.unpersist()
-    return out
+    return out.localCheckpoint(eager=True)
