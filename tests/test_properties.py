@@ -1291,3 +1291,73 @@ def test_char_collision_stats_equals_python_counter(spark, texts):
         assert r["n_chars"] == len(t), (t, r)
         assert r["n_distinct"] == len(c), (t, r)
         assert r["sum_sq"] == sum(k * k for k in c.values()), (t, r)
+
+
+# ---------------------------------------------------------------------------
+# array-form shingle/signature primitives: the round-8 rewrite must be
+# set-identical to the row-form originals on adversarial text
+# ---------------------------------------------------------------------------
+_arr_texts = st.lists(
+    st.lists(
+        st.sampled_from(["w1", "w2", "w3", "α", "b", "", "x y"]),
+        min_size=0,
+        max_size=20,
+    ).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_arr_texts)
+def test_hashed_shingle_arrays_equal_row_form(spark, texts):
+    """hashed_shingle_arrays is the row-form hashed_shingle_sets as a
+    sorted distinct array — per doc, the SAME set in ascending order,
+    including docs with < n tokens (empty array vs zero rows)."""
+    from ergo_uexplorer_spark.operators.dedup import hashed_shingle_arrays
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    arr = {
+        r["doc_id"]: r["hs"]
+        for r in hashed_shingle_arrays(docs).collect()
+    }
+    rows: dict[int, set] = {}
+    for r in hashed_shingle_sets(docs).collect():
+        rows.setdefault(r["doc_id"], set()).add(r["h"])
+    assert set(arr) == set(range(len(texts)))
+    for i in range(len(texts)):
+        want = sorted(rows.get(i, set()))
+        assert arr[i] == want, (texts[i], arr[i], want)
+
+
+def test_minhash_signatures_from_arrays_equal_groupby_form(spark):
+    """Zero-shuffle array signatures == the groupBy signatures row for
+    row (same hash family over the same distinct sets); docs with no
+    shingles appear in neither."""
+    from ergo_uexplorer_spark.operators.dedup import (
+        hashed_shingle_arrays,
+        minhash_signatures_from_arrays,
+    )
+
+    df = _dup_heavy_docs(spark)
+    df = df.unionByName(
+        spark.createDataFrame([(99, "one two")], "doc_id long, text string")
+    )  # < n tokens: no shingles, must drop out of both forms
+    got = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(12))
+        for r in minhash_signatures_from_arrays(
+            hashed_shingle_arrays(df)
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(12))
+        for r in minhash_signatures(hashed_shingle_sets(df)).collect()
+    }
+    assert got == want
+    assert 99 not in got
