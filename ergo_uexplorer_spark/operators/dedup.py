@@ -644,6 +644,55 @@ def incremental_dedup(
     return materialize_and_release(out) if release else out
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num: int = 4,
+    den: int = 5,
+) -> DataFrame:
+    """Quality-canonical cluster representatives → (component, keep_id,
+    keep_tokens, n_members), one row per near-dup cluster: the kept doc
+    is the member with the MOST tokens (ties → smallest id) — the
+    keep-the-most-complete-copy policy a corpus cleaner actually wants,
+    vs `dedup_clusters`' arbitrary min-id canonical (a truncated scrape
+    of a page should lose to the full copy, whatever their ids).
+
+    Scale shape: clusters come from `dedup_clusters` (prefix-filtered
+    pairs + connected components — cluster-member rows are collision-
+    bounded, tiny next to the corpus); the member table is broadcast
+    into the docs join so ONLY cluster members are re-tokenized for the
+    quality signal; the argmax is one `max_by` hash-agg over a struct
+    key (commutative, map-side combined — no per-cluster sort)."""
+    comps = dedup_clusters(docs, id_col, text_col, n, num, den)
+    members = (
+        F.broadcast(comps.select("doc_id", "component"))
+        .join(
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+            ),
+            "doc_id",
+        )
+        # tokenize AFTER the member join so only cluster members pay it
+        .select(
+            "doc_id",
+            "component",
+            F.size(tokens(F.col("__t"))).cast("long").alias("__q"),
+        )
+    )
+    return members.groupBy("component").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(
+                F.col("__q").alias("q"), (-F.col("doc_id")).alias("negid")
+            ),
+        ).alias("keep_id"),
+        F.max("__q").alias("keep_tokens"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
 def all_keep_decisions(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, dup_of=NULL, keep=true) over `docs` — the decision frame
     for a batch with no base or no candidates, dup_of typed like the id

@@ -528,3 +528,124 @@ def zw8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# zw9: quality-canonical near-dup representatives — keep the member
+# with the MOST tokens per cluster (ties → smallest id), the
+# keep-the-most-complete-copy policy a corpus cleaner actually applies
+# (d06's min-id canonical is arbitrary under truncated scrapes). The
+# oracle replays the recursive connected components over the same
+# hashed-Jaccard pair SQL as zz_z31, then ranks members per component.
+# --------------------------------------------------------------------------
+def _keep_best_sql() -> str:
+    from .dedup import _HASHED_JACCARD_SQL, _TOKS as _DTOKS
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_HASHED_JACCARD_SQL}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    q AS (SELECT doc_id, CAST(len({_DTOKS}) AS BIGINT) AS q
+          FROM documents),
+    ranked AS (
+      SELECT comp.doc_id, component, q.q,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY q.q DESC, comp.doc_id ASC) AS rn
+      FROM comp JOIN q USING (doc_id)
+    )
+    SELECT component,
+           max(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+           max(CASE WHEN rn = 1 THEN q END) AS keep_tokens,
+           count(*) AS n_members
+    FROM ranked GROUP BY component
+    """
+
+
+@register(
+    "zw9_dedup_keep_best",
+    sql=_keep_best_sql(),
+    survey_ref="LLM-pipeline: quality-canonical dedup representative "
+    "(dedup.dedup_keep_best; complements zz_d06's min-id canonical)",
+    tags=("dedup", "graph", "curation"),
+)
+def zw9_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return D.dedup_keep_best(docs, num=4, den=5)
+
+
+# --------------------------------------------------------------------------
+# zwa: one k-means (Lloyd) update step over the fixed 128-cell coarse
+# quantizer — nearest-centroid assignment (the s03/z23 argmax, identical
+# tiebreak) then per-cell centroid SUFFICIENT STATISTICS as exact
+# floor-scaled integer sums: cell[dim] = sx / (n·scale). This is the IVF
+# index-maintenance primitive (retrain cells as the corpus drifts); the
+# integer numerators make the iterative step oracle-checkable the same
+# way zyg2 made the class prototypes checkable.
+# --------------------------------------------------------------------------
+_KMEANS_SCALE = 10**6
+
+
+def _kmeans_update_sql() -> str:
+    from ..operators import similarity as S
+    from .similarity import _sql_cos
+
+    values = ",\n      ".join(
+        "({}, [{}]::DOUBLE[])".format(ci, ", ".join(repr(v) for v in cent))
+        for ci, cent in enumerate(S.FIXED_CENTROIDS)
+    )
+    return f"""
+    WITH cents(cell, cv) AS (VALUES
+      {values}),
+    e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    ranked AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {_sql_cos('v', 'cv')} DESC,
+                                         cell ASC) AS rn
+      FROM e CROSS JOIN cents
+    ),
+    asg AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1)
+    SELECT CAST(cell AS BIGINT) AS cell, dim, count(*) AS n,
+           CAST(sum(CAST(floor(CAST(e AS DOUBLE) * {_KMEANS_SCALE})
+                         AS HUGEINT)) AS VARCHAR) AS sx
+    FROM (
+      SELECT cell, unnest(v) AS e,
+             unnest(range(0, len(v))) AS dim
+      FROM asg
+    )
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "zwa_kmeans_update",
+    sql=_kmeans_update_sql(),
+    survey_ref="s03/z23 family support: one Lloyd step as exact integer "
+    "sufficient stats (similarity.ivf_assign + embedding_centroid_stats)",
+    tags=("similarity", "agg"),
+)
+def zwa_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    asg = S.ivf_assign(emb, list(S.FIXED_CENTROIDS))
+    out = S.embedding_centroid_stats(
+        asg, label_col="centroid_id", scale=_KMEANS_SCALE
+    )
+    return out.select(
+        F.col("label").cast("long").alias("cell"),
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        F.col("sx").cast("string").alias("sx"),
+    )

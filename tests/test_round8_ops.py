@@ -328,3 +328,59 @@ def test_ann_recall_full_probe_is_perfect(spark):
     assert len(got) == 3
     for r in got:
         assert r["n_exact"] == 4 and r["n_hit"] == 4
+
+
+def test_dedup_keep_best_prefers_longest_member(spark):
+    """The canonical is the most-token member (ties -> smallest id):
+    a truncated scrape must lose to the full copy regardless of id
+    order, and the min-id tiebreak applies only among equals."""
+    from ergo_uexplorer_spark.operators.dedup import dedup_keep_best
+
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            # cluster A: id 0 is a TRUNCATED copy, id 7 is full -> keep 7
+            (0, " ".join(base.split()[:34])),
+            (7, base),
+            # cluster B: exact dups, equal length -> keep the smaller id
+            (3, base.replace("w", "v")),
+            (5, base.replace("w", "v")),
+            # singleton: no pair, not in the output
+            (9, " ".join(f"u{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["component"]: r for r in dedup_keep_best(docs, num=4, den=5).collect()
+    }
+    assert set(out) == {0, 3}
+    assert out[0]["keep_id"] == 7 and out[0]["keep_tokens"] == 40
+    assert out[0]["n_members"] == 2
+    assert out[3]["keep_id"] == 3 and out[3]["n_members"] == 2
+
+
+def test_kmeans_update_stats_partition_corpus(spark):
+    """One Lloyd step's sufficient stats must partition the corpus:
+    Σ_cells n == |corpus| for every dim, and each cell's stats row
+    count == EMB_DIM; sums are reduction-order-proof (repartitioned
+    reversal gives identical integers)."""
+    from ergo_uexplorer_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    asg = S.ivf_assign(emb, list(S.FIXED_CENTROIDS))
+    out = S.embedding_centroid_stats(
+        asg, label_col="centroid_id", scale=10**6
+    )
+    rows = out.collect()
+    n_vec = emb.count()
+    per_dim = {}
+    for r in rows:
+        per_dim.setdefault(r["dim"], 0)
+        per_dim[r["dim"]] += r["n"]
+    assert set(per_dim.values()) == {n_vec}
+    rev = S.embedding_centroid_stats(
+        asg.repartition(7).sort(F.col("vec_id").desc()),
+        label_col="centroid_id",
+        scale=10**6,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rev))
