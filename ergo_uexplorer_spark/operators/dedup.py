@@ -3,18 +3,28 @@
 Scale posture (the part that matters at 100 TB):
   * exact dedup is one hash-groupBy — partial aggregation map-side, no
     row data moves, only (hash, count, min_id);
+  * the set-building work for Jaccard/MinHash happens INSIDE one
+    whole-stage-codegen scan: `hashed_shingle_arrays` reduces each doc
+    to its sorted distinct hashed-shingle array with per-row HOFs (no
+    explode+distinct shuffle, no per-doc window);
   * exact-threshold n-gram Jaccard runs through LOSSLESS prefix
     filtering (`jaccard_prefix_pairs`): candidates come from an
-    equi-join over per-doc shingle prefixes, never an all-pairs product
-    (`jaccard_pairs` over full sets remains the quadratic test
-    baseline);
-  * MinHash signatures are ONE shuffle (groupBy doc over exploded
-    shingles with 12 `min` partial aggs); banding is a projection; the
-    band self-join touches only bucket collisions;
-  * SimHash signatures are linear (explode doc × 32 bits → two
-    groupBys) and pairing is the pigeonhole block-join — candidates
-    from an (block, byte) equi-join, exact hamming verify on
-    collisions only.
+    equi-join over the short per-doc prefix SLICES of those arrays,
+    never an all-pairs product; verification is |array_intersect| with
+    the tiny candidate table broadcast (`jaccard_pairs` over full
+    exploded sets remains the quadratic test baseline);
+  * MinHash signatures are ZERO shuffle (`array_min` transforms of the
+    arrays); banding is a projection; the band self-join touches only
+    bucket collisions;
+  * SimHash signatures stay in the explode + 32-conditional-agg
+    groupBy form DELIBERATELY: the array-accumulator fold
+    (aggregate + zip_with per element) is interpreted, not codegen'd,
+    and measured ~2.5× slower than the codegen'd groupBy — HOFs win
+    when they REPLACE a shuffle with simple per-element transforms,
+    not when they re-implement a wide aggregation with per-element
+    array allocation. Pairing is the pigeonhole block-join —
+    candidates from an (block, byte) equi-join, exact hamming verify
+    on collisions only.
 
 Thresholds are exact integer arithmetic (`den*shared >= num*union`), so
 results are engine-independent — no float Jaccard in any predicate.
