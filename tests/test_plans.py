@@ -384,3 +384,36 @@ def test_r7_zyb_plans_have_no_unbounded_products(spark):
         plan = formatted_plan(REGISTRY[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_hashed_shingle_arrays_has_no_exchange(spark):
+    """The doc-dim sorted-hash-array build must be ONE codegen scan —
+    zero Exchange (no explode+distinct shuffle, no per-doc window), the
+    structural claim the round-8 dedup rewrite rests on."""
+    from ergo_uexplorer_spark.operators.dedup import hashed_shingle_arrays
+    from ergo_uexplorer_spark.plans.explain import formatted_plan
+    from ergo_uexplorer_spark.suite.base import load
+
+    (docs,) = load(spark, SF_DIR, "documents")
+    plan = formatted_plan(hashed_shingle_arrays(docs))
+    # the only allowed Exchange is ensure_parallelism's ROUND-ROBIN
+    # spread of an under-split scan (a no-op at real scale); any
+    # hash/range exchange would mean a shuffle crept back in
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_minhash_signatures_from_arrays_has_no_exchange(spark):
+    """Signatures are a zero-shuffle projection of the pinned arrays."""
+    from ergo_uexplorer_spark.operators.dedup import (
+        hashed_shingle_arrays,
+        minhash_signatures_from_arrays,
+    )
+    from ergo_uexplorer_spark.plans.explain import formatted_plan
+    from ergo_uexplorer_spark.suite.base import load
+
+    (docs,) = load(spark, SF_DIR, "documents")
+    arr = hashed_shingle_arrays(docs).localCheckpoint(eager=False)
+    plan = formatted_plan(minhash_signatures_from_arrays(arr))
+    assert "Exchange" not in plan, plan
