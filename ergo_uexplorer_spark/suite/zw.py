@@ -649,3 +649,134 @@ def zwa_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("sx").cast("string").alias("sx"),
     )
+
+
+# --------------------------------------------------------------------------
+# zwb: local-supplier volume (TPC-H Q5 shape) — the 6-table star join
+# the suite's relational surface lacked: customer⋈orders⋈lineitem on
+# the fact spine, supplier joined on BOTH l_suppkey AND the
+# local-supplier condition c_nationkey = s_nationkey, nation/region as
+# broadcast dims. Exercises Catalyst join reordering + dim broadcast at
+# the plan level; revenue is exact cents (b01 rounding convention).
+# --------------------------------------------------------------------------
+@register(
+    "zwb_local_supplier_volume",
+    sql="""
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_lines
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    survey_ref="generic join surface (SURVEY §2.6): 6-table star join, "
+    "local-supplier correlation",
+    tags=("join", "agg"),
+    bench=True,
+)
+def zwb_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem, supplier, nation, region = load(
+        spark, sf_dir,
+        "customer", "orders", "lineitem", "supplier", "nation", "region",
+    )
+    dims = (
+        F.broadcast(nation)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = F.broadcast(
+        supplier.join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(customer),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# zwc: small-quantity revenue (TPC-H Q17 shape) — the decorrelated
+# scalar-subquery pattern: lineitems whose quantity is below 20% of
+# their part's average, for one brand. The fractional-average predicate
+# is cross-multiplied into exact integers (qty < 0.2·avg ⇔
+# 5·qty·cnt < sum), so the filter is engine-identical; the per-part
+# aggregate joins back on the SAME key its groupBy shuffled on
+# (co-partitioned, no extra exchange), with the brand dim broadcast
+# into both sides.
+# --------------------------------------------------------------------------
+@register(
+    "zwc_small_quantity_revenue",
+    sql="""
+    WITH bparts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+    li AS (
+      SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem JOIN bparts ON l_partkey = p_partkey
+    ),
+    avgq AS (SELECT l_partkey, count(*) AS c,
+                    CAST(sum(qty) AS BIGINT) AS s
+             FROM li GROUP BY 1)
+    SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) AS revenue_cents,
+           count(*) AS n_lines
+    FROM li JOIN avgq USING (l_partkey)
+    WHERE 5 * qty * c < s
+    """,
+    survey_ref="generic join surface (SURVEY §2.6): decorrelated "
+    "per-group-average predicate (Q17 shape)",
+    tags=("join", "agg"),
+)
+def zwc_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = load(spark, sf_dir, "lineitem", "part")
+    bparts = F.broadcast(
+        part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    )
+    li = lineitem.join(
+        bparts, F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "l_partkey",
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    avgq = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("qty").alias("s")
+    )
+    return (
+        li.join(avgq, "l_partkey")
+        .filter(F.lit(5) * F.col("qty") * F.col("c") < F.col("s"))
+        .agg(
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -384,3 +384,44 @@ def test_kmeans_update_stats_partition_corpus(spark):
         scale=10**6,
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rev))
+
+
+def test_small_quantity_predicate_hand_computed(spark):
+    """Q17-shape cross-multiplied predicate: qty < 0.2*avg(qty) per
+    part, exact integers. part 1: qtys (1, 10, 39) avg=16.67 -> only
+    qty 1 qualifies (5*1*3=15 < 50); part 2: uniform qtys never
+    qualify (5*q*c == s is NOT <)."""
+    from pyspark.sql import functions as F
+
+    li = spark.createDataFrame(
+        [(1, 1, 100.0), (1, 10, 200.0), (1, 39, 300.0),
+         (2, 7, 400.0), (2, 7, 500.0)],
+        "l_partkey long, qty long, price double",
+    ).select(
+        "l_partkey", "qty",
+        F.round(F.col("price") * 100).cast("bigint").alias("cents"),
+    )
+    avgq = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("qty").alias("s")
+    )
+    got = (
+        li.join(avgq, "l_partkey")
+        .filter(F.lit(5) * F.col("qty") * F.col("c") < F.col("s"))
+        .collect()
+    )
+    assert [(r["l_partkey"], r["qty"]) for r in got] == [(1, 1)]
+
+
+def test_local_supplier_volume_broadcasts_dims(spark):
+    """The Q5-shape star join must broadcast every dim side — the only
+    shuffle joins allowed are on the fact spine."""
+    from ergo_uexplorer_spark.plans.explain import formatted_plan
+    from ergo_uexplorer_spark.suite import REGISTRY
+
+    plan = formatted_plan(
+        REGISTRY["zwb_local_supplier_volume"].fn(
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
