@@ -385,6 +385,10 @@ def z42_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") >= 4)
         .select("src", "dst")
+        # pin the supplier-pair edge table (tiny): it feeds the edge
+        # count AND triangle_count's two-sided symmetrize — lazily each
+        # consumer re-ran the whole co-purchase self-join+agg pipeline
+        .localCheckpoint(eager=True)
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     tri = G.triangle_count(edges)
