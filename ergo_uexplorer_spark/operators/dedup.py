@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from .textops import portable_hash, shingles, tokens
 from .util import ensure_parallelism as _ensure_parallelism
-from .util import materialize_and_release
+from .util import materialize_and_release, pin_corpus_dim
 
 # ---------------------------------------------------------------------------
 # MinHash constants (seeded, shared with the SQL oracle)
@@ -220,7 +220,7 @@ def jaccard_prefix_pairs(
     """
     arr = hashed_shingle_arrays(docs, id_col, text_col, n)
     if release and not arr.isStreaming:
-        arr = arr.localCheckpoint(eager=True)
+        arr = pin_corpus_dim(arr)
     # prefix length = nn - ceil(num*nn/den) + 1 (integer arithmetic);
     # the array is ascending, so slice(hs, 1, plen) IS the prefix in
     # global hash order
@@ -363,7 +363,7 @@ def containment_prefix_pairs(
     """
     arr = hashed_shingle_arrays(docs, id_col, text_col, n)
     if release and not arr.isStreaming:
-        arr = arr.localCheckpoint(eager=True)
+        arr = pin_corpus_dim(arr)
     plen = (
         F.size("hs")
         - F.expr(f"({num} * size(hs) + {den - 1}) div {den}")
@@ -528,7 +528,7 @@ def minhash_lsh_pairs(
     if not release:
         cand = lsh_candidates(minhash_signatures_from_arrays(arr))
     else:
-        arr = arr.localCheckpoint(eager=True)
+        arr = pin_corpus_dim(arr)
         sig = minhash_signatures_from_arrays(arr).localCheckpoint(eager=True)
         cand = lsh_candidates(sig).localCheckpoint(eager=True)
     out = (
@@ -597,7 +597,7 @@ def incremental_dedup(
     if release:
         # staged execution, same rationale as minhash_lsh_pairs: the
         # signature/candidate stages are doc-dim/collision-sized
-        arr_new = arr_new.localCheckpoint(eager=True)
+        arr_new = pin_corpus_dim(arr_new)
         arr_base = arr_base.localCheckpoint(eager=True)
     sig_new = minhash_signatures_from_arrays(arr_new)
     sig_base = minhash_signatures_from_arrays(arr_base)

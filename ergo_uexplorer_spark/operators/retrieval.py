@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textops import tokens
+from .util import pin_corpus_dim
 
 # k1 = 6/5, b = 3/4 (the classical defaults, kept rational on purpose —
 # see module docstring for the closed integer form they produce).
@@ -69,7 +70,7 @@ def _bm25_prepare(
         F.filter("__t", lambda c: c.isin(all_terms)).alias("__m"),
     )
     if not narrow.isStreaming:
-        narrow = narrow.localCheckpoint(eager=True)
+        narrow = pin_corpus_dim(narrow)
 
     # corpus scalars: one row, broadcast (the same single-row-scalar
     # shape corpus.py uses for dataset totals); derived from the pinned
