@@ -172,7 +172,13 @@ class UtxoState:
         v = self.current_version() + 1
         tmp = os.path.join(self.dir, f".tmp_v{v}")
         created.write.mode("overwrite").parquet(os.path.join(tmp, "created"))
-        spent.select("box_id").write.mode("overwrite").parquet(
+        # keep the spending block's height alongside the id: reads only
+        # ever project box_id, but a mid-version fork rollback must split
+        # a version's spends at the divergence height (see deltas_above)
+        spent_cols = ["box_id"] + (
+            ["height"] if "height" in spent.columns else []
+        )
+        spent.select(*spent_cols).write.mode("overwrite").parquet(
             os.path.join(tmp, "spent")
         )
         if batch_id is not None:
@@ -213,6 +219,52 @@ class UtxoState:
             if v > version:
                 shutil.rmtree(self._vdir(v), ignore_errors=True)
 
+    def deltas_above(
+        self, version: int, below_height: int
+    ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+        """(created, spent, headers) rows of the versions strictly above
+        `version`, restricted to blocks BELOW `below_height` — the
+        shared-ancestor slice a mid-version fork rollback must preserve
+        (the divergence can fall inside a multi-block version, so the
+        rolled-back versions hold blocks the arriving branch never
+        re-supplies). Eagerly materialized (localCheckpoint) so the
+        caller may delete the source version dirs immediately after;
+        volume is bounded by the retained rollback window, never
+        O(state)."""
+        vs = [v for v in self.versions() if v > version]
+        cdirs = [os.path.join(self._vdir(v), "created") for v in vs]
+        sdirs = [os.path.join(self._vdir(v), "spent") for v in vs]
+        hdirs = [
+            os.path.join(self._vdir(v), "headers")
+            for v in vs
+            if os.path.exists(os.path.join(self._vdir(v), "headers"))
+        ]
+        created = self.spark.read.parquet(*cdirs).filter(
+            F.col("height") < below_height
+        )
+        spent = self.spark.read.parquet(*sdirs)
+        if "height" not in spent.columns:
+            raise RuntimeError(
+                "fork diverges inside a version but its spent deltas are "
+                "not height-attributed (pre-upgrade state) — cannot split "
+                "the version at the divergence"
+            )
+        spent = spent.filter(F.col("height") < below_height)
+        headers = (
+            self.spark.read.parquet(*hdirs).filter(
+                F.col("height") < below_height
+            )
+            if hdirs
+            else None
+        )
+        return (
+            created.localCheckpoint(eager=True),
+            spent.localCheckpoint(eager=True),
+            headers.localCheckpoint(eager=True)
+            if headers is not None
+            else None,
+        )
+
 
 UTXO_COLS = (
     "box_id",
@@ -241,7 +293,7 @@ def apply_block_batch(
     out = N.outputs(raw_batch)
     trees = N.ergo_trees(out)
     new_boxes = N.boxes(out, trees).select(*UTXO_COLS)
-    spent = spent_inputs(N.inputs(raw_batch)).select("box_id")
+    spent = spent_inputs(N.inputs(raw_batch)).select("box_id", "height")
     return state.commit(new_boxes, spent, batch_id=batch_id)
 
 
@@ -269,7 +321,10 @@ def apply_block_batch_forkaware(
       chain wins; the same-height incumbent keeps — first-seen-wins,
       BlockWriter.scala:66-69): `rollback_to` the newest version wholly
       below the divergence, then commit the branch's blocks from the
-      divergence up as one new version;
+      divergence up as one new version. When the divergence falls in the
+      MIDDLE of a multi-block version, the rolled-back versions' deltas
+      below the divergence height are preserved and re-committed first
+      (the branch never re-supplies shared-ancestor blocks);
     - losing / orphan branch → no-op (returns None).
 
     Driver-side work is O(|batch headers| + retained window): only the
@@ -314,6 +369,17 @@ def apply_block_batch_forkaware(
     if best is None:
         return None
     tip_h, tip_id, diverge_h = best
+    # winning path ids from the tip down to the divergence (walked up
+    # front: the divergence block's parent is the shared ancestor the
+    # mid-version rollback below must restore the state floor to)
+    path, node, ancestor_id = [], tip_id, None
+    while node in hdrs:
+        path.append(node)
+        nh, parent = hdrs[node]
+        if nh == diverge_h:
+            ancestor_id = parent
+            break
+        node = parent
     if cur_tip is not None and diverge_h <= cur_tip[0]:
         # branch: strictly-longer wins, ties keep the incumbent
         if tip_h <= cur_tip[0]:
@@ -329,15 +395,29 @@ def apply_block_batch_forkaware(
                 f"window — cannot rewind (reference keeps {KEEP_VERSIONS} "
                 "versions too)"
             )
+        preserved = None
+        if (
+            target is not None
+            and diverge_h > 1
+            and state.tip(target)[0] != diverge_h - 1
+        ):
+            # the divergence falls INSIDE a version (e.g. versions cover
+            # [1..7],[8..10] and the fork parent is block 9): rolling back
+            # to the newest version below the divergence would also drop
+            # the shared-ancestor blocks 8..9, which the arriving branch
+            # does not re-supply. Preserve that sub-version slice and
+            # re-commit it as the post-rollback floor, exactly as if the
+            # version boundary had fallen on the divergence.
+            preserved = state.deltas_above(target, diverge_h)
         state.rollback_to(target or 0)
-    # winning path ids from the tip down to the divergence
-    path, node = [], tip_id
-    while node in hdrs:
-        path.append(node)
-        nh, parent = hdrs[node]
-        if nh == diverge_h:
-            break
-        node = parent
+        if preserved is not None:
+            keep_created, keep_spent, keep_headers = preserved
+            state.commit(
+                keep_created,
+                keep_spent,
+                headers=keep_headers,
+                tip=(diverge_h - 1, ancestor_id),
+            )
     win = (
         raw_batch
         if len(path) == len(hdrs)  # pure append: the whole batch wins
@@ -346,7 +426,7 @@ def apply_block_batch_forkaware(
     out = N.outputs(win)
     trees = N.ergo_trees(out)
     new_boxes = N.boxes(out, trees).select(*UTXO_COLS)
-    spent = spent_inputs(N.inputs(win)).select("box_id")
+    spent = spent_inputs(N.inputs(win)).select("box_id", "height")
     return state.commit(
         new_boxes,
         spent,

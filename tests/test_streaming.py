@@ -505,6 +505,88 @@ def test_fork_mid_stream_rollback_in_availablenow_loop(spark, tmp_path):
     assert utxo_ids() == want
 
 
+def test_fork_mid_version_divergence_preserves_shared_ancestors(
+    spark, tmp_path
+):
+    """Fork diverging in the MIDDLE of a multi-block version: versions
+    cover [1..7] and [8..10], the winning branch's parent is block 9
+    (divergence height 10). Rolling back to the newest version below the
+    divergence (tip 7) must NOT lose the shared-ancestor blocks 8..9 —
+    they are preserved from the rolled-back version's deltas and
+    re-committed before the branch applies. Final state must equal a
+    batch recompute of the winning chain 1..9 + branch."""
+    from ergo_uexplorer_spark.sources.blocks import read_blocks
+    from ergo_uexplorer_spark.streaming.incremental import (
+        apply_block_batch_forkaware,
+    )
+
+    g = ChainGen(seed=77)
+    g.generate(10)
+    branch = g.fork(10, 1, "fmid")  # heights 10..11, parent = block 9
+
+    state = UtxoState(spark, str(tmp_path / "state"))
+
+    def apply_heights(blocks, lo, hi, batch_id):
+        p = str(tmp_path / f"b_{lo}_{hi}.jsonl.gz")
+        write_jsonl_gz(
+            [b for b in blocks if lo <= b["header"]["height"] <= hi], p
+        )
+        return apply_block_batch_forkaware(
+            state, read_blocks(spark, p), batch_id=batch_id
+        )
+
+    assert apply_heights(g.blocks, 1, 7, 0) == 1
+    assert apply_heights(g.blocks, 8, 10, 1) == 2
+    assert state.tip() == (10, g.blocks[-1]["header"]["id"])
+
+    # branch heights 10..11 wins (11 > 10); divergence height 10 falls
+    # inside version 2 ([8..10]) — blocks 8..9 must survive the rollback
+    v = apply_heights(branch, 10, 11, 2)
+    assert v == state.current_version()
+    assert state.tip() == (11, branch[-1]["header"]["id"])
+
+    win_path = str(tmp_path / "winning.jsonl.gz")
+    write_jsonl_gz(
+        [b for b in g.blocks if b["header"]["height"] <= 9]
+        + [b for b in branch if b["header"]["height"] >= 10],
+        win_path,
+    )
+    want = {
+        r["box_id"]
+        for r in ingest_blocks(spark, win_path)["utxo"]
+        .select("box_id")
+        .collect()
+    }
+    got = {
+        r["box_id"] for r in state.read().select("box_id").collect()
+    }
+    assert got == want
+
+    # the preserved floor carries headers/tip, so a LATER fork anchored
+    # at a preserved block still resolves: branch2 parent = block 8,
+    # heights 9..12 (beats 11)
+    branch2 = g.fork(9, 2, "fmid2")
+    v2 = apply_heights(branch2, 9, 12, 3)
+    assert v2 == state.current_version()
+    assert state.tip() == (12, branch2[-1]["header"]["id"])
+    win2 = str(tmp_path / "winning2.jsonl.gz")
+    write_jsonl_gz(
+        [b for b in g.blocks if b["header"]["height"] <= 8]
+        + [b for b in branch2 if b["header"]["height"] >= 9],
+        win2,
+    )
+    want2 = {
+        r["box_id"]
+        for r in ingest_blocks(spark, win2)["utxo"]
+        .select("box_id")
+        .collect()
+    }
+    got2 = {
+        r["box_id"] for r in state.read().select("box_id").collect()
+    }
+    assert got2 == want2
+
+
 def test_fork_aware_orphan_batch_is_noop(spark, tmp_path):
     """A branch that cannot link to the applied chain (its anchor block
     never arrived) must be skipped entirely — no commit, no rollback."""
