@@ -62,6 +62,27 @@ SIMHASH_BITS = 32
 SIMHASH_MOD = 1 << SIMHASH_BITS
 
 
+# Candidate-pair rows are two ids — 5M rows is low hundreds of MB, far
+# under the 8 GB broadcast hard cap and any sane driver heap.
+BROADCAST_CAND_MAX_ROWS = 5_000_000
+
+
+def _broadcast_if_bounded(cand: DataFrame, counted: bool) -> DataFrame:
+    """Broadcast the candidate-pair table only when a cheap count proves
+    it bounded: near-dup candidate pairs grow QUADRATICALLY with cluster
+    size on duplicate-heavy corpora (precisely the dedup workload), so an
+    unconditional hint risks the broadcast cap / driver OOM. Past the
+    threshold the verify falls back to a shuffled hash join — the same
+    gate-then-fallback pattern as k_hop_neighbors'
+    broadcast_frontier_max_rows. `counted=False` (release=False callers:
+    the candidates aren't checkpointed, so a count would recompute the
+    whole candidate DAG) attaches no hint and lets AQE promote small
+    sides to broadcast at runtime."""
+    if counted and cand.count() <= BROADCAST_CAND_MAX_ROWS:
+        return F.broadcast(cand)
+    return cand
+
+
 def normalized_text(col):
     """lower + collapse whitespace — exact-dup canonical form."""
     return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
@@ -227,14 +248,34 @@ def jaccard_prefix_pairs(
     nn = F.size("hs")
     plen = nn - F.expr(f"({num} * size(hs) + {den - 1}) div {den}") + F.lit(1)
     prefix = arr.select(
-        "doc_id", F.explode(F.slice("hs", F.lit(1), plen)).alias("h")
+        "doc_id",
+        nn.alias("nn"),
+        F.posexplode(F.slice("hs", F.lit(1), plen)).alias("i", "h"),
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    an, bn = F.col("a.nn"), F.col("b.nn")
+    # PPJoin+-style LOSSLESS pruning inside the candidate join, before
+    # anything shuffles to the distinct:
+    #  * length filter — J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|),
+    #    i.e. den·na ≥ num·nb in both directions;
+    #  * positional filter — a qualifying pair needs overlap
+    #    α = ⌈num·(na+nb)/(num+den)⌉, and at a matched element (0-based
+    #    positions i, j in the sorted arrays) the overlap is at most
+    #    1 + min(na−i−1, nb−j−1); the pair's FIRST shared element (which
+    #    lies in both prefixes — the AllPairs guarantee) satisfies the
+    #    bound exactly, so keeping pairs where ANY matched row passes is
+    #    lossless. ceil-free integer form: (num+den)·ubound ≥ num·(na+nb).
+    ubound = F.lit(1) + F.least(
+        an - F.col("a.i") - F.lit(1), bn - F.col("b.i") - F.lit(1)
+    )
     cand = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.lit(den) * an >= F.lit(num) * bn)
+            & (F.lit(den) * bn >= F.lit(num) * an)
+            & (F.lit(num + den) * ubound >= F.lit(num) * (an + bn)),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -247,7 +288,7 @@ def jaccard_prefix_pairs(
         # bounded RDD instead of re-walking the prefix-join DAG
         cand = cand.localCheckpoint(eager=True)
     out = (
-        F.broadcast(cand)
+        _broadcast_if_bounded(cand, release)
         .join(
             arr.select(
                 F.col("doc_id").alias("doc_a"), F.col("hs").alias("__ha")
@@ -274,7 +315,7 @@ def jaccard_prefix_pairs(
             >= F.lit(num) * (F.col("na") + F.col("nb") - F.col("shared"))
         )
     )
-    return materialize_and_release(out) if release else out
+    return materialize_and_release(out, arr) if release else out
 
 
 def containment_pairs(
@@ -364,21 +405,37 @@ def containment_prefix_pairs(
     arr = hashed_shingle_arrays(docs, id_col, text_col, n)
     if release and not arr.isStreaming:
         arr = pin_corpus_dim(arr)
+    nn = F.size("hs")
     plen = (
-        F.size("hs")
-        - F.expr(f"({num} * size(hs) + {den - 1}) div {den}")
-        + F.lit(1)
+        nn - F.expr(f"({num} * size(hs) + {den - 1}) div {den}") + F.lit(1)
     )
     prefix = arr.select(
-        "doc_id", F.explode(F.slice("hs", F.lit(1), plen)).alias("h")
+        "doc_id",
+        nn.alias("nn"),
+        F.posexplode(F.slice("hs", F.lit(1), plen)).alias("i", "h"),
     )
-    full = arr.select("doc_id", F.explode("hs").alias("h"))
+    full = arr.select(
+        "doc_id", nn.alias("nn"), F.posexplode("hs").alias("i", "h")
+    )
     a, b = prefix.alias("a"), full.alias("b")
+    an, bn = F.col("a.nn"), F.col("b.nn")
+    # positional filter (PPJoin+, containment form): a qualifying pair
+    # needs overlap α = ⌈num·min(na,nb)/den⌉, and at a matched element
+    # the overlap is ≤ 1 + min(remaining on each side); the first shared
+    # element lies inside the SMALLER set's prefix (the lossless bound
+    # above), and that row appears in this prefix ⋈ full join whichever
+    # doc is smaller, so per-row filtering + distinct keeps every
+    # qualifying pair. No length filter exists for containment — a tiny
+    # set fully inside a huge one qualifies by design.
+    ubound = F.lit(1) + F.least(
+        an - F.col("a.i") - F.lit(1), bn - F.col("b.i") - F.lit(1)
+    )
     cand = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.lit(den) * ubound >= F.lit(num) * F.least(an, bn)),
         )
         .select(
             F.least("a.doc_id", "b.doc_id").alias("doc_a"),
@@ -389,7 +446,7 @@ def containment_prefix_pairs(
     if release:
         cand = cand.localCheckpoint(eager=True)
     out = (
-        F.broadcast(cand)
+        _broadcast_if_bounded(cand, release)
         .join(
             arr.select(
                 F.col("doc_id").alias("doc_a"), F.col("hs").alias("__ha")
@@ -424,7 +481,7 @@ def containment_prefix_pairs(
             F.expr("1000 * shared div least(na, nb)").alias("cont_permille"),
         )
     )
-    return materialize_and_release(out) if release else out
+    return materialize_and_release(out, arr) if release else out
 
 
 def minhash_signatures(sh_hashed: DataFrame) -> DataFrame:
@@ -532,7 +589,7 @@ def minhash_lsh_pairs(
         sig = minhash_signatures_from_arrays(arr).localCheckpoint(eager=True)
         cand = lsh_candidates(sig).localCheckpoint(eager=True)
     out = (
-        F.broadcast(cand)
+        _broadcast_if_bounded(cand, release)
         .join(
             arr.select(
                 F.col("doc_id").alias("doc_a"), F.col("hs").alias("__ha")
@@ -559,7 +616,7 @@ def minhash_lsh_pairs(
             >= F.lit(num) * (F.col("na") + F.col("nb") - F.col("shared"))
         )
     )
-    return materialize_and_release(out) if release else out
+    return materialize_and_release(out, arr) if release else out
 
 
 def incremental_dedup(
@@ -596,9 +653,10 @@ def incremental_dedup(
     arr_base = hashed_shingle_arrays(base_docs, id_col, text_col, n)
     if release:
         # staged execution, same rationale as minhash_lsh_pairs: the
-        # signature/candidate stages are doc-dim/collision-sized
+        # signature/candidate stages are doc-dim/collision-sized; the
+        # BASE side is the 100 TB one, so it gets the adaptive pin too
         arr_new = pin_corpus_dim(arr_new)
-        arr_base = arr_base.localCheckpoint(eager=True)
+        arr_base = pin_corpus_dim(arr_base)
     sig_new = minhash_signatures_from_arrays(arr_new)
     sig_base = minhash_signatures_from_arrays(arr_base)
     if release:
@@ -614,7 +672,7 @@ def incremental_dedup(
     if release:
         cand = cand.localCheckpoint(eager=True)
     verified = (
-        F.broadcast(cand)
+        _broadcast_if_bounded(cand, release)
         .join(
             arr_new.select(
                 F.col("doc_id").alias("new_id"), F.col("hs").alias("__ha")
@@ -651,7 +709,7 @@ def incremental_dedup(
         )
         .select("doc_id", "dup_of", F.col("dup_of").isNull().alias("keep"))
     )
-    return materialize_and_release(out) if release else out
+    return materialize_and_release(out, arr_new, arr_base) if release else out
 
 
 def dedup_keep_best(
@@ -692,10 +750,14 @@ def dedup_keep_best(
         )
     )
     return members.groupBy("component").agg(
-        F.max_by(
+        # id-type-agnostic argmax: min_by over (−q, id) structs — structs
+        # compare field-by-field, so the minimum is max q then SMALLEST
+        # id, with no negation of the id (string doc ids would throw
+        # under ANSI mode with the old (-doc_id) tie-break)
+        F.min_by(
             "doc_id",
             F.struct(
-                F.col("__q").alias("q"), (-F.col("doc_id")).alias("negid")
+                (-F.col("__q")).alias("negq"), F.col("doc_id").alias("id")
             ),
         ).alias("keep_id"),
         F.max("__q").alias("keep_tokens"),

@@ -715,10 +715,10 @@ def connected_components(
     and Beyond") in round count; for adversarial long-path graphs use
     `connected_components_two_phase` (same contract, O(log² n) rounds
     regardless of diameter). Each round eagerly localCheckpoints the label
-    table (bounded: one row per distinct node), so plan depth stays
-    O(1) and the monotone label-sum both detects convergence and proves
-    termination (labels are non-negative and strictly decrease in sum
-    until fixpoint)."""
+    table (bounded: one row per distinct node), so plan depth stays O(1);
+    convergence = zero per-row label changes in a round (labels only ever
+    decrease, so zero changes is a fixpoint and the loop must terminate —
+    and unlike a label-sum probe this works for string ids too)."""
     u, v = F.col("u"), F.col("v")
     # Every per-round exchange is pinned to an EXPLICIT partition count
     # instead of the session's spark.sql.shuffle.partitions: the label
@@ -733,14 +733,21 @@ def connected_components(
     # so Catalyst reuses the layout: edges by v (the join key), nbr_min
     # by u, labels by id — the round's join and agg add no exchange.
     spark = pairs.sparkSession
-    if not pairs.isStreaming:
+    if pairs.isStreaming:
+        # count() raises on streaming frames — size to cluster
+        # parallelism instead (matching the checkpoint guard's intent)
+        n = num_partitions or spark.sparkContext.defaultParallelism
+    else:
         # pin the input once: the symmetrize below scans it twice, and
         # the sizing count must not recompute candidate generation
         pairs = pairs.localCheckpoint(eager=True)
-    n = num_partitions or max(
-        1,
-        min(spark.sparkContext.defaultParallelism, pairs.count() // 10_000 + 1),
-    )
+        n = num_partitions or max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism,
+                pairs.count() // 10_000 + 1,
+            ),
+        )
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(
@@ -755,7 +762,6 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
     for _ in range(max_iter):
         nbr_min = (
@@ -765,24 +771,30 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
+        new_label = F.least(F.col("label"), F.coalesce("nbr_label", "label"))
         new_labels = (
             labels.repartition(n, "id")
             .join(nbr_min, labels.id == nbr_min.u, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
+                new_label.alias("label"),
+                # convergence signal carried per row: labels only ever
+                # DECREASE, so zero changed rows ⟺ fixpoint. A count of
+                # changes is id-type-agnostic — the old sum(label) probe
+                # cast STRING doc ids to double and threw (labels are
+                # whatever the caller's id type is, not always numeric).
+                (new_label < F.col("label")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
         labels.unpersist(blocking=False)
         labels = new_labels
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
+        n_changed = labels.agg(
+            F.sum(F.col("__chg").cast("long"))
+        ).first()[0]
+        if not n_changed:
             converged = True
             break
-        prev_sum = cur_sum
     edges.unpersist(blocking=False)
     if not converged:
         # Returning un-converged labels would silently under-merge
@@ -868,12 +880,17 @@ def connected_components_two_phase(
     # size to the actual edge list (pinned once so the count and the
     # node/edge builds don't recompute candidate generation), capped at
     # cluster parallelism for big graphs
-    if not pairs.isStreaming:
+    if pairs.isStreaming:
+        n = num_partitions or spark.sparkContext.defaultParallelism
+    else:
         pairs = pairs.localCheckpoint(eager=True)
-    n = num_partitions or max(
-        1,
-        min(spark.sparkContext.defaultParallelism, pairs.count() // 10_000 + 1),
-    )
+        n = num_partitions or max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism,
+                pairs.count() // 10_000 + 1,
+            ),
+        )
     a, b = F.col("a"), F.col("b")
     u, v = F.col("u"), F.col("v")
 

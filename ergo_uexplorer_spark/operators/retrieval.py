@@ -91,6 +91,9 @@ def _bm25_prepare(
     if not tf.isStreaming:
         tf = tf.localCheckpoint(eager=True)
         stats = stats.localCheckpoint(eager=True)
+        # tf/stats are checkpointed — nothing references the corpus-dim
+        # pin anymore, so free it before the scoring joins run
+        narrow.unpersist(blocking=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     return tf, dfreq, stats
 

@@ -133,6 +133,8 @@ def write_signature_store(
         .partitionBy("shard")
         .parquet(f"{path}/counts/batch={batch}")
     )
+    # all three store tables are on disk now — free the corpus-dim pin
+    arr.unpersist(blocking=False)
     if meta is None:
         # meta is written LAST: its presence marks a complete seed, so
         # a crash mid-seed leaves a store that _read_meta reports as
@@ -243,4 +245,6 @@ def incremental_dedup_from_store(
     out = screen_cross_candidates(
         new_docs, sh_new, sh_base, nb, cand, num, den, id_col=id_col
     )
-    return out.localCheckpoint(eager=True)
+    from .util import materialize_and_release
+
+    return materialize_and_release(out, arr_new)

@@ -2,44 +2,94 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
-def pin_corpus_dim(df: DataFrame) -> DataFrame:
-    """Eager localCheckpoint for reduced-but-CORPUS-sized tables
-    (doc-dim hash arrays, per-doc token stats), with an opt-in
-    SERIALIZED disk-spillable storage level.
+def _input_bytes(df: DataFrame) -> int:
+    """Best-effort size of the files feeding `df` (0 when unknown —
+    in-memory fixtures, non-local URIs). Driver-side only, no job."""
+    total = 0
+    try:
+        for f in df.inputFiles():
+            p = f[7:] if f.startswith("file:") and f[5:7] == "//" else f
+            p = p[5:] if p.startswith("file:") else p
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                pass
+    except Exception:
+        return 0
+    return total
 
-    The default localCheckpoint holds DESERIALIZED JVM objects in
-    memory — fast (measured ~1.7× faster than serialized on the sf0.1
-    dedup paths), but on a single box it OOMs once a few 100×-scale
-    doc-dim tables coexist in one session (measured: two ~4 GB array
-    tables in a 12 GB driver). Set the session conf
-    ``spark.graft.pin.serialized=true`` for memory-tight giant runs:
-    blocks then store serialized (3-5× smaller) and spill to disk
-    under pressure, at a decode cost per downstream consumer. On a
-    real cluster the blocks spread across executors, so the default
-    stays the fast path; tiny pins — candidate pairs, signatures,
-    scalars — always use plain localCheckpoint regardless."""
-    serialized = (
-        df.sparkSession.conf.get("spark.graft.pin.serialized", "false")
-        == "true"
-    )
-    if not serialized:
-        return df.localCheckpoint(eager=True)
+
+def _free_storage_bytes(df: DataFrame) -> int:
+    """Remaining block-manager storage memory across executors (driver
+    included in local mode). 0 when the probe fails."""
+    try:
+        status = (
+            df.sparkSession.sparkContext._jsc.sc().getExecutorMemoryStatus()
+        )
+        it = status.iterator()
+        total = 0
+        while it.hasNext():
+            total += it.next()._2()._2()
+        return total
+    except Exception:
+        return 0
+
+
+def pin_corpus_dim(df: DataFrame) -> DataFrame:
+    """Eagerly pin a reduced-but-CORPUS-sized table (doc-dim hash
+    arrays, per-doc token stats) so multi-stage candidate/verify
+    operators derive every stage from ONE materialization.
+
+    Storage is the SQL columnar cache (`persist` + forced build), not a
+    `localCheckpoint`: cached batches are compressed columnar buffers
+    that unroll in bounded ~10k-row chunks and spill to disk under
+    pressure — the deserialized row blocks the old checkpoint pin held
+    were 3-5× larger and OOM'd a 12 GB single-box session once two
+    100×-scale pins coexisted (SCALE.md round-8 soak) — and, unlike
+    checkpoint blocks (reclaimed only when the Python wrapper is GC'd),
+    a persisted pin is EXPLICITLY released by `materialize_and_release`
+    once the operator's output is materialized, so repeated dedup calls
+    in one session no longer accumulate corpus-sized blocks.
+
+    Adaptive level: when the projected pin size (input file bytes — the
+    hashed-array dim is the same order as the text it came from) crowds
+    the storage memory currently free, the disk tier is mandatory
+    anyway, so the pin uses MEMORY_AND_DISK serialized; otherwise the
+    deserialized columnar default. ``spark.graft.pin.serialized``
+    (true/false) still overrides both ways."""
     from pyspark.storagelevel import StorageLevel
 
-    return df.localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    conf = df.sparkSession.conf.get("spark.graft.pin.serialized", "")
+    if conf == "true":
+        serialized = True
+    elif conf == "false":
+        serialized = False
+    else:
+        est = _input_bytes(df) * 3  # raw rows ≈ 3× compressed parquet
+        free = _free_storage_bytes(df)
+        serialized = bool(free) and est > free // 2
+    level = (
+        StorageLevel.MEMORY_AND_DISK
+        if serialized
+        else StorageLevel.MEMORY_AND_DISK_DESER
     )
+    df = df.persist(level)
+    df.count()  # force the cache build (the checkpoint pin was eager too)
+    return df
 
 
 def materialize_and_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Pin `result` with an eager ``localCheckpoint`` and unpersist the
-    `cached` intermediates that fed it.
+    `cached` intermediates (corpus pins, persisted shingle tables) that
+    fed it.
 
     Multi-stage candidate/verify operators persist expensive
-    intermediates (shingle sets, candidate pairs) that the lazily
+    intermediates (doc-dim hash arrays, shingle sets) that the lazily
     returned result still references — so the operator itself can't
     unpersist them before the caller materializes. Left alone, those
     ``persist()`` entries pin executor storage for the LIFETIME of the

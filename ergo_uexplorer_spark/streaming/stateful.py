@@ -21,6 +21,7 @@ from typing import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -167,6 +168,120 @@ def ewma_stream(events: DataFrame) -> DataFrame:
         stateStructType=EWMA_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SESSION_FINAL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_WINDOW_STATE = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _session_window_group_fn(gap_ms: int):
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        cols = ("session_start_ms", "session_end_ms", "n_events")
+        if state.hasTimedOut:
+            # watermark passed last_ms + gap with no new data for this
+            # key: the open session is FINAL — emit it and evict the
+            # state (this is the path the rate-source test pins; a
+            # NoTimeout operator would hold the state forever)
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start_ms": [start_ms],
+                    "session_end_ms": [last_ms],
+                    "n_events": [n],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ms")
+        start_ms, last_ms, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for ms in rows["ms"]:
+            ms = int(ms)
+            if last_ms is None:
+                start_ms, last_ms, n = ms, ms, 1
+            elif ms - last_ms > gap_ms:
+                closed.append((start_ms, last_ms, n))
+                start_ms, last_ms, n = ms, ms, 1
+            else:
+                # out-of-order within the watermark delay: extend the
+                # open session without regressing its bounds
+                start_ms = min(start_ms, ms)
+                last_ms = max(last_ms, ms)
+                n += 1
+        timeout = last_ms + gap_ms
+        if timeout <= state.getCurrentWatermarkMs():
+            # the open session is already past eviction (a whole gap of
+            # event time arrived in one batch): finalize immediately —
+            # setTimeoutTimestamp would reject a timestamp ≤ watermark
+            closed.append((start_ms, last_ms, n))
+            if state.exists:
+                state.remove()
+        else:
+            state.update((int(start_ms), int(last_ms), int(n)))
+            state.setTimeoutTimestamp(timeout)
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                **{c: [row[i] for row in closed] for i, c in enumerate(cols)},
+            }
+        )
+
+    return _fn
+
+
+def session_window_stream(
+    events: DataFrame,
+    gap_ms: int = SESSION_GAP_NS // 1_000_000,
+    time_col: str = "event_time",
+) -> DataFrame:
+    """events(user_id, `time_col` timestamp, watermark REQUIRED) →
+    FINALIZED session windows (user_id, session_start_ms,
+    session_end_ms, n_events), one row per session, emitted exactly when
+    the watermark proves no more events can join it — the session-window
+    rollup with WATERMARK-CORRECT STATE EVICTION (EventTimeTimeout), vs
+    `sessionize_stream`'s per-event labeling that keeps state forever.
+
+    A session closes through one of two paths: (a) a later event beyond
+    the gap arrives for the same key (closed in-line), or (b) the key
+    goes quiet and the watermark passes last_event + gap (the timeout
+    fires, the state is evicted). Late events within the watermark delay
+    merge into the open session even when they arrive out of order;
+    events later than the delay are the caller's contract to bound
+    (delay < gap keeps sessions unsplittable).
+
+    Reference frame: the tip-tracking cache eviction the reference's
+    scheduler does by block depth (StreamScheduler.scala:25-64) — here
+    by event-time watermark, the Spark-native bound."""
+    prepared = events.select(
+        "user_id",
+        F.col(time_col).alias("event_time"),
+        F.unix_millis(F.col(time_col)).alias("ms"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _session_window_group_fn(gap_ms),
+        outputStructType=SESSION_FINAL_SCHEMA,
+        stateStructType=SESSION_WINDOW_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

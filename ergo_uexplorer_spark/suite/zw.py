@@ -780,3 +780,37 @@ def zwc_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# zwd: the Q8 anti-join shape with a predicate that YIELDS ROWS at the
+# driver SFs — zz_q08's unrestricted form is vacuously empty there
+# (every customer has at least one order), so its green driver row
+# proved only schema. Same left_anti plan (BoxService.scala:132-138
+# "spent = Box ∖ Utxo"), the anti side narrowed to recent orders:
+# customers with NO order since 2000-01-01 (135 rows at sf0.01, 14 at
+# sf0.001). The filter pushes into the orders scan before the anti-join.
+# --------------------------------------------------------------------------
+@register(
+    "zwd_dormant_customer_anti_join",
+    sql="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    """,
+    survey_ref="Q8 BoxService.scala:132-138 (non-vacuous driver variant)",
+    tags=("anti-join",),
+)
+def zwd_dormant_customer_anti_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01"))
+    )
+    return customer.join(
+        recent, customer.c_custkey == recent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")

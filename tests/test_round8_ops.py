@@ -359,6 +359,30 @@ def test_dedup_keep_best_prefers_longest_member(spark):
     assert out[3]["keep_id"] == 3 and out[3]["n_members"] == 2
 
 
+def test_dedup_keep_best_string_ids(spark):
+    """STRING doc ids (accepted by every other dedup op) must work too:
+    the argmax tie-break orders ids lexicographically, never numerically
+    (the old (-doc_id) tie-break threw under ANSI mode on strings)."""
+    from ergo_uexplorer_spark.operators.dedup import dedup_keep_best
+
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            ("doc-b", " ".join(base.split()[:34])),  # truncated, loses
+            ("doc-a", base),  # full copy wins despite later arrival
+            ("x-2", base.replace("w", "v")),
+            ("x-1", base.replace("w", "v")),  # equal length: smaller id
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["component"]: r for r in dedup_keep_best(docs, num=4, den=5).collect()
+    }
+    assert set(out) == {"doc-a", "x-1"}
+    assert out["doc-a"]["keep_id"] == "doc-a"
+    assert out["x-1"]["keep_id"] == "x-1"
+
+
 def test_kmeans_update_stats_partition_corpus(spark):
     """One Lloyd step's sufficient stats must partition the corpus:
     Σ_cells n == |corpus| for every dim, and each cell's stats row

@@ -279,3 +279,74 @@ def test_sliding_distinct_users_matches_batch(spark, tmp_path):
         if r["window_start_ns"] < BASE + 29 * HOUR_NS
     }
     assert streamed == expected
+
+
+def test_stateful_eviction_under_rate_source(spark, tmp_path):
+    """applyInPandasWithState under a REAL rate-limited continuous
+    trigger with OUT-OF-ORDER event times: `session_window_stream`
+    (EventTimeTimeout) must emit each finished user's session exactly
+    once — evicted when the watermark passes last_event + gap — and the
+    emitted window must equal the batch replay of that user's events.
+
+    Construction: rate-source value v → user v//6, event minute v^1
+    (adjacent values swap, so arrival order ≠ event order by up to one
+    minute; watermark delay 2 min). Each user owns exactly minutes
+    [6u, 6u+5] — one session of 6 events — and never appears again, so
+    only watermark-driven TIMEOUT can finalize it (gap 10 min ≫ the
+    1-min in-session spacing, and no later same-key event exists to
+    close it in-line). If eviction never fires → zero rows; if it fires
+    early → a partial session (n_events < 6) or a split (duplicate
+    user) — all assertion failures."""
+    import time
+
+    from ergo_uexplorer_spark.streaming.stateful import (
+        session_window_stream,
+    )
+
+    base_ms = 1_700_000_000_000
+    gap_ms = 10 * 60_000
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 400)
+        .option("numPartitions", 2)
+        .load()
+    )
+    events = rate.select(
+        (F.col("value") / 6).cast("long").alias("user_id"),
+        F.timestamp_millis(
+            F.lit(base_ms)
+            + F.col("value").bitwiseXOR(F.lit(1)) * F.lit(60_000)
+        ).alias("event_time"),
+    ).withWatermark("event_time", "2 minutes")
+
+    q = (
+        session_window_stream(events, gap_ms=gap_ms)
+        .writeStream.format("memory")
+        .queryName("evicted_sessions")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="300 milliseconds")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM evicted_sessions").count() >= 4:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("SELECT * FROM evicted_sessions").collect()
+    finally:
+        q.stop()
+
+    assert len(rows) >= 4, "watermark eviction never fired"
+    users = [r["user_id"] for r in rows]
+    assert len(users) == len(set(users)), "session split across evictions"
+    for r in rows:
+        u = r["user_id"]
+        # batch replay of user u's six events (minutes 6u..6u+5 — the
+        # v^1 swap permutes arrival order, not the event-time set)
+        start = base_ms + 6 * u * 60_000
+        assert r["n_events"] == 6, f"user {u}: partial session evicted"
+        assert r["session_start_ms"] == start
+        assert r["session_end_ms"] == start + 5 * 60_000
