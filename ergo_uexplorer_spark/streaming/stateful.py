@@ -357,3 +357,118 @@ def scd2_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas twin (Spark 4.x stateful-processor API)
+# ---------------------------------------------------------------------------
+
+
+def _load_stateful_processor_cls():
+    """The StatefulProcessor import is deferred + gated: the API exists
+    from Spark 4.0 and needs the RocksDB state-store provider at run
+    time; older runtimes fall back to `session_window_stream`."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _SessionWindowProcessor(StatefulProcessor):
+        """Session windows with watermark eviction on the modern
+        stateful-processor API — the semantics twin of
+        `session_window_stream` (same finalized rows), expressed with
+        ValueState + explicit event-time TIMERS instead of
+        GroupState.setTimeoutTimestamp. One open-session tuple per key;
+        the timer at last_event + gap is re-registered as the session
+        extends (the stale timer is deleted) and fires exactly when the
+        watermark proves the session closed."""
+
+        def __init__(self, gap_ms: int):
+            self.gap_ms = gap_ms
+
+        def init(self, handle):
+            self.handle = handle
+            self.state = handle.getValueState(
+                "open_session",
+                "start_ms LONG, last_ms LONG, n_events LONG",
+            )
+
+        def _final_row(self, user_id, start_ms, last_ms, n):
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start_ms": [start_ms],
+                    "session_end_ms": [last_ms],
+                    "n_events": [n],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            got = self.state.get() if self.state.exists() else None
+            start_ms, last_ms, n = got if got else (None, None, 0)
+            stale_timer = (
+                last_ms + self.gap_ms if last_ms is not None else None
+            )
+            closed = []
+            for pdf in rows:
+                for ms in sorted(int(m) for m in pdf["ms"]):
+                    if last_ms is None:
+                        start_ms, last_ms, n = ms, ms, 1
+                    elif ms - last_ms > self.gap_ms:
+                        closed.append((start_ms, last_ms, n))
+                        start_ms, last_ms, n = ms, ms, 1
+                    else:
+                        start_ms = min(start_ms, ms)
+                        last_ms = max(last_ms, ms)
+                        n += 1
+            timeout = last_ms + self.gap_ms
+            if stale_timer is not None and stale_timer != timeout:
+                self.handle.deleteTimer(stale_timer)
+            if timeout <= timerValues.getCurrentWatermarkInMs():
+                # a whole gap of event time arrived within one batch:
+                # the open session is already evictable — finalize now
+                closed.append((start_ms, last_ms, n))
+                self.state.clear()
+            else:
+                self.state.update((int(start_ms), int(last_ms), int(n)))
+                self.handle.registerTimer(timeout)
+            for c in closed:
+                yield self._final_row(user_id, *c)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            got = self.state.get() if self.state.exists() else None
+            if got is not None:
+                self.state.clear()
+                yield self._final_row(user_id, *got)
+
+        def close(self):
+            pass
+
+    return _SessionWindowProcessor
+
+
+def session_window_tws(
+    events: DataFrame,
+    gap_ms: int = SESSION_GAP_NS // 1_000_000,
+    time_col: str = "event_time",
+) -> DataFrame:
+    """`session_window_stream` on `transformWithStateInPandas` — same
+    contract (watermarked events in, finalized session windows out, one
+    row per session at eviction time), same output schema, pinned equal
+    to the GroupState twin in pytest. Requires the RocksDB state-store
+    provider (`spark.sql.streaming.stateStore.providerClass` →
+    RocksDBStateStoreProvider), which is what a 100 TB deployment runs
+    anyway: RocksDB state scales past executor heap and supports
+    changelog checkpointing, where the default HDFS-backed store holds
+    every key in memory."""
+    proc_cls = _load_stateful_processor_cls()
+    prepared = events.select(
+        "user_id",
+        F.col(time_col).alias("event_time"),
+        F.unix_millis(F.col(time_col)).alias("ms"),
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc_cls(gap_ms),
+        outputStructType=SESSION_FINAL_SCHEMA,
+        outputMode="append",
+        timeMode="EventTime",
+    )

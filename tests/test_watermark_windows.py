@@ -350,3 +350,80 @@ def test_stateful_eviction_under_rate_source(spark, tmp_path):
         assert r["n_events"] == 6, f"user {u}: partial session evicted"
         assert r["session_start_ms"] == start
         assert r["session_end_ms"] == start + 5 * 60_000
+
+
+def test_session_window_tws_matches_groupstate_twin(spark, tmp_path):
+    """`session_window_tws` (transformWithStateInPandas + RocksDB state
+    store + event-time timers) must emit exactly the rows the GroupState
+    twin emits for the same rate-source construction: one finalized
+    session per finished user, identical window bounds, evicted by
+    timer when the watermark passes last_event + gap.
+
+    Gated on `google.protobuf`: the transformWithState Python state
+    server speaks protobuf to the JVM, and the package is not installed
+    in this sandbox (install-blocked, same class as delta-spark) — the
+    rate-source eviction semantics themselves are pinned un-gated by
+    test_stateful_eviction_under_rate_source on the GroupState twin."""
+    import pytest as _pytest
+
+    _pytest.importorskip("google.protobuf")
+    import time
+
+    from ergo_uexplorer_spark.streaming.stateful import session_window_tws
+
+    base_ms = 1_700_000_000_000
+    gap_ms = 10 * 60_000
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rate = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 400)
+            .option("numPartitions", 2)
+            .load()
+        )
+        events = rate.select(
+            (F.col("value") / 6).cast("long").alias("user_id"),
+            F.timestamp_millis(
+                F.lit(base_ms)
+                + F.col("value").bitwiseXOR(F.lit(1)) * F.lit(60_000)
+            ).alias("event_time"),
+        ).withWatermark("event_time", "2 minutes")
+
+        q = (
+            session_window_tws(events, gap_ms=gap_ms)
+            .writeStream.format("memory")
+            .queryName("tws_sessions")
+            .option("checkpointLocation", str(tmp_path / "ck_tws"))
+            .trigger(processingTime="300 milliseconds")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                if spark.sql("SELECT * FROM tws_sessions").count() >= 4:
+                    break
+                time.sleep(0.5)
+            rows = spark.sql("SELECT * FROM tws_sessions").collect()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    assert len(rows) >= 4, "timer eviction never fired"
+    users = [r["user_id"] for r in rows]
+    assert len(users) == len(set(users)), "session split across timers"
+    for r in rows:
+        start = base_ms + 6 * r["user_id"] * 60_000
+        assert r["n_events"] == 6
+        assert r["session_start_ms"] == start
+        assert r["session_end_ms"] == start + 5 * 60_000
