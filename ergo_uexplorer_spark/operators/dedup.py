@@ -318,6 +318,87 @@ def jaccard_prefix_pairs(
     return materialize_and_release(out, arr) if release else out
 
 
+def jaccard_prefix_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num: int = 4,
+    den: int = 5,
+) -> DataFrame:
+    """Observability for the exact-Jaccard dedup funnel → three rows
+    (stage, n): `prefix_rows` (exploded prefix volume — the join's
+    shuffle input), `candidate_pairs` (distinct pairs surviving the
+    length + positional filters — the verify stage's workload), and
+    `verified_pairs` (pairs actually ≥ num/den). Before launching a
+    100 TB verify you want this funnel: candidate volume is the number
+    that decides executor sizing, and a prefix/candidate ratio far off
+    the corpus's historical one flags boilerplate drift before it burns
+    a cluster-day. Same constants and filter arithmetic as
+    `jaccard_prefix_pairs` (shared expressions below), so the funnel is
+    exactly what the production operator would do."""
+    arr = pin_corpus_dim(hashed_shingle_arrays(docs, id_col, text_col, n))
+    nn = F.size("hs")
+    plen = nn - F.expr(f"({num} * size(hs) + {den - 1}) div {den}") + F.lit(1)
+    prefix = arr.select(
+        "doc_id",
+        nn.alias("nn"),
+        F.posexplode(F.slice("hs", F.lit(1), plen)).alias("i", "h"),
+    ).localCheckpoint(eager=True)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    an, bn = F.col("a.nn"), F.col("b.nn")
+    ubound = F.lit(1) + F.least(
+        an - F.col("a.i") - F.lit(1), bn - F.col("b.i") - F.lit(1)
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.lit(den) * an >= F.lit(num) * bn)
+            & (F.lit(den) * bn >= F.lit(num) * an)
+            & (F.lit(num + den) * ubound >= F.lit(num) * (an + bn)),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verified = (
+        _broadcast_if_bounded(cand, True)
+        .join(
+            arr.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("__ha")),
+            "doc_a",
+        )
+        .join(
+            arr.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("__hb")),
+            "doc_b",
+        )
+        .filter(
+            F.lit(den) * F.size(F.array_intersect("__ha", "__hb"))
+            >= F.lit(num)
+            * (
+                F.size("__ha")
+                + F.size("__hb")
+                - F.size(F.array_intersect("__ha", "__hb"))
+            )
+        )
+    )
+
+    def _count_row(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+            F.lit(stage).alias("stage"), "n"
+        )
+
+    out = (
+        _count_row(prefix, "prefix_rows")
+        .unionByName(_count_row(cand, "candidate_pairs"))
+        .unionByName(_count_row(verified, "verified_pairs"))
+    )
+    return materialize_and_release(out, arr)
+
+
 def containment_pairs(
     sh: DataFrame, num: int = 9, den: int = 10, elem_col: str = "s"
 ) -> DataFrame:

@@ -557,3 +557,62 @@ def z31_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_total - n_in_pairs).cast("bigint").alias("n_docs"),
     )
     return hist.unionByName(singles)
+
+
+# --------------------------------------------------------------------------
+# zwe: the exact-Jaccard dedup FUNNEL (prefix rows → filtered candidates
+# → verified pairs) — the observability numbers that size a 100 TB
+# verify before it runs. The oracle replays the identical prefix-bound,
+# length-filter and positional-filter arithmetic with 1-based window
+# positions (Spark's 0-based posexplode remaining count nn-i-1 equals
+# the SQL nn-i).
+# --------------------------------------------------------------------------
+_PRUNING_STATS_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh0 AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
+    hs AS (SELECT DISTINCT doc_id, {SQL_HASH.format(col='s')} AS h FROM sh0),
+    pos AS (
+      SELECT doc_id, h,
+             row_number() OVER (PARTITION BY doc_id ORDER BY h) AS i,
+             count(*) OVER (PARTITION BY doc_id) AS nn
+      FROM hs
+    ),
+    prefix AS (
+      SELECT * FROM pos WHERE i <= nn - ((4 * nn + 4) // 5) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
+      WHERE 5 * a.nn >= 4 * b.nn AND 5 * b.nn >= 4 * a.nn
+        AND 9 * (1 + least(a.nn - a.i, b.nn - b.i)) >= 4 * (a.nn + b.nn)
+    ),
+    ncount AS (SELECT doc_id, count(*) AS nn FROM hs GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT s.doc_a, s.doc_b
+      FROM shared s JOIN ncount x ON s.doc_a = x.doc_id
+      JOIN ncount y ON s.doc_b = y.doc_id
+      WHERE 5 * s.shared >= 4 * (x.nn + y.nn - s.shared)
+    )
+    SELECT 'prefix_rows' AS stage, CAST(count(*) AS BIGINT) AS n FROM prefix
+    UNION ALL
+    SELECT 'candidate_pairs', CAST(count(*) AS BIGINT) FROM cand
+    UNION ALL
+    SELECT 'verified_pairs', CAST(count(*) AS BIGINT) FROM verified
+"""
+
+
+@register(
+    "zwe_dedup_pruning_stats",
+    sql=_PRUNING_STATS_SQL,
+    survey_ref="LLM-pipeline: dedup-funnel observability (AllPairs/"
+    "PPJoin+ candidate volume before verify)",
+    tags=("dedup", "agg"),
+)
+def zwe_dedup_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return D.jaccard_prefix_stats(docs, num=4, den=5)
