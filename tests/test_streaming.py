@@ -618,3 +618,96 @@ def test_fork_aware_orphan_batch_is_noop(spark, tmp_path):
     write_jsonl_gz(gen.blocks[20:], rest)
     v3 = apply_block_batch_forkaware(state, read_blocks(spark, rest))
     assert v3 == 2 and state.tip()[0] == 30
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+def test_fork_aware_randomized_scenarios_match_batch(spark, tmp_path, seed):
+    """Property-style fork fuzz: random batch splits (so version
+    boundaries fall at arbitrary heights — the mid-version divergence
+    class), a random same-height losing branch mid-sequence, a foreign
+    orphan batch, then two successively taller winning branches (the
+    second diverging below the first → double rollback). Whatever the
+    random layout, the final state must equal the batch recompute of
+    the last winning chain, and the losing/orphan deliveries must be
+    no-ops at the moment they happen."""
+    import random as _random
+
+    from ergo_uexplorer_spark.sources.blocks import read_blocks
+    from ergo_uexplorer_spark.streaming.incremental import (
+        apply_block_batch_forkaware,
+    )
+
+    rng = _random.Random(seed)
+    n = 24
+    g = ChainGen(seed=seed)
+    g.generate(n)
+
+    state = UtxoState(spark, str(tmp_path / "state"))
+    next_batch = [0]
+
+    def deliver(blocks):
+        p = str(tmp_path / f"b{next_batch[0]}.jsonl.gz")
+        write_jsonl_gz(blocks, p)
+        v = apply_block_batch_forkaware(
+            state, read_blocks(spark, p), batch_id=next_batch[0]
+        )
+        next_batch[0] += 1
+        return v
+
+    # random contiguous batch splits of the main chain
+    cuts = sorted(rng.sample(range(2, n), k=rng.randint(2, 4)))
+    bounds = [0] + cuts + [n]
+    applied_h = 0
+    for lo, hi in zip(bounds, bounds[1:]):
+        deliver(g.blocks[lo:hi])
+        applied_h = hi
+        assert state.tip() == (hi, g.blocks[hi - 1]["header"]["id"])
+        if applied_h == bounds[1]:
+            # foreign orphan: a chain with unknown parents → no-op
+            foreign = ChainGen(seed=seed + 999)
+            foreign.generate(8)
+            tip_before = state.tip()
+            assert deliver(foreign.blocks[4:]) is None
+            assert state.tip() == tip_before
+        if applied_h == bounds[2]:
+            # same-height branch: tie loses, state untouched
+            d = rng.randint(max(2, applied_h - 5), applied_h - 1)
+            tie = [
+                b
+                for b in g.fork(d, 0, f"tie{seed}")
+                if d <= b["header"]["height"] <= applied_h
+            ]
+            tip_before = state.tip()
+            ids_before = {
+                r["box_id"] for r in state.read().select("box_id").collect()
+            }
+            assert deliver(tie) is None
+            assert state.tip() == tip_before
+            assert {
+                r["box_id"] for r in state.read().select("box_id").collect()
+            } == ids_before
+
+    # winning branch 1: taller by 1, diverges within the retained window
+    d1 = rng.randint(n - 6, n)
+    w1 = [b for b in g.fork(d1, 1, f"w1{seed}") if b["header"]["height"] >= d1]
+    deliver(w1)
+    assert state.tip() == (n + 1, w1[-1]["header"]["id"])
+
+    # winning branch 2: taller by 2, diverging at or below d1
+    d2 = rng.randint(n - 7, d1)
+    w2 = [b for b in g.fork(d2, 2, f"w2{seed}") if b["header"]["height"] >= d2]
+    deliver(w2)
+    assert state.tip() == (n + 2, w2[-1]["header"]["id"])
+
+    win_path = str(tmp_path / "winning.jsonl.gz")
+    write_jsonl_gz(
+        [b for b in g.blocks if b["header"]["height"] < d2] + w2, win_path
+    )
+    want = {
+        r["box_id"]
+        for r in ingest_blocks(spark, win_path)["utxo"]
+        .select("box_id")
+        .collect()
+    }
+    got = {r["box_id"] for r in state.read().select("box_id").collect()}
+    assert got == want
