@@ -119,3 +119,92 @@ def test_aqe_splits_hot_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_prefix_join_hot_boilerplate_token_stays_exact(spark):
+    """Dedup skew: a boilerplate header shared by EVERY document makes
+    its shingle hashes corpus-wide hot join keys (the SuperNodeMvMap
+    shape transplanted to the prefix-token join). The PPJoin+ filters
+    must stay LOSSLESS under that skew — filtered prefix pairs ==
+    quadratic all-pairs baseline — while the candidate funnel proves
+    the length/positional filters prune the boilerplate-driven
+    candidate blow-up (candidates ≪ all boilerplate-sharing pairs)."""
+    from ergo_uexplorer_spark.operators.dedup import (
+        hashed_shingle_sets,
+        jaccard_pairs,
+        jaccard_prefix_pairs,
+        jaccard_prefix_stats,
+    )
+
+    boiler = "terms of service apply to all content on this site"
+    rows = []
+    for i in range(120):
+        body = " ".join(f"w{i}t{j}" for j in range(20))
+        rows.append((i, f"{boiler} {body}"))
+    # ten near-dup pairs: doc 1000+i = doc i with one token changed
+    for i in range(10):
+        body = " ".join(
+            f"w{i}t{j}" if j != 19 else "CHANGED" for j in range(20)
+        )
+        rows.append((1000 + i, f"{boiler} {body}"))
+    # three SHORT boilerplate-only docs: every short×long pair shares
+    # the hot hashes but is size-impossible at t = 0.8 — the length
+    # filter must kill all 3×130 of them before the verify
+    for i in range(3):
+        rows.append((2000 + i, boiler))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["shared"], r["na"], r["nb"])
+        for r in jaccard_prefix_pairs(docs, num=4, den=5).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], r["shared"], r["na"], r["nb"])
+        for r in jaccard_pairs(
+            hashed_shingle_sets(docs), num=4, den=5, elem_col="h"
+        ).collect()
+    }
+    assert got == want
+    # the 10 constructed near-dup pairs + the 3 identical short docs
+    assert {(a, b) for a, b, *_ in got} == {
+        (i, 1000 + i) for i in range(10)
+    } | {(2000, 2001), (2000, 2002), (2001, 2002)}
+
+    stats = {
+        r["stage"]: r["n"] for r in jaccard_prefix_stats(docs).collect()
+    }
+    assert stats["verified_pairs"] == 13
+    assert stats["verified_pairs"] <= stats["candidate_pairs"]
+
+    # equal-size boilerplate-sharing long pairs legitimately survive the
+    # filters at t = 0.8 (the positional bound can't exclude a shared
+    # hash near the front of two same-size sets) — the measurable
+    # pruning here is the LENGTH filter: rebuild the candidate join
+    # WITHOUT the filters and check (a) the hot boilerplate hashes do
+    # produce short×long prefix collisions, and (b) every one of them
+    # is absent from the filtered candidate count
+    from ergo_uexplorer_spark.operators.dedup import hashed_shingle_arrays
+
+    arr = hashed_shingle_arrays(docs)
+    plen = (
+        F.size("hs") - F.expr("(4 * size(hs) + 4) div 5") + F.lit(1)
+    )
+    prefix = arr.select(
+        "doc_id", F.explode(F.slice("hs", F.lit(1), plen)).alias("h")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    unfiltered = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .distinct()
+    )
+    n_unf = unfiltered.count()
+    n_cross = unfiltered.filter(
+        (F.col("x") < 2000) & (F.col("y") >= 2000)
+    ).count()
+    assert n_cross > 0, "fixture produced no hot cross-size collisions"
+    assert stats["candidate_pairs"] <= n_unf - n_cross
