@@ -100,8 +100,35 @@ def _union(parts: list[DataFrame]) -> DataFrame:
     return out
 
 
-def generate(spark: SparkSession, out: str, copies: int) -> None:
+def generate(
+    spark: SparkSession,
+    out: str,
+    copies: int,
+    tables: tuple[str, ...] = ("documents", "embeddings", "orders", "events"),
+) -> None:
     os.makedirs(out, exist_ok=True)
+
+    if "events" in tables:
+        # events scale by USER: copy k offsets event_id/user_id and keeps
+        # the time range — 10× data = 10× concurrent users over the same
+        # period (per-user group sizes and window counts match sf0.1),
+        # the honest direction for sessionization/applyInPandas/sweep
+        # entries whose state is keyed per user
+        ev = spark.read.parquet(f"{SF01}/events.parquet")
+        ebase = ev.agg(F.max("event_id")).first()[0] + 1
+        ubase = ev.agg(F.max("user_id")).first()[0] + 1
+        parts = []
+        for k in range(copies):
+            parts.append(
+                ev.withColumn(
+                    "event_id", F.col("event_id") + F.lit(k * ebase)
+                ).withColumn("user_id", F.col("user_id") + F.lit(k * ubase))
+            )
+        _union(parts).write.mode("overwrite").parquet(
+            f"{out}/events.parquet"
+        )
+    if tables == ("events",):
+        return
 
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
     base = docs.agg(F.max("doc_id")).first()[0] + 1
@@ -166,6 +193,12 @@ def main() -> None:
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--skip-ingest", action="store_true")
     ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of tables to (re)generate "
+        "(documents,embeddings,orders,events); default: all",
+    )
+    ap.add_argument(
         "--only",
         default=None,
         help="comma-separated query names (subset of QUERIES) to time",
@@ -177,7 +210,13 @@ def main() -> None:
 
     spark = get_spark("scale-slope")
     if not args.skip_gen:
-        generate(spark, args.out, args.copies)
+        if args.tables:
+            generate(
+                spark, args.out, args.copies,
+                tables=tuple(args.tables.split(",")),
+            )
+        else:
+            generate(spark, args.out, args.copies)
 
     def _z23_raw(spark, sf_dir):
         from ergo_uexplorer_spark.operators import similarity as S
