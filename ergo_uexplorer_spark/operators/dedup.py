@@ -793,6 +793,108 @@ def incremental_dedup(
     return materialize_and_release(out, arr_new, arr_base) if release else out
 
 
+def incremental_jaccard_exact(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num: int = 4,
+    den: int = 5,
+    release: bool = True,
+) -> DataFrame:
+    """EXACT-threshold corpus-refresh screen — `incremental_dedup`'s
+    deterministic twin: for every incoming document, find whether some
+    base document has n-gram Jaccard ≥ num/den, with candidates from a
+    LOSSLESS cross-side prefix join (AllPairs/PPJoin+ length+positional
+    filters, same bounds as `jaccard_prefix_pairs` — the first shared
+    element of a qualifying pair sits in BOTH prefixes whichever corpus
+    each doc is in). Returns (doc_id, dup_of, keep) over the new batch,
+    dup_of = smallest matching base id.
+
+    This is the screen a policy that demands exactness runs where
+    `incremental_dedup` runs MinHash: no false negatives by
+    construction, at the cost of the prefix join's shuffle (base-side
+    prefix rows ≈ 20% of base shingles at t=0.8 — at true scale they'd
+    be a precomputed artifact next to the signature store). base×base
+    pairs are never generated: the join is strictly cross-side."""
+    arr_new = hashed_shingle_arrays(new_docs, id_col, text_col, n)
+    arr_base = hashed_shingle_arrays(base_docs, id_col, text_col, n)
+    if release:
+        arr_new = pin_corpus_dim(arr_new)
+        arr_base = pin_corpus_dim(arr_base)
+    nn = F.size("hs")
+    plen = nn - F.expr(f"({num} * size(hs) + {den - 1}) div {den}") + F.lit(1)
+
+    def _prefix(arr: DataFrame, side: str) -> DataFrame:
+        return arr.select(
+            F.col("doc_id").alias(f"{side}_id"),
+            nn.alias(f"{side}_nn"),
+            F.posexplode(F.slice("hs", F.lit(1), plen)).alias(
+                f"{side}_i", "h"
+            ),
+        )
+
+    a = _prefix(arr_new, "new")
+    b = _prefix(arr_base, "base")
+    an, bn = F.col("new_nn"), F.col("base_nn")
+    ubound = F.lit(1) + F.least(
+        an - F.col("new_i") - F.lit(1), bn - F.col("base_i") - F.lit(1)
+    )
+    cand = (
+        a.join(
+            b,
+            (a["h"] == b["h"])
+            & (F.lit(den) * an >= F.lit(num) * bn)
+            & (F.lit(den) * bn >= F.lit(num) * an)
+            & (F.lit(num + den) * ubound >= F.lit(num) * (an + bn)),
+        )
+        .select("new_id", "base_id")
+        .distinct()
+    )
+    if release:
+        cand = cand.localCheckpoint(eager=True)
+    verified = (
+        _broadcast_if_bounded(cand, release)
+        .join(
+            arr_new.select(
+                F.col("doc_id").alias("new_id"), F.col("hs").alias("__ha")
+            ),
+            "new_id",
+        )
+        .join(
+            arr_base.select(
+                F.col("doc_id").alias("base_id"), F.col("hs").alias("__hb")
+            ),
+            "base_id",
+        )
+        .select(
+            "new_id",
+            "base_id",
+            F.size(F.array_intersect("__ha", "__hb")).cast("long").alias(
+                "shared"
+            ),
+            F.size("__ha").cast("long").alias("na"),
+            F.size("__hb").cast("long").alias("nb"),
+        )
+        .filter(
+            F.lit(den) * F.col("shared")
+            >= F.lit(num) * (F.col("na") + F.col("nb") - F.col("shared"))
+        )
+        .select("new_id", "base_id")
+    )
+    out = (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .join(
+            verified.groupBy("new_id").agg(F.min("base_id").alias("dup_of")),
+            F.col("doc_id") == F.col("new_id"),
+            "left",
+        )
+        .select("doc_id", "dup_of", F.col("dup_of").isNull().alias("keep"))
+    )
+    return materialize_and_release(out, arr_new, arr_base) if release else out
+
+
 def dedup_keep_best(
     docs: DataFrame,
     id_col: str = "doc_id",

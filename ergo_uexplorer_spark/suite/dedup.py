@@ -616,3 +616,66 @@ _PRUNING_STATS_SQL = f"""
 def zwe_dedup_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     return D.jaccard_prefix_stats(docs, num=4, den=5)
+
+
+# --------------------------------------------------------------------------
+# zwf: exact-threshold incremental screen — z21's deterministic twin
+# (same new/base split) with LOSSLESS prefix-filtered candidates instead
+# of MinHash: the screen a no-false-negatives refresh policy runs. The
+# oracle is the plain exact cross-side Jaccard over hashed shingle sets.
+# --------------------------------------------------------------------------
+def _incremental_exact_sql() -> str:
+    from ..operators.curation import sql_sample_bucket
+
+    bucket = sql_sample_bucket("doc_id", _INCR_SALT)
+    side = """
+    docs{s} AS (SELECT * FROM documents WHERE {pred}),
+    toks{s} AS (SELECT doc_id, {toks} AS t FROM docs{s}),
+    sh{s} AS (SELECT doc_id, unnest({shingles}) AS x FROM toks{s}),
+    hs{s} AS (SELECT DISTINCT doc_id, {hash} AS h FROM sh{s}),
+    nc{s} AS (SELECT doc_id, count(*) AS nn FROM hs{s} GROUP BY doc_id)
+    """
+    mk = lambda s, pred: side.format(
+        s=s,
+        pred=pred,
+        toks=_TOKS,
+        shingles=_SHINGLES,
+        hash=SQL_HASH.format(col="x"),
+    )
+    return f"""
+    WITH {mk("N", f"{bucket} < {_INCR_RATE}")},
+    {mk("B", f"{bucket} >= {_INCR_RATE}")},
+    shared AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS base_id, count(*) AS shared
+      FROM hsN a JOIN hsB b ON a.h = b.h
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT s.new_id, s.base_id
+      FROM shared s JOIN ncN x ON s.new_id = x.doc_id
+      JOIN ncB y ON s.base_id = y.doc_id
+      WHERE 5 * s.shared >= 4 * (x.nn + y.nn - s.shared)
+    ),
+    best AS (SELECT new_id, min(base_id) AS dup_of FROM verified GROUP BY 1)
+    SELECT n.doc_id, b.dup_of, b.dup_of IS NULL AS keep
+    FROM docsN n LEFT JOIN best b ON n.doc_id = b.new_id
+    """
+
+
+@register(
+    "zwf_incremental_exact_screen",
+    sql=_incremental_exact_sql(),
+    survey_ref="LLM-pipeline: exact-threshold corpus-refresh screen "
+    "(lossless prefix-filtered cross join; z21's deterministic twin)",
+    tags=("dedup", "join"),
+)
+def zwf_incremental_exact_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.curation import sample_bucket
+
+    (docs,) = load(spark, sf_dir, "documents")
+    bucket = sample_bucket(F.col("doc_id"), _INCR_SALT)
+    new_docs = docs.filter(bucket < _INCR_RATE)
+    base_docs = docs.filter(bucket >= _INCR_RATE)
+    return D.incremental_jaccard_exact(new_docs, base_docs, num=4, den=5)

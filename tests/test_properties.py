@@ -1361,3 +1361,76 @@ def test_minhash_signatures_from_arrays_equal_groupby_form(spark):
     }
     assert got == want
     assert 99 not in got
+
+
+def test_incremental_exact_screen_lossless_and_superset_of_minhash(spark):
+    """incremental_jaccard_exact: (a) decisions equal the brute-force
+    cross-side Jaccard over hashed shingle sets (the prefix filters are
+    lossless across corpora too); (b) its dup set is a SUPERSET of the
+    MinHash screen's (LSH may miss near-threshold pairs, the exact
+    screen may not); (c) a planted near-threshold pair (J just above
+    0.8) is caught."""
+    from ergo_uexplorer_spark.operators.dedup import (
+        hashed_shingle_sets,
+        incremental_dedup,
+        incremental_jaccard_exact,
+    )
+
+    base_text = " ".join(f"w{i}" for i in range(200))
+    # near-threshold copy: change enough trailing tokens that Jaccard
+    # sits just above 0.8 (each changed token kills ~3 shingles)
+    near = " ".join(
+        f"w{i}" if i < 193 else f"q{i}" for i in range(200)
+    )
+    bd = spark.createDataFrame(
+        [(100, base_text)]
+        + [(110 + i, " ".join(f"b{i}_{j}" for j in range(60))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    nd = spark.createDataFrame(
+        [(1, near), (2, " ".join(f"n2_{j}" for j in range(60)))],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in incremental_jaccard_exact(nd, bd).collect()
+    }
+    assert set(got) == {1, 2}
+
+    # (a) brute-force cross-side truth from the hashed shingle sets
+    hn = hashed_shingle_sets(nd).alias("a")
+    hb = hashed_shingle_sets(bd).alias("b")
+    shared = (
+        hn.join(hb, F.col("a.h") == F.col("b.h"))
+        .groupBy(
+            F.col("a.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("base_id"),
+        )
+        .count()
+    )
+    nn = hashed_shingle_sets(nd).groupBy("doc_id").count()
+    nb = hashed_shingle_sets(bd).groupBy("doc_id").count()
+    truth = set()
+    nn_m = {r["doc_id"]: r["count"] for r in nn.collect()}
+    nb_m = {r["doc_id"]: r["count"] for r in nb.collect()}
+    for r in shared.collect():
+        s, a, b = r["count"], nn_m[r["new_id"]], nb_m[r["base_id"]]
+        if 5 * s >= 4 * (a + b - s):
+            truth.add((r["new_id"], r["base_id"]))
+    got_pairs = {
+        (r["doc_id"], r["dup_of"]) for r in got.values() if r["dup_of"]
+    }
+    want_pairs = {
+        (n, min(b for nn2, b in truth if nn2 == n))
+        for n in {n for n, _ in truth}
+    }
+    assert got_pairs == want_pairs
+    assert (1, 100) in got_pairs  # (c) the near-threshold pair is caught
+
+    # (b) exact screen never keeps a doc the MinHash screen drops
+    mh = {
+        r["doc_id"]
+        for r in incremental_dedup(nd, bd).collect()
+        if not r["keep"]
+    }
+    exact_drops = {r["doc_id"] for r in got.values() if not r["keep"]}
+    assert mh <= exact_drops
