@@ -206,6 +206,101 @@ def jaccard_pairs(
     )
 
 
+def _prefix_slice_rows(
+    arr: DataFrame,
+    num: int,
+    den: int,
+    id_alias: str = "doc_id",
+    nn_alias: str = "nn",
+    i_alias: str = "i",
+) -> DataFrame:
+    """(id, nn, i, h) prefix rows: posexplode of the AllPairs prefix
+    slice — prefix length = nn − ⌈num·nn/den⌉ + 1 (integer arithmetic);
+    the array is ascending, so slice(hs, 1, plen) IS the prefix in
+    global hash order, and the 0-based position i doubles as the
+    element's position in the FULL array (what the positional filter
+    needs). Shared by every exact-threshold candidate generator so the
+    bound arithmetic can never drift between the production joins and
+    the zwe observability funnel."""
+    nn = F.size("hs")
+    plen = nn - F.expr(f"({num} * size(hs) + {den - 1}) div {den}") + F.lit(1)
+    return arr.select(
+        F.col("doc_id").alias(id_alias),
+        nn.alias(nn_alias),
+        F.posexplode(F.slice("hs", F.lit(1), plen)).alias(i_alias, "h"),
+    )
+
+
+def _ppjoin_conditions(an, bn, ai, bi, num: int, den: int):
+    """AllPairs/PPJoin+ LOSSLESS pruning predicates for Jaccard ≥
+    num/den, given both sides' set sizes and matched 0-based prefix
+    positions:
+      * length filter — J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|),
+        i.e. den·na ≥ num·nb in both directions;
+      * positional filter — a qualifying pair needs overlap
+        α = ⌈num·(na+nb)/(num+den)⌉, and at a matched element the
+        overlap is at most 1 + min(na−i−1, nb−j−1); the pair's FIRST
+        shared element (which lies in both prefixes — the AllPairs
+        guarantee) satisfies the bound exactly, so keeping pairs where
+        ANY matched row passes is lossless. Ceil-free integer form:
+        (num+den)·ubound ≥ num·(na+nb)."""
+    ubound = F.lit(1) + F.least(an - ai - F.lit(1), bn - bi - F.lit(1))
+    return (
+        (F.lit(den) * an >= F.lit(num) * bn)
+        & (F.lit(den) * bn >= F.lit(num) * an)
+        & (F.lit(num + den) * ubound >= F.lit(num) * (an + bn))
+    )
+
+
+def _verify_pairs(
+    cand: DataFrame,
+    arr_a: DataFrame,
+    arr_b: DataFrame,
+    a_col: str,
+    b_col: str,
+    num: int,
+    den: int,
+    counted: bool,
+    containment: bool = False,
+) -> DataFrame:
+    """Exact verify of candidate id pairs against the pinned doc-dim
+    hash arrays: shared = |array_intersect| on the two candidates'
+    arrays (per-pair bounded work), threshold in exact integer
+    arithmetic — Jaccard (den·shared ≥ num·(na+nb−shared)) or
+    containment (den·shared ≥ num·min(na,nb)). The candidate table is
+    broadcast only when a cheap count proves it bounded
+    (`_broadcast_if_bounded`)."""
+    j = (
+        _broadcast_if_bounded(cand, counted)
+        .join(
+            arr_a.select(F.col("doc_id").alias(a_col), F.col("hs").alias("__ha")),
+            a_col,
+        )
+        .join(
+            arr_b.select(F.col("doc_id").alias(b_col), F.col("hs").alias("__hb")),
+            b_col,
+        )
+        .select(
+            a_col,
+            b_col,
+            F.size(F.array_intersect("__ha", "__hb")).cast("long").alias(
+                "shared"
+            ),
+            F.size("__ha").cast("long").alias("na"),
+            F.size("__hb").cast("long").alias("nb"),
+        )
+    )
+    if containment:
+        thr = F.lit(den) * F.col("shared") >= F.lit(num) * F.least(
+            F.col("na"), F.col("nb")
+        )
+    else:
+        thr = F.lit(den) * F.col("shared") >= F.lit(num) * (
+            F.col("na") + F.col("nb") - F.col("shared")
+        )
+    return j.filter(thr)
+
+
 def jaccard_prefix_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -242,40 +337,23 @@ def jaccard_prefix_pairs(
     arr = hashed_shingle_arrays(docs, id_col, text_col, n)
     if release and not arr.isStreaming:
         arr = pin_corpus_dim(arr)
-    # prefix length = nn - ceil(num*nn/den) + 1 (integer arithmetic);
-    # the array is ascending, so slice(hs, 1, plen) IS the prefix in
-    # global hash order
-    nn = F.size("hs")
-    plen = nn - F.expr(f"({num} * size(hs) + {den - 1}) div {den}") + F.lit(1)
-    prefix = arr.select(
-        "doc_id",
-        nn.alias("nn"),
-        F.posexplode(F.slice("hs", F.lit(1), plen)).alias("i", "h"),
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    an, bn = F.col("a.nn"), F.col("b.nn")
     # PPJoin+-style LOSSLESS pruning inside the candidate join, before
-    # anything shuffles to the distinct:
-    #  * length filter — J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|),
-    #    i.e. den·na ≥ num·nb in both directions;
-    #  * positional filter — a qualifying pair needs overlap
-    #    α = ⌈num·(na+nb)/(num+den)⌉, and at a matched element (0-based
-    #    positions i, j in the sorted arrays) the overlap is at most
-    #    1 + min(na−i−1, nb−j−1); the pair's FIRST shared element (which
-    #    lies in both prefixes — the AllPairs guarantee) satisfies the
-    #    bound exactly, so keeping pairs where ANY matched row passes is
-    #    lossless. ceil-free integer form: (num+den)·ubound ≥ num·(na+nb).
-    ubound = F.lit(1) + F.least(
-        an - F.col("a.i") - F.lit(1), bn - F.col("b.i") - F.lit(1)
-    )
+    # anything shuffles to the distinct (`_ppjoin_conditions`)
+    prefix = _prefix_slice_rows(arr, num, den)
+    a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.lit(den) * an >= F.lit(num) * bn)
-            & (F.lit(den) * bn >= F.lit(num) * an)
-            & (F.lit(num + den) * ubound >= F.lit(num) * (an + bn)),
+            & _ppjoin_conditions(
+                F.col("a.nn"),
+                F.col("b.nn"),
+                F.col("a.i"),
+                F.col("b.i"),
+                num,
+                den,
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -287,34 +365,7 @@ def jaccard_prefix_pairs(
         # list is tiny — checkpoint it so the verify job starts from a
         # bounded RDD instead of re-walking the prefix-join DAG
         cand = cand.localCheckpoint(eager=True)
-    out = (
-        _broadcast_if_bounded(cand, release)
-        .join(
-            arr.select(
-                F.col("doc_id").alias("doc_a"), F.col("hs").alias("__ha")
-            ),
-            "doc_a",
-        )
-        .join(
-            arr.select(
-                F.col("doc_id").alias("doc_b"), F.col("hs").alias("__hb")
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("__ha", "__hb")).cast("long").alias(
-                "shared"
-            ),
-            F.size("__ha").cast("long").alias("na"),
-            F.size("__hb").cast("long").alias("nb"),
-        )
-        .filter(
-            F.lit(den) * F.col("shared")
-            >= F.lit(num) * (F.col("na") + F.col("nb") - F.col("shared"))
-        )
-    )
+    out = _verify_pairs(cand, arr, arr, "doc_a", "doc_b", num, den, release)
     return materialize_and_release(out, arr) if release else out
 
 
@@ -338,26 +389,21 @@ def jaccard_prefix_stats(
     `jaccard_prefix_pairs` (shared expressions below), so the funnel is
     exactly what the production operator would do."""
     arr = pin_corpus_dim(hashed_shingle_arrays(docs, id_col, text_col, n))
-    nn = F.size("hs")
-    plen = nn - F.expr(f"({num} * size(hs) + {den - 1}) div {den}") + F.lit(1)
-    prefix = arr.select(
-        "doc_id",
-        nn.alias("nn"),
-        F.posexplode(F.slice("hs", F.lit(1), plen)).alias("i", "h"),
-    ).localCheckpoint(eager=True)
+    prefix = _prefix_slice_rows(arr, num, den).localCheckpoint(eager=True)
     a, b = prefix.alias("a"), prefix.alias("b")
-    an, bn = F.col("a.nn"), F.col("b.nn")
-    ubound = F.lit(1) + F.least(
-        an - F.col("a.i") - F.lit(1), bn - F.col("b.i") - F.lit(1)
-    )
     cand = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.lit(den) * an >= F.lit(num) * bn)
-            & (F.lit(den) * bn >= F.lit(num) * an)
-            & (F.lit(num + den) * ubound >= F.lit(num) * (an + bn)),
+            & _ppjoin_conditions(
+                F.col("a.nn"),
+                F.col("b.nn"),
+                F.col("a.i"),
+                F.col("b.i"),
+                num,
+                den,
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -365,26 +411,7 @@ def jaccard_prefix_stats(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    verified = (
-        _broadcast_if_bounded(cand, True)
-        .join(
-            arr.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("__ha")),
-            "doc_a",
-        )
-        .join(
-            arr.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("__hb")),
-            "doc_b",
-        )
-        .filter(
-            F.lit(den) * F.size(F.array_intersect("__ha", "__hb"))
-            >= F.lit(num)
-            * (
-                F.size("__ha")
-                + F.size("__hb")
-                - F.size(F.array_intersect("__ha", "__hb"))
-            )
-        )
-    )
+    verified = _verify_pairs(cand, arr, arr, "doc_a", "doc_b", num, den, True)
 
     def _count_row(df: DataFrame, stage: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
@@ -526,41 +553,15 @@ def containment_prefix_pairs(
     )
     if release:
         cand = cand.localCheckpoint(eager=True)
-    out = (
-        _broadcast_if_bounded(cand, release)
-        .join(
-            arr.select(
-                F.col("doc_id").alias("doc_a"), F.col("hs").alias("__ha")
-            ),
-            "doc_a",
-        )
-        .join(
-            arr.select(
-                F.col("doc_id").alias("doc_b"), F.col("hs").alias("__hb")
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("__ha", "__hb")).cast("long").alias(
-                "shared"
-            ),
-            F.size("__ha").cast("long").alias("na"),
-            F.size("__hb").cast("long").alias("nb"),
-        )
-        .filter(
-            F.lit(den) * F.col("shared")
-            >= F.lit(num) * F.least(F.col("na"), F.col("nb"))
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "shared",
-            "na",
-            "nb",
-            F.expr("1000 * shared div least(na, nb)").alias("cont_permille"),
-        )
+    out = _verify_pairs(
+        cand, arr, arr, "doc_a", "doc_b", num, den, release, containment=True
+    ).select(
+        "doc_a",
+        "doc_b",
+        "shared",
+        "na",
+        "nb",
+        F.expr("1000 * shared div least(na, nb)").alias("cont_permille"),
     )
     return materialize_and_release(out, arr) if release else out
 
@@ -669,34 +670,7 @@ def minhash_lsh_pairs(
         arr = pin_corpus_dim(arr)
         sig = minhash_signatures_from_arrays(arr).localCheckpoint(eager=True)
         cand = lsh_candidates(sig).localCheckpoint(eager=True)
-    out = (
-        _broadcast_if_bounded(cand, release)
-        .join(
-            arr.select(
-                F.col("doc_id").alias("doc_a"), F.col("hs").alias("__ha")
-            ),
-            "doc_a",
-        )
-        .join(
-            arr.select(
-                F.col("doc_id").alias("doc_b"), F.col("hs").alias("__hb")
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("__ha", "__hb")).cast("long").alias(
-                "shared"
-            ),
-            F.size("__ha").cast("long").alias("na"),
-            F.size("__hb").cast("long").alias("nb"),
-        )
-        .filter(
-            F.lit(den) * F.col("shared")
-            >= F.lit(num) * (F.col("na") + F.col("nb") - F.col("shared"))
-        )
-    )
+    out = _verify_pairs(cand, arr, arr, "doc_a", "doc_b", num, den, release)
     return materialize_and_release(out, arr) if release else out
 
 
@@ -752,35 +726,9 @@ def incremental_dedup(
     cand = bn.join(bb, ["band", "bsig"]).select("new_id", "base_id").distinct()
     if release:
         cand = cand.localCheckpoint(eager=True)
-    verified = (
-        _broadcast_if_bounded(cand, release)
-        .join(
-            arr_new.select(
-                F.col("doc_id").alias("new_id"), F.col("hs").alias("__ha")
-            ),
-            "new_id",
-        )
-        .join(
-            arr_base.select(
-                F.col("doc_id").alias("base_id"), F.col("hs").alias("__hb")
-            ),
-            "base_id",
-        )
-        .select(
-            "new_id",
-            "base_id",
-            F.size(F.array_intersect("__ha", "__hb")).cast("long").alias(
-                "shared"
-            ),
-            F.size("__ha").cast("long").alias("na"),
-            F.size("__hb").cast("long").alias("nb"),
-        )
-        .filter(
-            F.lit(den) * F.col("shared")
-            >= F.lit(num) * (F.col("na") + F.col("nb") - F.col("shared"))
-        )
-        .select("new_id", "base_id")
-    )
+    verified = _verify_pairs(
+        cand, arr_new, arr_base, "new_id", "base_id", num, den, release
+    ).select("new_id", "base_id")
     out = (
         new_docs.select(F.col(id_col).alias("doc_id"))
         .join(
@@ -823,66 +771,29 @@ def incremental_jaccard_exact(
     if release:
         arr_new = pin_corpus_dim(arr_new)
         arr_base = pin_corpus_dim(arr_base)
-    nn = F.size("hs")
-    plen = nn - F.expr(f"({num} * size(hs) + {den - 1}) div {den}") + F.lit(1)
-
-    def _prefix(arr: DataFrame, side: str) -> DataFrame:
-        return arr.select(
-            F.col("doc_id").alias(f"{side}_id"),
-            nn.alias(f"{side}_nn"),
-            F.posexplode(F.slice("hs", F.lit(1), plen)).alias(
-                f"{side}_i", "h"
-            ),
-        )
-
-    a = _prefix(arr_new, "new")
-    b = _prefix(arr_base, "base")
-    an, bn = F.col("new_nn"), F.col("base_nn")
-    ubound = F.lit(1) + F.least(
-        an - F.col("new_i") - F.lit(1), bn - F.col("base_i") - F.lit(1)
-    )
+    a = _prefix_slice_rows(arr_new, num, den, "new_id", "new_nn", "new_i")
+    b = _prefix_slice_rows(arr_base, num, den, "base_id", "base_nn", "base_i")
     cand = (
         a.join(
             b,
             (a["h"] == b["h"])
-            & (F.lit(den) * an >= F.lit(num) * bn)
-            & (F.lit(den) * bn >= F.lit(num) * an)
-            & (F.lit(num + den) * ubound >= F.lit(num) * (an + bn)),
+            & _ppjoin_conditions(
+                F.col("new_nn"),
+                F.col("base_nn"),
+                F.col("new_i"),
+                F.col("base_i"),
+                num,
+                den,
+            ),
         )
         .select("new_id", "base_id")
         .distinct()
     )
     if release:
         cand = cand.localCheckpoint(eager=True)
-    verified = (
-        _broadcast_if_bounded(cand, release)
-        .join(
-            arr_new.select(
-                F.col("doc_id").alias("new_id"), F.col("hs").alias("__ha")
-            ),
-            "new_id",
-        )
-        .join(
-            arr_base.select(
-                F.col("doc_id").alias("base_id"), F.col("hs").alias("__hb")
-            ),
-            "base_id",
-        )
-        .select(
-            "new_id",
-            "base_id",
-            F.size(F.array_intersect("__ha", "__hb")).cast("long").alias(
-                "shared"
-            ),
-            F.size("__ha").cast("long").alias("na"),
-            F.size("__hb").cast("long").alias("nb"),
-        )
-        .filter(
-            F.lit(den) * F.col("shared")
-            >= F.lit(num) * (F.col("na") + F.col("nb") - F.col("shared"))
-        )
-        .select("new_id", "base_id")
-    )
+    verified = _verify_pairs(
+        cand, arr_new, arr_base, "new_id", "base_id", num, den, release
+    ).select("new_id", "base_id")
     out = (
         new_docs.select(F.col(id_col).alias("doc_id"))
         .join(

@@ -229,6 +229,10 @@ def incremental_dedup_from_store(
     )
     shards = [r["s"] for r in shard_rows]
     if not shards:  # no band collisions: the whole batch is novel
+        # free the corpus-dim pin on this early return too — novel
+        # batches screened in a long session would otherwise each leave
+        # one persisted table in the CacheManager
+        arr_new.unpersist(blocking=False)
         return all_keep_decisions(new_docs, id_col)
     sh_base = (
         _read_part(spark, path, "shingles", exclude_batch)

@@ -242,12 +242,23 @@ class UtxoState:
         created = self.spark.read.parquet(*cdirs).filter(
             F.col("height") < below_height
         )
-        spent = self.spark.read.parquet(*sdirs)
+        # mergeSchema: a state dir upgraded mid-stream can hold both
+        # height-attributed and pre-upgrade spent files; without the
+        # merge the schema is inferred from ONE file, and pre-upgrade
+        # rows would read height=NULL and silently drop out of the
+        # preserved slice (resurrecting their spent boxes)
+        spent = self.spark.read.option("mergeSchema", "true").parquet(*sdirs)
         if "height" not in spent.columns:
             raise RuntimeError(
                 "fork diverges inside a version but its spent deltas are "
                 "not height-attributed (pre-upgrade state) — cannot split "
                 "the version at the divergence"
+            )
+        if spent.filter(F.col("height").isNull()).limit(1).count():
+            raise RuntimeError(
+                "fork diverges inside a version whose retained window "
+                "mixes pre-upgrade (height-less) spent deltas — cannot "
+                "split those versions at the divergence"
             )
         spent = spent.filter(F.col("height") < below_height)
         headers = (

@@ -365,9 +365,12 @@ def scd2_stream(events: DataFrame) -> DataFrame:
 
 
 def _load_stateful_processor_cls():
-    """The StatefulProcessor import is deferred + gated: the API exists
-    from Spark 4.0 and needs the RocksDB state-store provider at run
-    time; older runtimes fall back to `session_window_stream`."""
+    """The StatefulProcessor import is deferred so the module loads on
+    runtimes without the API (it exists from Spark 4.0 and needs the
+    RocksDB state-store provider plus python protobuf at run time);
+    `session_window_tws` raises ImportError there — callers that must
+    degrade use `session_window_stream`, the GroupState twin with the
+    same output contract."""
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     class _SessionWindowProcessor(StatefulProcessor):
@@ -408,17 +411,20 @@ def _load_stateful_processor_cls():
                 last_ms + self.gap_ms if last_ms is not None else None
             )
             closed = []
-            for pdf in rows:
-                for ms in sorted(int(m) for m in pdf["ms"]):
-                    if last_ms is None:
-                        start_ms, last_ms, n = ms, ms, 1
-                    elif ms - last_ms > self.gap_ms:
-                        closed.append((start_ms, last_ms, n))
-                        start_ms, last_ms, n = ms, ms, 1
-                    else:
-                        start_ms = min(start_ms, ms)
-                        last_ms = max(last_ms, ms)
-                        n += 1
+            # sort across ALL Arrow chunks, not per chunk: a group whose
+            # micro-batch rows span chunk boundaries with out-of-order
+            # times would otherwise merge sessions the GroupState twin
+            # (global pd.concat + sort) correctly splits
+            for ms in sorted(int(m) for pdf in rows for m in pdf["ms"]):
+                if last_ms is None:
+                    start_ms, last_ms, n = ms, ms, 1
+                elif ms - last_ms > self.gap_ms:
+                    closed.append((start_ms, last_ms, n))
+                    start_ms, last_ms, n = ms, ms, 1
+                else:
+                    start_ms = min(start_ms, ms)
+                    last_ms = max(last_ms, ms)
+                    n += 1
             timeout = last_ms + self.gap_ms
             if stale_timer is not None and stale_timer != timeout:
                 self.handle.deleteTimer(stale_timer)

@@ -127,37 +127,42 @@ def generate(
         _union(parts).write.mode("overwrite").parquet(
             f"{out}/events.parquet"
         )
-    if tables == ("events",):
+    if "documents" in tables:
+        docs = spark.read.parquet(f"{SF01}/documents.parquet")
+        base = docs.agg(F.max("doc_id")).first()[0] + 1
+        parts = []
+        for k in range(copies):
+            d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * base))
+            if k:
+                d = d.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1x{k}")
+                )
+            parts.append(d)
+        _union(parts).write.mode("overwrite").parquet(
+            f"{out}/documents.parquet"
+        )
+
+    if "embeddings" in tables:
+        emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+        dim = len(emb.first()["embedding"])
+        vbase = emb.agg(F.max("vec_id")).first()[0] + 1
+        parts = []
+        for k in range(copies):
+            e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * vbase))
+            if k:
+                perm = list(range(dim))
+                random.Random(1000 + k).shuffle(perm)
+                e = e.withColumn(
+                    "embedding",
+                    F.array(*[F.col("embedding")[i] for i in perm]),
+                )
+            parts.append(e)
+        _union(parts).write.mode("overwrite").parquet(
+            f"{out}/embeddings.parquet"
+        )
+
+    if "orders" not in tables:
         return
-
-    docs = spark.read.parquet(f"{SF01}/documents.parquet")
-    base = docs.agg(F.max("doc_id")).first()[0] + 1
-    parts = []
-    for k in range(copies):
-        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * base))
-        if k:
-            d = d.withColumn(
-                "text", F.regexp_replace("text", r"(\S+)", f"$1x{k}")
-            )
-        parts.append(d)
-    _union(parts).write.mode("overwrite").parquet(f"{out}/documents.parquet")
-
-    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
-    dim = len(emb.first()["embedding"])
-    vbase = emb.agg(F.max("vec_id")).first()[0] + 1
-    parts = []
-    for k in range(copies):
-        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * vbase))
-        if k:
-            perm = list(range(dim))
-            random.Random(1000 + k).shuffle(perm)
-            e = e.withColumn(
-                "embedding",
-                F.array(*[F.col("embedding")[i] for i in perm]),
-            )
-        parts.append(e)
-    _union(parts).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
-
     orders = spark.read.parquet(f"{SF01}/orders.parquet")
     li = spark.read.parquet(f"{SF01}/lineitem.parquet")
     obase = orders.agg(F.max("o_orderkey")).first()[0] + 1
