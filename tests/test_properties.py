@@ -1434,3 +1434,36 @@ def test_incremental_exact_screen_lossless_and_superset_of_minhash(spark):
     }
     exact_drops = {r["doc_id"] for r in got.values() if not r["keep"]}
     assert mh <= exact_drops
+
+
+# ---------------------------------------------------------------------------
+# register decoder total-function property: arbitrary byte blobs (the
+# sandbox for every register value an untrusted chain can serve) must
+# decode to (type, rendered) or None — NEVER raise. An exception here
+# would kill the executor task for the whole partition, so the
+# fallback-to-raw-hex contract (RegistersParser.scala:80-88) is a
+# scale-robustness property, not a convenience.
+# ---------------------------------------------------------------------------
+@settings(max_examples=400, deadline=None)
+@given(st.binary(min_size=0, max_size=80))
+def test_decode_register_never_raises(blob):
+    from ergo_uexplorer_spark.functions.crypto import _decode_register
+
+    out = _decode_register(blob.hex())
+    assert out is None or (
+        isinstance(out, tuple)
+        and len(out) == 2
+        and all(isinstance(x, str) for x in out)
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=1, max_size=40))
+def test_decode_register_valid_prefix_rejects_trailing(blob):
+    """Strictness twin: whatever decodes must consume EVERY byte —
+    appending garbage to a valid constant must flip it to None
+    (ValueSerializer.deserialize's exact-consumption contract)."""
+    from ergo_uexplorer_spark.functions.crypto import _decode_register
+
+    if _decode_register(blob.hex()) is not None:
+        assert _decode_register((blob + b"\x00").hex()) is None

@@ -105,6 +105,7 @@ def generate(
     out: str,
     copies: int,
     tables: tuple[str, ...] = ("documents", "embeddings", "orders", "events"),
+    disjoint_customers: bool = False,
 ) -> None:
     os.makedirs(out, exist_ok=True)
 
@@ -167,17 +168,36 @@ def generate(
     li = spark.read.parquet(f"{SF01}/lineitem.parquet")
     obase = orders.agg(F.max("o_orderkey")).first()[0] + 1
     sbase = li.agg(F.max("l_suppkey")).first()[0] + 1
+    cbase = orders.agg(F.max("o_custkey")).first()[0] + 1
+    pbase = li.agg(F.max("l_partkey")).first()[0] + 1
     oparts, lparts = [], []
     for k in range(copies):
-        oparts.append(
-            orders.withColumn(
-                "o_orderkey", F.col("o_orderkey") + F.lit(k * obase)
+        o = orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(k * obase)
+        )
+        if disjoint_customers:
+            # per-copy custkey offset (paired with the partkey offset
+            # below): copies become disjoint bipartite graphs, so the
+            # distinct (custkey, partkey) edge table AND its wedge
+            # volume grow ~linearly — the honest direction for
+            # wedge-join entries (zya8/zya6), whose shared-key default
+            # collapses copies to ~one graph. (The default stays
+            # shared: z01's motif subgraph and g02's BFS reach are
+            # honest only when customers are shared.)
+            o = o.withColumn("o_custkey", F.col("o_custkey") + F.lit(k * cbase))
+        oparts.append(o)
+        l = li.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(k * obase)
+        ).withColumn("l_suppkey", F.col("l_suppkey") + F.lit(k * sbase))
+        if disjoint_customers:
+            # offset partkey too: custkey-only offsets with SHARED parts
+            # would grow per-part degree 100× and wedge volume copies² —
+            # a quadratic artifact, not a measurement. Disjoint copies
+            # grow the bipartite graph (and its wedge volume) linearly.
+            l = l.withColumn(
+                "l_partkey", F.col("l_partkey") + F.lit(k * pbase)
             )
-        )
-        lparts.append(
-            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * obase))
-            .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(k * sbase))
-        )
+        lparts.append(l)
     _union(oparts).write.mode("overwrite").parquet(f"{out}/orders.parquet")
     _union(lparts).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
 
@@ -208,6 +228,13 @@ def main() -> None:
         default=None,
         help="comma-separated query names (subset of QUERIES) to time",
     )
+    ap.add_argument(
+        "--disjoint-customers",
+        action="store_true",
+        help="offset o_custkey AND l_partkey per copy — disjoint graph "
+        "copies, honest linear wedge growth for zya8/zya6 (breaks "
+        "z01/g02's shared-customer premise; run those without it)",
+    )
     args = ap.parse_args()
 
     from ergo_uexplorer_spark.session import get_spark
@@ -219,9 +246,13 @@ def main() -> None:
             generate(
                 spark, args.out, args.copies,
                 tables=tuple(args.tables.split(",")),
+                disjoint_customers=args.disjoint_customers,
             )
         else:
-            generate(spark, args.out, args.copies)
+            generate(
+                spark, args.out, args.copies,
+                disjoint_customers=args.disjoint_customers,
+            )
 
     def _z23_raw(spark, sf_dir):
         from ergo_uexplorer_spark.operators import similarity as S
