@@ -192,10 +192,16 @@ def _tree_to_address(tree_hex: str) -> str:
             # of its point, not as P2S of the raw bytes.
             if n == 0 and len(template) == 35 and template[:2] == b"\x08\xcd":
                 return _address_from_content(P2PK_PREFIX, template[2:])
-        except ValueError:
+        except (ValueError, IndexError):
             pass  # unparseable script: still addressable as raw P2S
         return _address_from_content(P2S_PREFIX, raw)
-    except ValueError:
+    except (ValueError, IndexError):
+        # IndexError too: the constant decoders index raw bytes and a
+        # truncated blob can run past the end (e.g. an SBoolean whose
+        # data byte is missing) — an uncaught exception here kills the
+        # executor task for the whole partition on one malformed tree
+        # served by an untrusted chain (_decode_register and _tree_t8
+        # already caught both; found by the fuzz property suite).
         return _address_from_content(P2S_PREFIX, tree_hex.encode())
 
 

@@ -1467,3 +1467,26 @@ def test_decode_register_valid_prefix_rejects_trailing(blob):
 
     if _decode_register(blob.hex()) is not None:
         assert _decode_register((blob + b"\x00").hex()) is None
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.binary(min_size=0, max_size=60))
+def test_tree_decoders_never_raise(blob):
+    """Every ErgoTree-derived column function is a TOTAL function of
+    arbitrary bytes: address rendering falls back to P2S, T8 to None,
+    hash to sha256-of-bytes — never an exception (which would kill the
+    executor task for the whole partition on one malformed tree from an
+    untrusted chain; _tree_to_address actually had this bug — a
+    truncated constant raised IndexError past its ValueError handler)."""
+    from ergo_uexplorer_spark.functions.crypto import (
+        _fallback_hash,
+        _tree_t8,
+        _tree_to_address,
+    )
+
+    h = blob.hex()
+    addr = _tree_to_address(h)
+    assert isinstance(addr, str) and addr
+    t8 = _tree_t8(h)
+    assert t8 is None or isinstance(t8, str)
+    assert isinstance(_fallback_hash(h), str)
