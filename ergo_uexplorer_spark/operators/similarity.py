@@ -89,6 +89,71 @@ PQ_CODEBOOKS: tuple[tuple[tuple[float, ...], ...], ...] = tuple(
 )
 
 
+def valid_embeddings(
+    emb: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """Filter to usable vectors: non-null, and size == `dim` when the
+    operator binds a fixed dimensionality (the seeded PLANES /
+    centroid tables). Every public similarity operator applies this at
+    entry, because the two execution paths previously DISAGREED on bad
+    rows: the zip_with/aggregate fold silently yields a null score for
+    a ragged vector (zip_with pads with null) so the row just vanishes
+    past the threshold filter, while the Arrow path's np.stack RAISES
+    and kills the executor task — one null embedding in a 100 TB
+    corpus failed the whole job. Dropping is the correct semantics
+    (no vector ⇒ no similarity); `screen_embeddings` makes the
+    dropped rows observable so a pipeline can quarantine them."""
+    cond = F.col(vec_col).isNotNull()
+    if dim is not None:
+        cond = cond & (F.size(vec_col) == dim)
+    return emb.filter(cond)
+
+
+def screen_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Quarantine screen → (id, n_dims, reason) for every row
+    `valid_embeddings` would drop, plus non-finite flags (NaN or null
+    ELEMENTS pass the validity filter but poison every score they
+    touch — fold and Arrow paths alike — so a pipeline wants them
+    surfaced even though they cannot crash a task). reason ∈
+    null_vector | wrong_dim | non_finite; one row per offending input
+    row, worst reason wins in that order."""
+    sz = F.size(vec_col)
+    bad_elem = F.exists(
+        vec_col, lambda x: x.isNull() | F.isnan(x.cast("double"))
+    )
+    reason = F.when(F.col(vec_col).isNull(), F.lit("null_vector"))
+    if dim is not None:
+        reason = reason.when(sz != dim, F.lit("wrong_dim"))
+    reason = reason.when(bad_elem, F.lit("non_finite"))
+    return (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(sz, F.lit(-1)).cast("long").alias("n_dims"),
+            reason.alias("reason"),
+        )
+        .filter(F.col("reason").isNotNull())
+    )
+
+
+def _stack_batch(vecs, np):
+    """np.stack with a diagnosable failure: a RAGGED Arrow batch (mixed
+    embedding dims inside one operator call) is a contract violation —
+    surface what to do instead of numpy's shape error."""
+    try:
+        return np.asarray(np.stack(vecs.to_numpy()), dtype=np.float64)
+    except ValueError as ex:
+        raise ValueError(
+            "ragged embedding dimensions inside one batch — run "
+            "screen_embeddings()/valid_embeddings(dim=...) to quarantine "
+            f"mixed-dim rows before this operator ({ex})"
+        ) from ex
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold double dot product (portable across engines)."""
     return F.aggregate(
@@ -114,6 +179,8 @@ def brute_force_topk(
     Returns (q_id, n_id, cos_sim) with deterministic (cos desc, id asc)
     ranking; self-matches excluded.
     """
+    emb = valid_embeddings(emb, vec_col)
+    queries = valid_embeddings(queries, vec_col)
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
     )
@@ -122,6 +189,10 @@ def brute_force_topk(
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("q_id") != F.col("n_id"))
+        # dim-generic conformability guard: a ragged corpus vector would
+        # zip_with-pad into a null score and ride the ranking as a null
+        # row; score only dimension-matched pairs
+        .filter(F.size("qv") == F.size("nv"))
         .withColumn("cos_sim", cosine(F.col("qv"), F.col("nv")))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
@@ -211,7 +282,7 @@ def _nd_all_buckets(vec: Column, banding: str = "vectorized") -> Column:
 
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        V = np.asarray(np.stack(vecs.to_numpy()), dtype=np.float64)
+        V = _stack_batch(vecs, np)
         return pd.Series(list(_nd_buckets_batch(V)))
 
     return nd_buckets(vec)
@@ -242,6 +313,7 @@ def near_dup_pairs(
     banded-LSH OR-amplification curve (see ND_BANDS comment) — the
     deterministic seeded planes are mirrored in the SQL oracle, so both
     engines return the identical pair set."""
+    emb = valid_embeddings(emb, vec_col, EMB_DIM)
     e = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
@@ -303,6 +375,7 @@ def near_dup_pairs_allpairs(
 ) -> DataFrame:
     """Exact all-pairs baseline (test-only): O(n²) by definition; used to
     measure the bucketed variant's recall."""
+    emb = valid_embeddings(emb, vec_col, EMB_DIM)
     e = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
@@ -422,7 +495,7 @@ def _bucket_vectorized(vec: Column) -> Column:
 
         if len(vecs) == 0:
             return pd.Series([], dtype="int32")
-        V = np.asarray(np.stack(vecs.to_numpy()), dtype=np.float64)
+        V = _stack_batch(vecs, np)
         P = np.asarray(PLANES, dtype=np.float64)
         return pd.Series(
             _sign_bucket_batch(V, P, 1, LSH_PLANES)[:, 0]
@@ -443,6 +516,7 @@ def ivf_build_centroids(
     DataFrame aggregations (posexplode → mean per (cluster, dim) — never
     collects vectors beyond the centroid table). Returns the centroid
     list for broadcast."""
+    emb = valid_embeddings(emb, vec_col)
     cents = [
         [float(x) for x in r[vec_col]]
         for r in emb.orderBy(id_col).limit(n_centroids).collect()
@@ -609,7 +683,7 @@ def _ivf_assign_matmul(
         if len(vecs) == 0:
             return pd.Series([], dtype="int32")
         mat, norms = bc.value
-        V = np.asarray(np.stack(vecs.to_numpy()), dtype=np.float64)
+        V = _stack_batch(vecs, np)
         vn = np.sqrt((V * V).sum(axis=1))
         scores = (V @ mat.T) / (vn[:, None] * norms[None, :])
         return pd.Series(np.argmax(scores, axis=1).astype("int32"))
@@ -634,6 +708,8 @@ def ivf_assign(
     subexpression elimination does not cross HOF lambda boundaries; same
     pitfall as tokens() in dedup.shingle_sets)."""
     from .util import ensure_parallelism
+
+    emb = valid_embeddings(emb, vec_col, len(centroids[0]))
 
     # nearest-centroid scoring is O(k·d) CPU per row — a corpus that
     # arrives as one parquet split would pin a single core for the whole
@@ -689,7 +765,7 @@ def _probe_cells_matmul(sc, centroids: list[list[float]], n_probes: int):
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         mat, norms = bcast.value
-        V = np.asarray(np.stack(vecs.to_numpy()), dtype=np.float64)
+        V = _stack_batch(vecs, np)
         vn = np.sqrt((V * V).sum(axis=1))
         scores = (V @ mat.T) / (vn[:, None] * norms[None, :])
         order = np.argsort(-scores, axis=1, kind="stable")[:, :n_probes]
@@ -708,6 +784,7 @@ def _probe_df(
     """(q_id, qv, cell) — each query exploded onto its `n_probes`
     nearest cells (cosine desc, cell asc; see the matmul-path comment
     for the large-k tie discipline)."""
+    queries = valid_embeddings(queries, vec_col, len(centroids[0]))
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
     if len(centroids) > CENTROID_LITERAL_MAX:
         # same cutoff as ivf_assign: at SemDeDup-scale k the literal
@@ -925,6 +1002,9 @@ def pq_quantization_error(
     over the corpus (residualized against `centroids` and/or rotated by
     an OPQ `rotation` when given) — the objective training descends on;
     rotation preserves ‖·‖², so errors are comparable across rotations."""
+    emb = valid_embeddings(
+        emb, vec_col, len(centroids[0]) if centroids else None
+    )
     base = _residual_col(vec_col, centroids) if centroids else F.col(vec_col)
     if rotation is not None:
         base = rotate_col(base, rotation)
@@ -971,6 +1051,9 @@ def pq_train_codebooks(
     Distributed shape: per iteration and subspace, one argmin projection
     + one (code, dim) groupBy-avg whose result is PQ_K × PQ_SUBDIM rows —
     driver traffic is codebook-sized, vectors never leave executors."""
+    emb = valid_embeddings(
+        emb, vec_col, len(centroids[0]) if centroids else None
+    )
     df = emb
     if centroids:
         df = ivf_assign(emb, centroids, vec_col=vec_col)
@@ -1060,6 +1143,10 @@ def opq_train(
     the returned (R, codebooks) are literal-sized broadcasts. Returns
     (R as d×d list-of-lists for `rotate_col`, trained codebooks)."""
     import numpy as np
+
+    emb = valid_embeddings(
+        emb, vec_col, len(centroids[0]) if centroids is not None else None
+    )
 
     if centroids is not None:
         src = ivf_assign(emb, centroids, vec_col=vec_col)
@@ -1273,6 +1360,8 @@ def lsh_topk(
     Selectivity ≈ n_probes / 2^LSH_PLANES (default 8/512 = 1/64) vs the
     recall of single-probe at 2^LSH_PLANES/n_probes× more buckets.
     Deterministic: margin ties break by plane index on both engines."""
+    emb = valid_embeddings(emb, vec_col, EMB_DIM)
+    queries = valid_embeddings(queries, vec_col, EMB_DIM)
     qm = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qv"),
@@ -1363,6 +1452,7 @@ def near_dup_pairs_multiprobe(
     (band, bucket); verification touches candidates only. Asymmetric
     probing (A probes, B stays exact) covers both flip directions for an
     (a < b) pair without double-probing."""
+    emb = valid_embeddings(emb, vec_col, EMB_DIM)
     e = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
@@ -1451,6 +1541,7 @@ def embedding_centroid_stats(
     engine that multiplies in double). One posexplode + one hash-agg
     (map-side combined); output is |labels|·dim rows. sx accumulates in
     DECIMAL(38,0) — int64 would overflow past ~10¹² rows·scale."""
+    emb = valid_embeddings(emb, vec_col)
     return (
         emb.select(
             F.col(label_col).alias("label"),
@@ -1475,7 +1566,10 @@ GRAM_SCHEMA = "i int, j int, n long, gram long, sum_i long, sum_j long"
 
 
 def embedding_gram_stats(
-    emb: DataFrame, vec_col: str = "embedding", scale: int = 10**6
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Covariance/whitening sufficient statistics for PCA / whitening /
     ZCA over an embedding column: the upper-triangle Gram matrix
@@ -1494,8 +1588,17 @@ def embedding_gram_stats(
     the canonical tree-aggregate shape. Per-BATCH gram fits int64
     (|q| ≤ scale → one product ≤ scale² = 10¹², Arrow batches ≤ 10⁴
     rows → ≤ 10¹⁶); the FINAL agg accumulates in DECIMAL(38,0), where
-    int64 would overflow past ~9·10⁶ rows."""
+    int64 would overflow past ~9·10⁶ rows.
+
+    Pass `dim` on corpora that may carry ragged vectors: the partial
+    Gram is computed per Arrow batch, so a wrong-dim vector that lands
+    alone in a batch would otherwise contribute a partial of the WRONG
+    shape and silently skew the (i, j) sums it overlaps (mixed dims
+    INSIDE one batch fail loudly via _stack_batch either way;
+    screen_embeddings surfaces the offending rows)."""
     import pandas as pd
+
+    emb = valid_embeddings(emb, vec_col, dim)
 
     def _partial(batches):
         import numpy as np
@@ -1503,7 +1606,7 @@ def embedding_gram_stats(
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X = _stack_batch(pdf[vec_col], np)
             Q = np.floor(X * scale + 0.5).astype(np.int64)
             d = Q.shape[1]
             G = Q.T @ Q
@@ -1559,6 +1662,7 @@ def embedding_quant_stats(
     expressions, no explode — had the same shuffle bound but paid ~6 s
     of optimizer + Janino compilation for the 192-column codegen on
     EVERY fresh plan; the narrow shape plans in milliseconds.)"""
+    emb = valid_embeddings(emb, vec_col, dim)
     qv = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
@@ -1625,6 +1729,8 @@ def hard_negatives(
     corpus-scale query sets, swap the broadcast product for the IVF
     probe path (`ivf_topk`) and apply the same label filter on the cell
     scan — the filter composes with any candidate generator."""
+    emb = valid_embeddings(emb, vec_col)
+    queries = valid_embeddings(queries, vec_col)
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qv"),
@@ -1639,6 +1745,7 @@ def hard_negatives(
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("q_label") != F.col("n_label"))
+        .filter(F.size("qv") == F.size("nv"))
         .withColumn("cos_sim", cosine(F.col("qv"), F.col("nv")))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))

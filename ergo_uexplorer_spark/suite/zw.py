@@ -99,7 +99,7 @@ def zw2_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_gram_stats
 
     (emb,) = load(spark, sf_dir, "embeddings")
-    out = embedding_gram_stats(emb, scale=_GRAM_SCALE)
+    out = embedding_gram_stats(emb, scale=_GRAM_SCALE, dim=64)
     return out.select(
         F.col("i").cast("long").alias("i"),
         F.col("j").cast("long").alias("j"),

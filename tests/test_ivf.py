@@ -381,3 +381,73 @@ def test_persisted_ivf_index_matches_inmemory_and_prunes(spark, tmp_path):
         for r in _probe_df(queries, cents, 4, "vec_id", "embedding").collect()
     }
     assert 0 < len(probed) < len(cents)
+
+
+def test_dirty_embeddings_never_crash_and_equal_clean(spark):
+    """Null / wrong-dim vectors must neither kill an executor task
+    (np.stack raised on the Arrow paths) nor silently skew results
+    (zip_with paths null-padded): every public similarity operator
+    filters to valid vectors at entry and equals itself on the
+    pre-cleaned corpus; screen_embeddings labels what was dropped."""
+    import pyspark.sql.functions as F
+
+    from ergo_uexplorer_spark.operators import similarity as S
+
+    dirty = spark.createDataFrame(
+        [
+            (1, [0.1] * 64, "a"),
+            (2, None, "b"),
+            (3, [0.2] * 64, "b"),
+            (4, [0.3] * 4, "b"),
+            (5, [0.10001] * 64, "b"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    clean = dirty.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    q = dirty.filter(F.col("vec_id") == 1)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(S.near_dup_pairs(dirty, 0.9)) == rows(
+        S.near_dup_pairs(clean, 0.9)
+    )
+    assert rows(S.brute_force_topk(dirty, q, k=3)) == rows(
+        S.brute_force_topk(clean, q, k=3)
+    )
+    assert rows(S.hard_negatives(dirty, q, k=3)) == rows(
+        S.hard_negatives(clean, q, k=3)
+    )
+    assert rows(S.lsh_topk(dirty, q, k=3)) == rows(S.lsh_topk(clean, q, k=3))
+    cents = S.ivf_build_centroids(clean, n_centroids=2)
+    assert rows(S.ivf_topk(dirty, q, cents, k=3)) == rows(
+        S.ivf_topk(clean, q, cents, k=3)
+    )
+    fixed = [list(c) for c in S.FIXED_CENTROIDS]
+    assert rows(S.semantic_dedup(dirty, fixed, 0.9)) == rows(
+        S.semantic_dedup(clean, fixed, 0.9)
+    )
+    assert rows(S.embedding_gram_stats(dirty, dim=64)) == rows(
+        S.embedding_gram_stats(clean, dim=64)
+    )
+    assert rows(S.embedding_quant_stats(dirty)) == rows(
+        S.embedding_quant_stats(clean)
+    )
+    screened = {
+        r["id"]: r["reason"]
+        for r in S.screen_embeddings(dirty, dim=64).collect()
+    }
+    assert screened == {2: "null_vector", 4: "wrong_dim"}
+
+
+def test_screen_embeddings_flags_non_finite(spark):
+    from ergo_uexplorer_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [float("nan"), 0.0]), (3, [1.0, None])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["id"]: r["reason"] for r in S.screen_embeddings(df).collect()}
+    assert out == {2: "non_finite", 3: "non_finite"}
