@@ -1490,3 +1490,40 @@ def test_tree_decoders_never_raise(blob):
     t8 = _tree_t8(h)
     assert t8 is None or isinstance(t8, str)
     assert isinstance(_fallback_hash(h), str)
+
+
+def test_dedup_family_total_over_dirty_text(spark):
+    """Null / empty / whitespace-only / non-ASCII text must flow through
+    every dedup pipeline without a task failure (JVM string functions
+    are null-safe; this pins that no Python or HOF stage broke that),
+    and the only near-dup pair found is the genuine duplicate."""
+    from ergo_uexplorer_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, None),
+            (3, ""),
+            (4, "   "),
+            (5, "the quick brown fox jumps over the lazy dog"),
+            (6, "ééé 中文 \U0001F600"),
+        ],
+        "doc_id long, text string",
+    )
+    pair = {(1, 5)}
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in D.jaccard_prefix_pairs(df).collect()
+    }
+    assert got == pair
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_pairs(df).collect()
+    }
+    assert got == pair
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.simhash_pairs(D.simhash(df)).collect()
+    }
+    assert got == pair
+    assert D.duplicate_spans(df).count() == 0  # no long shared runs
+    D.dedup_clusters(df).collect()
+    D.incremental_dedup(df, df).collect()
