@@ -78,6 +78,10 @@ UNPART_WINDOW_ALLOW_PATTERNS = (
     "zz_z22",  # quality-floor score domain (≤ 1001 rows/group)
     "zz_z24",  # token-budget score table (≤ 1001 rows)
     "zz_z26",  # vocabulary dim
+    "zyh1",  # grouping-sets percentile windows partition by grouping
+    # id + keys over the DISTINCT n_chars histogram (bounded value
+    # domain, never rows) — the grand-total set is one partition of
+    # histogram size by construction
     "zz_t03",
     "zz_t05",
     "zz_z15",
