@@ -30,7 +30,13 @@ def per_group_linear_trend(
 ) -> DataFrame:
     """OLS y ~ x per group (closed form), one pandas batch per group.
     Returns (group_key, n_points, slope, intercept); slope is null for
-    degenerate groups (n < 2 or zero x-variance)."""
+    degenerate groups (n < 2 valid points or zero x-variance).
+
+    Total over dirty data: rows with a null x or y are excluded from
+    the fit (and from n_points) BEFORE the group ships to pandas — a
+    null observation would otherwise NaN-poison every moment — and
+    null-key rows are dropped with them (groupBy forms a null-key
+    group whose `int(key)` crashed the Arrow worker)."""
 
     def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[key_col].iloc[0]
@@ -53,9 +59,14 @@ def per_group_linear_trend(
             }
         )
 
-    return df.select(key_col, x_col, y_col).groupBy(key_col).applyInPandas(
-        _fit, TREND_SCHEMA
+    from pyspark.sql import functions as F
+
+    clean = df.select(key_col, x_col, y_col).filter(
+        F.col(key_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
     )
+    return clean.groupBy(key_col).applyInPandas(_fit, TREND_SCHEMA)
 
 
 # Ship this module by VALUE to Spark python workers (see

@@ -1527,3 +1527,27 @@ def test_dedup_family_total_over_dirty_text(spark):
     assert D.duplicate_spans(df).count() == 0  # no long shared runs
     D.dedup_clusters(df).collect()
     D.incremental_dedup(df, df).collect()
+
+
+def test_grouped_trend_total_over_nulls(spark):
+    """Null keys crashed the Arrow worker (int(None)); null x/y
+    NaN-poisoned the closed-form moments. The operator now fits each
+    group on its VALID observations only and drops the null-key group."""
+    from ergo_uexplorer_spark.operators.grouped import per_group_linear_trend
+
+    df = spark.createDataFrame(
+        [
+            (1, 1.0, 2.0),
+            (1, 2.0, 4.0),
+            (1, None, 6.0),
+            (None, 1.0, 1.0),
+            (2, 1.0, None),
+            (2, 2.0, 5.0),
+        ],
+        "k long, x double, y double",
+    )
+    got = {
+        r["group_key"]: (r["n_points"], r["slope"], r["intercept"])
+        for r in per_group_linear_trend(df, "k", "x", "y").collect()
+    }
+    assert got == {1: (2, 2.0, 0.0), 2: (1, None, None)}
