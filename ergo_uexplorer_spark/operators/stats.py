@@ -495,14 +495,30 @@ def misra_gries_heavy_hitters(
         yield pd.DataFrame({"k": list(counters.keys())})
 
     cands = keyed.mapInPandas(summarize, "k string").distinct()
-    total = keyed.count()
+    # one scan for BOTH totals: n and the null-group count. The null
+    # key needs its own exact lane — pandas value_counts drops NaN so
+    # nulls never reach the candidate set, and `null = null` would not
+    # survive the equi-semi-join anyway — while SQL GROUP BY (the
+    # operator's definition and its oracle) keeps the null group.
+    trow = keyed.agg(
+        F.count(F.lit(1)).alias("t"),
+        F.coalesce(
+            F.sum(F.col("k").isNull().cast("long")), F.lit(0)
+        ).alias("nn"),
+    ).first()
+    total, n_null = trow["t"], trow["nn"]
     counts = (
         keyed.join(F.broadcast(cands), "k", "left_semi")
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") * F.lit(k) > F.lit(total))
-    )
-    return counts.select(F.col("k").alias(key_col), "n")
+    ).select(F.col("k").alias(key_col), "n")
+    if n_null * k > total:
+        null_row = spark.createDataFrame(
+            [(None, n_null)], schema=counts.schema
+        )
+        counts = counts.unionByName(null_row)
+    return counts
 
 
 def cooccurrence_pairs(

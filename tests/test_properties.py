@@ -1551,3 +1551,23 @@ def test_grouped_trend_total_over_nulls(spark):
         for r in per_group_linear_trend(df, "k", "x", "y").collect()
     }
     assert got == {1: (2, 2.0, 0.0), 2: (1, None, None)}
+
+
+def test_misra_gries_counts_null_group_like_group_by(spark):
+    """The operator's definition (and oracle) is GROUP BY + HAVING,
+    which keeps the NULL group; the sketch pass can't see it (pandas
+    value_counts drops NaN, and null never survives an equi-semi-join)
+    so it gets an exact lane of its own, fused into the totals scan."""
+    from ergo_uexplorer_spark.operators.stats import (
+        misra_gries_heavy_hitters,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 10 + [(None,)] * 20 + [("b",)] * 3,
+        "event_type string",
+    )
+    got = {
+        r["event_type"]: r["n"]
+        for r in misra_gries_heavy_hitters(df, "event_type", 3).collect()
+    }
+    assert got == {None: 20}  # 20*3 > 33; a: 30 > 33 is false
