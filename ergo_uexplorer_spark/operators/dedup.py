@@ -933,38 +933,51 @@ def screen_cross_candidates(
 
 
 def simhash(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """32-bit SimHash over distinct unigram tokens → (doc_id, simhash).
+    """`bits`-wide SimHash over distinct unigram tokens →
+    (doc_id, simhash). Default 32 (the frozen d04 oracle width);
+    `bits=60` is the SCALE width — portable_hash is 60 bits, so the
+    wider signature needs no second hash and the pigeonhole blocks in
+    `simhash_pairs` become 15-bit (collision rate 1/32768 vs 1/256:
+    the by-chance candidate volume, which grows ~n²/2^block_bits,
+    drops 128× — see SCALE.md's simhash section).
 
-    ONE shuffle: the 32 per-bit ±1 sums are 32 conditional partial
+    ONE shuffle: the per-bit ±1 sums are `bits` conditional partial
     aggregates of a single groupBy(doc_id) (no bit-explode, no join —
-    each input row contributes 32 counters map-side), then the signature
-    is a pure projection over the sums."""
+    each input row contributes `bits` counters map-side), then the
+    signature is a pure projection over the sums."""
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60] (portable_hash width)")
     tok = _ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("w"),
     ).distinct()
-    hm = tok.withColumn("hm", portable_hash(F.col("w")) % SIMHASH_MOD)
+    hm = tok.withColumn("hm", portable_hash(F.col("w")) % (1 << bits))
     aggs = [
         F.sum(
             F.when(
                 F.shiftright(F.col("hm"), j).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1)
         ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     ]
     per_doc = hm.groupBy("doc_id").agg(*aggs)
     sig = reduce(
         lambda acc, j: acc
         + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0),
-        range(SIMHASH_BITS),
+        range(bits),
         F.lit(0).cast("long"),
     )
     return per_doc.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    sig: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS
+) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance (xor + bit_count),
     via the pigeonhole block-join: split the 32-bit signature into
     max_hamming+1 equal blocks — a pair within hamming ≤ max_hamming
@@ -974,13 +987,21 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     exact hamming filter verifies collisions only. Lossless: the result
     is identical to the quadratic baseline (`simhash_pairs_allpairs`).
 
-    Scale: the join key is (block, 8-bit value); degenerate blocks (e.g.
+    Scale: pass bits=60 (with a 60-bit `simhash`) for 15-bit blocks —
+    by-chance candidates scale ~n²/2^block_bits, so the wider signature
+    cuts them 128× at identical plan shape (measured in SCALE.md); the
+    32-bit default stays for the frozen d04 oracle. The join key is
+    (block, block-value); degenerate blocks (e.g.
     the all-zeros byte common to short docs) are hot keys — AQE
     skew-join splits them, and each candidate row is 3 longs. This is
     the shape that survives a 100× corpus.
     """
     n_blocks = max_hamming + 1
-    block_bits = SIMHASH_BITS // n_blocks
+    block_bits = bits // n_blocks
+    if block_bits * n_blocks != bits:
+        raise ValueError(
+            f"bits={bits} not divisible into {n_blocks} pigeonhole blocks"
+        )
     mask = (1 << block_bits) - 1
     # materialize the signature table ONCE before the self-join: `sig`
     # usually arrives as the full tokenize→32-agg pipeline, and a lazy

@@ -190,6 +190,56 @@ def zz_d04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# zwg: the 60-bit SCALE-width SimHash twin. Same pigeonhole plan, 15-bit
+# blocks: by-chance candidate volume scales ~n²/2^block_bits, so the
+# wider signature cuts it 128× vs d04's 32-bit/8-bit-block form — the
+# production width for a web-scale corpus (portable_hash is 60 bits, so
+# no second hash is needed; sums of 1<<j for j<60 stay in int64 on both
+# engines). Oracle = the same construction in SQL (conv of 15 md5 hex
+# chars < 2^60, no mod needed) against the quadratic pair definition.
+# --------------------------------------------------------------------------
+_SIMHASH60_BITS = 60
+
+_SIMHASH60_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tok0 AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    tok AS (SELECT DISTINCT doc_id, w FROM tok0),
+    h AS (SELECT doc_id, {SQL_HASH.format(col='w')} AS hm FROM tok),
+    bits AS (SELECT unnest(range(0, {_SIMHASH60_BITS})) AS j),
+    contrib AS (
+      SELECT doc_id, j, (1::BIGINT << j) AS pw,
+             CASE WHEN (hm // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+      FROM h CROSS JOIN bits
+    ),
+    per_bit AS (SELECT doc_id, j, pw, sum(sgn) AS s FROM contrib GROUP BY 1, 2, 3),
+    sig AS (
+      SELECT doc_id, sum(CASE WHEN s > 0 THEN pw ELSE 0 END) AS simhash
+      FROM per_bit GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register(
+    "zwg_dedup_simhash60",
+    sql=_SIMHASH60_SQL,
+    survey_ref="d04 scale twin: 60-bit SimHash, 15-bit pigeonhole "
+    "blocks (by-chance candidates /128 at web scale)",
+    tags=("dedup", "sketch"),
+)
+def zwg_dedup_simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return D.simhash_pairs(
+        D.simhash(docs, bits=_SIMHASH60_BITS),
+        max_hamming=3,
+        bits=_SIMHASH60_BITS,
+    )
+
+
+# --------------------------------------------------------------------------
 # the composed cleaning pipeline: exact dedup → LSH near-dup removal →
 # quality gate (operators/corpus.py)
 # --------------------------------------------------------------------------

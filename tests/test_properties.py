@@ -641,6 +641,25 @@ def test_simhash_pigeonhole_equals_allpairs(spark):
         assert fast == slow, f"pigeonhole mismatch at max_hamming={mh}"
 
 
+def test_simhash60_pigeonhole_equals_allpairs(spark):
+    """The 60-bit scale-width twin is equally lossless: 15-bit blocks,
+    same pigeonhole guarantee, identical to its quadratic baseline
+    (divisibility requires max_hamming ∈ {0, 1, 2, 3, 4, 5, ...} with
+    bits % (mh+1) == 0 — 60 divides evenly for all of these)."""
+    df = _dup_heavy_docs(spark)
+    sig = simhash(df, bits=60).persist()
+    for mh in (0, 1, 2, 3):
+        fast = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_pairs(sig, max_hamming=mh, bits=60).collect()
+        }
+        slow = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_pairs_allpairs(sig, max_hamming=mh).collect()
+        }
+        assert fast == slow, f"60-bit pigeonhole mismatch at mh={mh}"
+
+
 def test_jaccard_prefix_filter_equals_allpairs(spark):
     """Prefix filtering is lossless: exact same verified pairs as the
     quadratic join over the same hashed shingle sets."""
