@@ -517,6 +517,14 @@ def ivf_build_centroids(
     collects vectors beyond the centroid table). Returns the centroid
     list for broadcast."""
     emb = valid_embeddings(emb, vec_col)
+    # anchor the dimensionality on the lowest-id valid vector, then
+    # dim-filter: a ragged vector among the seed rows would otherwise
+    # become a ragged centroid and crash every downstream matmul (or,
+    # as centroid 0, silently dim-filter out the whole real corpus)
+    first = emb.orderBy(id_col).select(vec_col).first()
+    if first is None:
+        raise ValueError("no valid embedding vectors to seed k-means")
+    emb = valid_embeddings(emb, vec_col, len(first[0]))
     cents = [
         [float(x) for x in r[vec_col]]
         for r in emb.orderBy(id_col).limit(n_centroids).collect()
@@ -1145,7 +1153,7 @@ def opq_train(
     import numpy as np
 
     emb = valid_embeddings(
-        emb, vec_col, len(centroids[0]) if centroids is not None else None
+        emb, vec_col, len(centroids[0]) if centroids else None
     )
 
     if centroids is not None:
@@ -1277,6 +1285,11 @@ def ivf_pq_topk(
         corpus = ivf_pq_index(
             emb, centroids, id_col, vec_col, codebooks, residual, rotation
         )
+    # same entry contract as _probe_df/lsh_topk: a null or wrong-dim
+    # query would otherwise null its centroid cosines yet still probe
+    # cells, and Spark ranks null ADC distances FIRST — emitting top-k
+    # rows with null cos_sim for a vector that should be dropped
+    queries = valid_embeddings(queries, vec_col, len(centroids[0]))
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
     scored_cells = F.transform(
         _cents_lit(centroids),

@@ -155,12 +155,19 @@ def zz_d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # SimHash near-dup pairs
 # --------------------------------------------------------------------------
-_SIMHASH_SQL = f"""
+def _simhash_pairs_sql(bits: int, mod: int | None) -> str:
+    """One SQL mirror for BOTH signature widths (32-bit frozen d04 /
+    60-bit zwg scale twin) — the CTE pipeline must never drift between
+    the two oracles. `mod` truncates the 60-bit portable hash for the
+    narrow width; the 60-bit form uses it whole (conv of 15 md5 hex
+    chars < 2^60, so no mod is needed and sums of 1<<j stay int64)."""
+    hm = SQL_HASH.format(col="w") + (f" % {mod}" if mod is not None else "")
+    return f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     tok0 AS (SELECT doc_id, unnest(t) AS w FROM toks),
     tok AS (SELECT DISTINCT doc_id, w FROM tok0),
-    h AS (SELECT doc_id, {SQL_HASH.format(col='w')} % {D.SIMHASH_MOD} AS hm FROM tok),
-    bits AS (SELECT unnest(range(0, {D.SIMHASH_BITS})) AS j),
+    h AS (SELECT doc_id, {hm} AS hm FROM tok),
+    bits AS (SELECT unnest(range(0, {bits})) AS j),
     contrib AS (
       SELECT doc_id, j, (1::BIGINT << j) AS pw,
              CASE WHEN (hm // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END AS sgn
@@ -180,7 +187,7 @@ _SIMHASH_SQL = f"""
 
 @register(
     "zz_d04_dedup_simhash",
-    sql=_SIMHASH_SQL,
+    sql=_simhash_pairs_sql(D.SIMHASH_BITS, D.SIMHASH_MOD),
     survey_ref="LLM-pipeline: SimHash near-dup",
     tags=("dedup", "sketch"),
 )
@@ -200,32 +207,9 @@ def zz_d04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _SIMHASH60_BITS = 60
 
-_SIMHASH60_SQL = f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-    tok0 AS (SELECT doc_id, unnest(t) AS w FROM toks),
-    tok AS (SELECT DISTINCT doc_id, w FROM tok0),
-    h AS (SELECT doc_id, {SQL_HASH.format(col='w')} AS hm FROM tok),
-    bits AS (SELECT unnest(range(0, {_SIMHASH60_BITS})) AS j),
-    contrib AS (
-      SELECT doc_id, j, (1::BIGINT << j) AS pw,
-             CASE WHEN (hm // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END AS sgn
-      FROM h CROSS JOIN bits
-    ),
-    per_bit AS (SELECT doc_id, j, pw, sum(sgn) AS s FROM contrib GROUP BY 1, 2, 3),
-    sig AS (
-      SELECT doc_id, sum(CASE WHEN s > 0 THEN pw ELSE 0 END) AS simhash
-      FROM per_bit GROUP BY doc_id
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-"""
-
-
 @register(
     "zwg_dedup_simhash60",
-    sql=_SIMHASH60_SQL,
+    sql=_simhash_pairs_sql(_SIMHASH60_BITS, None),
     survey_ref="d04 scale twin: 60-bit SimHash, 15-bit pigeonhole "
     "blocks (by-chance candidates /128 at web scale)",
     tags=("dedup", "sketch"),

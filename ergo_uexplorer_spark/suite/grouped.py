@@ -24,6 +24,7 @@ _HOUR_NS = 3_600_000_000_000.0
              (epoch_ns(ts) - {_X_OFFSET_NS}) / {_HOUR_NS} AS x,
              value AS y
       FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
     ),
     m AS (SELECT user_id, avg(x) AS xm, avg(y) AS ym, count(*) AS n
           FROM e GROUP BY user_id)

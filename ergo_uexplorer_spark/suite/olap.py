@@ -736,7 +736,14 @@ def zz_a02_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     level (1.15 s warm, and the per-pair sketch state no longer grows
     with corpus size)."""
     (lineitem,) = load(spark, sf_dir, "lineitem")
-    pairs = lineitem.select("l_suppkey", "l_partkey").dropDuplicates()
+    # null partkeys are excluded like count(DISTINCT) / HLL both do —
+    # without this the deduped (suppkey, NULL) pair would inflate the
+    # exact count by one on dirty data
+    pairs = (
+        lineitem.select("l_suppkey", "l_partkey")
+        .filter(F.col("l_partkey").isNotNull())
+        .dropDuplicates()
+    )
     agg = pairs.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("n_parts_exact"),
         F.approx_count_distinct("l_partkey", rsd=_A02_RSD).alias("__approx"),

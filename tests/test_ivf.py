@@ -451,3 +451,55 @@ def test_screen_embeddings_flags_non_finite(spark):
     )
     out = {r["id"]: r["reason"] for r in S.screen_embeddings(df).collect()}
     assert out == {2: "non_finite", 3: "non_finite"}
+
+
+def test_ivf_pq_topk_drops_invalid_queries(spark):
+    """A null/ragged QUERY vector nulls its centroid cosines but would
+    still probe cells, and Spark ranks null ADC distances first — it
+    must be dropped at entry like every other ANN query path."""
+    import pyspark.sql.functions as F
+
+    from ergo_uexplorer_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [0.01 * (i + d) for d in range(64)]) for i in range(1, 9)],
+        "vec_id long, embedding array<double>",
+    )
+    dirty_q = spark.createDataFrame(
+        [(1, [0.1] * 64), (100, None), (101, [0.5] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    clean_q = dirty_q.filter(F.col("vec_id") == 1)
+    cents = S.ivf_build_centroids(emb, n_centroids=2)
+    got = sorted(map(tuple, S.ivf_pq_topk(emb, dirty_q, cents, k=3).collect()))
+    want = sorted(map(tuple, S.ivf_pq_topk(emb, clean_q, cents, k=3).collect()))
+    assert got == want
+    assert {r[0] for r in got} == {1}
+
+
+def test_ivf_build_centroids_ragged_seed_rows(spark):
+    """A ragged vector among the lowest-id seed rows must not become a
+    centroid (ragged centroid list crashes downstream matmuls) nor
+    dim-filter out the real corpus when it sorts first."""
+    from ergo_uexplorer_spark.operators import similarity as S
+
+    rows = [(0, [9.9] * 4)] + [  # ragged row sorts FIRST by id
+        (i, [0.01 * (i + d) for d in range(64)]) for i in range(1, 9)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = S.ivf_build_centroids(emb, n_centroids=2)
+    # the 4-dim row anchors the dim (lowest id) and is the ONLY 4-dim
+    # vector, so k-means proceeds deterministically on that one-row
+    # subset (one seed, uniform width, no crash). The common case
+    # (ragged row NOT first) keeps the full corpus:
+    emb2 = spark.createDataFrame(
+        [(5000, [9.9] * 4)] + rows[1:],
+        "vec_id long, embedding array<double>",
+    )
+    assert len(cents) == 1 and len(cents[0]) == 4
+    cents2 = S.ivf_build_centroids(emb2, n_centroids=2)
+    assert [len(c) for c in cents2] == [64, 64]
+    assigned = S.ivf_assign(emb2, cents2)
+    assert assigned.count() == 8  # the ragged row is screened out

@@ -168,8 +168,9 @@ def generate(
     li = spark.read.parquet(f"{SF01}/lineitem.parquet")
     obase = orders.agg(F.max("o_orderkey")).first()[0] + 1
     sbase = li.agg(F.max("l_suppkey")).first()[0] + 1
-    cbase = orders.agg(F.max("o_custkey")).first()[0] + 1
-    pbase = li.agg(F.max("l_partkey")).first()[0] + 1
+    if disjoint_customers:
+        cbase = orders.agg(F.max("o_custkey")).first()[0] + 1
+        pbase = li.agg(F.max("l_partkey")).first()[0] + 1
     oparts, lparts = [], []
     for k in range(copies):
         o = orders.withColumn(
