@@ -425,6 +425,9 @@ def test_dirty_embeddings_never_crash_and_equal_clean(spark):
     assert rows(S.ivf_topk(dirty, q, cents, k=3)) == rows(
         S.ivf_topk(clean, q, cents, k=3)
     )
+    assert rows(S.near_dup_pairs_multiprobe(dirty, 0.9)) == rows(
+        S.near_dup_pairs_multiprobe(clean, 0.9)
+    )
     fixed = [list(c) for c in S.FIXED_CENTROIDS]
     assert rows(S.semantic_dedup(dirty, fixed, 0.9)) == rows(
         S.semantic_dedup(clean, fixed, 0.9)
