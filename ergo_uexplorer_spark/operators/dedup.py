@@ -58,8 +58,14 @@ _rng = random.Random(42)
 MINHASH_A = tuple(_rng.randrange(1, MINHASH_PRIME) for _ in range(NUM_HASHES))
 MINHASH_B = tuple(_rng.randrange(0, MINHASH_PRIME) for _ in range(NUM_HASHES))
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 32  # frozen d04 oracle width — historical twin only
 SIMHASH_MOD = 1 << SIMHASH_BITS
+# Production default. zwg's measured economics (SCALE.md): at 10× the
+# 60-bit width cuts by-chance candidate volume 8.9×, verify work 2.9×,
+# and the 32-bit width's 1,611 cross-copy false-positive pairs go to
+# ZERO — by-chance candidates scale ~n²/2^block_bits, so the gap only
+# widens at 100 TB. portable_hash is 60 bits: no second hash needed.
+SIMHASH_SCALE_BITS = 60
 
 
 # Candidate-pair rows are two ids — 5M rows is low hundreds of MB, far
@@ -936,15 +942,16 @@ def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = SIMHASH_BITS,
+    bits: int = SIMHASH_SCALE_BITS,
 ) -> DataFrame:
     """`bits`-wide SimHash over distinct unigram tokens →
-    (doc_id, simhash). Default 32 (the frozen d04 oracle width);
-    `bits=60` is the SCALE width — portable_hash is 60 bits, so the
-    wider signature needs no second hash and the pigeonhole blocks in
-    `simhash_pairs` become 15-bit (collision rate 1/32768 vs 1/256:
-    the by-chance candidate volume, which grows ~n²/2^block_bits,
-    drops 128× — see SCALE.md's simhash section).
+    (doc_id, simhash). Default 60 (the production SCALE width —
+    portable_hash is 60 bits, so the wide signature needs no second
+    hash, and the pigeonhole blocks in `simhash_pairs` become 15-bit:
+    collision rate 1/32768 vs 1/256, so the by-chance candidate
+    volume, which grows ~n²/2^block_bits, drops 128× — measured in
+    SCALE.md's simhash section). Pass bits=32 (`SIMHASH_BITS`) only to
+    reproduce the frozen d04 oracle twin.
 
     ONE shuffle: the per-bit ±1 sums are `bits` conditional partial
     aggregates of a single groupBy(doc_id) (no bit-explode, no join —
@@ -976,10 +983,10 @@ def simhash(
 
 
 def simhash_pairs(
-    sig: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS
+    sig: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_SCALE_BITS
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance (xor + bit_count),
-    via the pigeonhole block-join: split the 32-bit signature into
+    via the pigeonhole block-join: split the `bits`-wide signature into
     max_hamming+1 equal blocks — a pair within hamming ≤ max_hamming
     differs in at most max_hamming blocks, so AT LEAST ONE block is
     byte-identical. Candidates therefore come from an equi-join on
@@ -987,10 +994,10 @@ def simhash_pairs(
     exact hamming filter verifies collisions only. Lossless: the result
     is identical to the quadratic baseline (`simhash_pairs_allpairs`).
 
-    Scale: pass bits=60 (with a 60-bit `simhash`) for 15-bit blocks —
-    by-chance candidates scale ~n²/2^block_bits, so the wider signature
-    cuts them 128× at identical plan shape (measured in SCALE.md); the
-    32-bit default stays for the frozen d04 oracle. The join key is
+    The 60-bit default gives 15-bit blocks — by-chance candidates scale
+    ~n²/2^block_bits, so the wide signature cuts them 128× at identical
+    plan shape (measured in SCALE.md); pass bits=32 only for the frozen
+    d04 oracle twin. The join key is
     (block, block-value); degenerate blocks (e.g.
     the all-zeros byte common to short docs) are hot keys — AQE
     skew-join splits them, and each candidate row is 3 longs. This is

@@ -981,12 +981,60 @@ def connected_components_two_phase(
     )
 
 
+def right_degree_histogram(
+    edges: DataFrame, left_col: str, right_col: str
+) -> DataFrame:
+    """Wedge-join sizing probe → (rd, n_rights, wedges): how many right
+    nodes have each degree, and the rd² join rows they will emit. The
+    wedge join's cost is exactly Σ wedges, so this ONE histogram is
+    what a 100 TB link-prediction run is sized from (the zwe dedup
+    funnel's counterpart) — and it is what the auto hub guard reads to
+    decide whether the degree distribution has supernode outliers.
+    Distinct degree values bound the output (≤ max degree), so it is
+    always driver-collectable."""
+    e = edges.select(
+        F.col(left_col).alias("l"), F.col(right_col).alias("r")
+    ).distinct()
+    return (
+        e.groupBy("r")
+        .agg(F.count(F.lit(1)).alias("rd"))
+        .groupBy("rd")
+        .agg(F.count(F.lit(1)).alias("n_rights"))
+        .select(
+            "rd",
+            "n_rights",
+            (F.col("rd") * F.col("rd") * F.col("n_rights")).alias("wedges"),
+        )
+    )
+
+
+_HUB_FLOOR_CONF = "spark.graft.linkpred.hubFloor"
+_HUB_RATIO_CONF = "spark.graft.linkpred.hubRatio"
+
+
+def _auto_hub_cap(hist: list, floor: int, ratio: int) -> int:
+    """Data-driven supernode cap from a (rd, n_rights) histogram: rights
+    whose degree exceeds max(floor, ratio × median degree) are hubs.
+    Median is by right-node count (the typical right), so a handful of
+    hot keys cannot drag the cap up with them."""
+    total = sum(r["n_rights"] for r in hist)
+    acc = 0
+    median = 1
+    for r in sorted(hist, key=lambda r: r["rd"]):
+        acc += r["n_rights"]
+        if acc * 2 >= total:
+            median = r["rd"]
+            break
+    return max(floor, ratio * median)
+
+
 def common_neighbor_links(
     edges: DataFrame,
     left_col: str,
     right_col: str,
     min_common: int = 2,
     max_right_degree: int | None = None,
+    hub_guard: str = "auto",
 ) -> DataFrame:
     """Link prediction by common-neighbor counting over a bipartite
     graph → (node_a, node_b, common, deg_a, deg_b) for unordered left-
@@ -996,29 +1044,77 @@ def common_neighbor_links(
     via shared entities — the wedge-count companion of `co_spend_pairs`.)
 
     Cost is Σ_r deg(r)² over right nodes — the wedge join, never
-    all-pairs. `max_right_degree` drops hub rights BEFORE pairing
-    (a right node shared by thousands of lefts contributes quadratic
-    pairs and near-zero signal; capping is the standard skew guard —
-    the same supernode posture as SuperNodeCounter.scala:19). Distinct
-    edges first, then degrees via one hash-agg, wedge equi-join on the
-    right key, and a final (a, b) hash-agg."""
+    all-pairs. On a SKEW-FREE degree distribution that cost is
+    inherent: every wedge is a genuine common-neighbor contribution,
+    and the lossless prefix-filter alternative measurably LOSES there
+    (SCALE.md round-9 batch 7) — so uniform-degree volume is accepted
+    policy, sized up front via `right_degree_histogram`. What is NOT
+    accepted is a supernode: a right shared by thousands of lefts
+    contributes quadratic pairs and near-zero signal (Adamic-Adar
+    discounts it to ~1/log d), and one hot key can dominate the whole
+    job — the same hot-key posture as the reference's SuperNodeMvMap
+    (SuperNodeMvMap.scala:18). The default `hub_guard="auto"` therefore
+    drops only degree OUTLIERS: rights with degree >
+    max(hubFloor, hubRatio × median degree) (conf
+    `spark.graft.linkpred.hubFloor`/`hubRatio`, defaults 64/16). On a
+    skew-free graph no right crosses that line and auto == exact (a
+    test pins this); on a hot-key graph the guard trips and the dropped
+    hubs are logged with their wedge volume. `hub_guard="off"` is the
+    exactness escape hatch; an explicit `max_right_degree` cap takes
+    precedence over both. Distinct edges first, then degrees via one
+    hash-agg, wedge equi-join on the right key, and a final (a, b)
+    hash-agg."""
     e = edges.select(
         F.col(left_col).alias("l"), F.col(right_col).alias("r")
     ).distinct()
-    if max_right_degree is not None:
+    # materialize the deduped edge table ONCE, before anything reads it:
+    # it is consumed up to FOUR times (auto-guard probe, degrees, both
+    # wedge sides), and lazily each consumer re-executes the upstream
+    # fact-table join + distinct (the d04 simhash lesson, dedup.py:631).
+    # Edge-dim rows are 2 longs — cheap.
+    if not e.isStreaming:
+        e = e.localCheckpoint(eager=True)
+    cap = max_right_degree
+    if cap is None and hub_guard == "auto" and not e.isStreaming:
+        sess = e.sparkSession
+        floor = int(sess.conf.get(_HUB_FLOOR_CONF, "64"))
+        ratio = int(sess.conf.get(_HUB_RATIO_CONF, "16"))
+        hist = (
+            e.groupBy("r")
+            .agg(F.count(F.lit(1)).alias("rd"))
+            .groupBy("rd")
+            .agg(F.count(F.lit(1)).alias("n_rights"))
+            .collect()
+        )
+        if hist:
+            auto_cap = _auto_hub_cap(hist, floor, ratio)
+            hubs = [r for r in hist if r["rd"] > auto_cap]
+            if hubs:
+                cap = auto_cap
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "common_neighbor_links hub guard: dropping %d right "
+                    "nodes with degree > %d (%d of %d wedge-join rows); "
+                    "hub_guard='off' for the exact form",
+                    sum(r["n_rights"] for r in hubs),
+                    auto_cap,
+                    sum(r["rd"] ** 2 * r["n_rights"] for r in hubs),
+                    sum(r["rd"] ** 2 * r["n_rights"] for r in hist),
+                )
+    if cap is not None:
         ok = (
             e.groupBy("r")
             .agg(F.count(F.lit(1)).alias("rd"))
-            .filter(F.col("rd") <= max_right_degree)
+            .filter(F.col("rd") <= cap)
             .select("r")
         )
         e = e.join(ok, "r", "left_semi")
-    # materialize the deduped edge table ONCE: it is consumed THREE
-    # times below (degrees + both wedge sides), and lazily each consumer
-    # re-executes the upstream fact-table join + distinct (the d04
-    # simhash lesson, dedup.py:631). Edge-dim rows are 2 longs — cheap.
-    if not e.isStreaming:
-        e = e.localCheckpoint(eager=True)
+        # the guarded edge set is re-read three times below; pin it too
+        # so the semi-join runs once (it sits on the checkpointed base,
+        # so this re-pin is one cheap local pass)
+        if not e.isStreaming:
+            e = e.localCheckpoint(eager=True)
     deg = e.groupBy("l").agg(F.count(F.lit(1)).alias("deg"))
     a = e.select("r", F.col("l").alias("node_a"))
     b = e.select("r", F.col("l").alias("node_b"))

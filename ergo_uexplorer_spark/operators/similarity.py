@@ -124,7 +124,10 @@ def screen_embeddings(
     row, worst reason wins in that order."""
     sz = F.size(vec_col)
     bad_elem = F.exists(
-        vec_col, lambda x: x.isNull() | F.isnan(x.cast("double"))
+        vec_col,
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
     )
     reason = F.when(F.col(vec_col).isNull(), F.lit("null_vector"))
     if dim is not None:
@@ -517,14 +520,22 @@ def ivf_build_centroids(
     collects vectors beyond the centroid table). Returns the centroid
     list for broadcast."""
     emb = valid_embeddings(emb, vec_col)
-    # anchor the dimensionality on the lowest-id valid vector, then
-    # dim-filter: a ragged vector among the seed rows would otherwise
-    # become a ragged centroid and crash every downstream matmul (or,
-    # as centroid 0, silently dim-filter out the whole real corpus)
-    first = emb.orderBy(id_col).select(vec_col).first()
-    if first is None:
+    # anchor the dimensionality on the MODAL size across the corpus
+    # (one cheap groupBy(size) count), then dim-filter: a ragged vector
+    # among the seed rows would otherwise become a ragged centroid and
+    # crash every downstream matmul — and anchoring on the lowest-id
+    # row is worse: a single dirty low-id row silently dim-filters out
+    # the entire real corpus. Ties break toward the larger dim for
+    # determinism.
+    dim_counts = (
+        emb.groupBy(F.size(vec_col).alias("d"))
+        .count()
+        .orderBy(F.desc("count"), F.desc("d"))
+        .first()
+    )
+    if dim_counts is None:
         raise ValueError("no valid embedding vectors to seed k-means")
-    emb = valid_embeddings(emb, vec_col, len(first[0]))
+    emb = valid_embeddings(emb, vec_col, int(dim_counts["d"]))
     cents = [
         [float(x) for x in r[vec_col]]
         for r in emb.orderBy(id_col).limit(n_centroids).collect()

@@ -72,7 +72,16 @@ def pin_corpus_dim(df: DataFrame) -> DataFrame:
     else:
         est = _input_bytes(df) * 3  # raw rows ≈ 3× compressed parquet
         free = _free_storage_bytes(df)
-        serialized = bool(free) and est > free // 2
+        if free:
+            serialized = est > free // 2
+        else:
+            # The probe uses a private JVM API; when it breaks (any
+            # Spark upgrade) or the frame isn't file-backed (est==0,
+            # size unknowable) we must fail toward the SAFE level —
+            # deserialized is exactly what OOM'd at 100× in round 8.
+            # Only a provably small pin (<256 MB of source files) keeps
+            # the fast deserialized default without memory evidence.
+            serialized = est == 0 or est > 256 * 1024 * 1024
     level = (
         StorageLevel.MEMORY_AND_DISK
         if serialized

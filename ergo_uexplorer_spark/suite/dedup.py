@@ -192,8 +192,14 @@ def _simhash_pairs_sql(bits: int, mod: int | None) -> str:
     tags=("dedup", "sketch"),
 )
 def zz_d04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the frozen 32-bit oracle twin; the library default is now the
+    # 60-bit scale width (zwg's measured economics)
     (docs,) = load(spark, sf_dir, "documents")
-    return D.simhash_pairs(D.simhash(docs), max_hamming=3)
+    return D.simhash_pairs(
+        D.simhash(docs, bits=D.SIMHASH_BITS),
+        max_hamming=3,
+        bits=D.SIMHASH_BITS,
+    )
 
 
 # --------------------------------------------------------------------------

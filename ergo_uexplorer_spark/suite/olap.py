@@ -736,16 +736,14 @@ def zz_a02_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     level (1.15 s warm, and the per-pair sketch state no longer grows
     with corpus size)."""
     (lineitem,) = load(spark, sf_dir, "lineitem")
-    # null partkeys are excluded like count(DISTINCT) / HLL both do —
-    # without this the deduped (suppkey, NULL) pair would inflate the
-    # exact count by one on dirty data
-    pairs = (
-        lineitem.select("l_suppkey", "l_partkey")
-        .filter(F.col("l_partkey").isNotNull())
-        .dropDuplicates()
-    )
+    # null pairs stay through the dedup (a supplier whose partkeys are
+    # ALL null must still appear, with n_parts_exact=0, exactly like
+    # the GROUP BY oracle); the null-skipping F.count("l_partkey") then
+    # matches count(DISTINCT) / HLL semantics without a pre-filter that
+    # would drop the whole group
+    pairs = lineitem.select("l_suppkey", "l_partkey").dropDuplicates()
     agg = pairs.groupBy("l_suppkey").agg(
-        F.count(F.lit(1)).alias("n_parts_exact"),
+        F.count("l_partkey").alias("n_parts_exact"),
         F.approx_count_distinct("l_partkey", rsd=_A02_RSD).alias("__approx"),
     )
     tol = F.greatest(

@@ -814,3 +814,41 @@ def zwd_dormant_customer_anti_join(
     return customer.join(
         recent, customer.c_custkey == recent.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# zwh: wedge-join sizing histogram — the observability row a 100 TB
+# link-prediction run (zya8's shape) is sized from, and the exact input
+# the auto hub guard reads to decide whether the right-degree
+# distribution has supernode outliers. One row per distinct right
+# degree: how many right nodes hold it and the rd² wedge-join rows they
+# will emit (Σ wedges IS the join's cost). The zwe dedup-funnel
+# counterpart for the graph family.
+# --------------------------------------------------------------------------
+@register(
+    "zwh_wedge_histogram",
+    sql="""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS l, l_partkey AS r
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    d AS (SELECT r, count(*) AS rd FROM e GROUP BY 1)
+    SELECT CAST(rd AS BIGINT) AS rd,
+           CAST(count(*) AS BIGINT) AS n_rights,
+           CAST(rd * rd * count(*) AS BIGINT) AS wedges
+    FROM d GROUP BY rd
+    """,
+    survey_ref="Q19 family observability: wedge-volume sizing for the "
+    "common-neighbor join (graph.right_degree_histogram; hot-key "
+    "posture of SuperNodeMvMap.scala:18)",
+    tags=("graph", "agg", "observability"),
+)
+def zwh_wedge_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import right_degree_histogram
+
+    lineitem, orders = load(spark, sf_dir, "lineitem", "orders")
+    edges = lineitem.join(
+        orders.select("o_orderkey", "o_custkey"),
+        lineitem.l_orderkey == orders.o_orderkey,
+    )
+    return right_degree_histogram(edges, "o_custkey", "l_partkey")

@@ -449,11 +449,24 @@ def test_screen_embeddings_flags_non_finite(spark):
     from ergo_uexplorer_spark.operators import similarity as S
 
     df = spark.createDataFrame(
-        [(1, [1.0, 2.0]), (2, [float("nan"), 0.0]), (3, [1.0, None])],
+        [
+            (1, [1.0, 2.0]),
+            (2, [float("nan"), 0.0]),
+            (3, [1.0, None]),
+            (4, [float("inf"), 1.0]),
+            (5, [-float("inf"), 1.0]),
+        ],
         "vec_id long, embedding array<double>",
     )
     out = {r["id"]: r["reason"] for r in S.screen_embeddings(df).collect()}
-    assert out == {2: "non_finite", 3: "non_finite"}
+    # ±Inf poisons cosine/gram scores exactly like NaN — the quarantine
+    # report must flag it under the reason its name promises
+    assert out == {
+        2: "non_finite",
+        3: "non_finite",
+        4: "non_finite",
+        5: "non_finite",
+    }
 
 
 def test_ivf_pq_topk_drops_invalid_queries(spark):
@@ -482,8 +495,10 @@ def test_ivf_pq_topk_drops_invalid_queries(spark):
 
 def test_ivf_build_centroids_ragged_seed_rows(spark):
     """A ragged vector among the lowest-id seed rows must not become a
-    centroid (ragged centroid list crashes downstream matmuls) nor
-    dim-filter out the real corpus when it sorts first."""
+    centroid (ragged centroid list crashes downstream matmuls) NOR
+    dim-filter out the real corpus when it sorts first — the dim anchor
+    is the MODAL size across the corpus, so one dirty low-id row is
+    screened out instead of silently screening out everything else."""
     from ergo_uexplorer_spark.operators import similarity as S
 
     rows = [(0, [9.9] * 4)] + [  # ragged row sorts FIRST by id
@@ -493,16 +508,22 @@ def test_ivf_build_centroids_ragged_seed_rows(spark):
         rows, "vec_id long, embedding array<double>"
     )
     cents = S.ivf_build_centroids(emb, n_centroids=2)
-    # the 4-dim row anchors the dim (lowest id) and is the ONLY 4-dim
-    # vector, so k-means proceeds deterministically on that one-row
-    # subset (one seed, uniform width, no crash). The common case
-    # (ragged row NOT first) keeps the full corpus:
+    # 8 of 9 vectors are 64-dim: the modal width wins even though the
+    # 4-dim row sorts first, and the full real corpus survives
+    assert [len(c) for c in cents] == [64, 64]
+    assert S.ivf_assign(emb, cents).count() == 8
+    # same when the ragged row sorts last
     emb2 = spark.createDataFrame(
         [(5000, [9.9] * 4)] + rows[1:],
         "vec_id long, embedding array<double>",
     )
-    assert len(cents) == 1 and len(cents[0]) == 4
     cents2 = S.ivf_build_centroids(emb2, n_centroids=2)
     assert [len(c) for c in cents2] == [64, 64]
     assigned = S.ivf_assign(emb2, cents2)
     assert assigned.count() == 8  # the ragged row is screened out
+    # modal tie (1 vs 1) breaks toward the larger dim deterministically
+    tie = spark.createDataFrame(
+        [(1, [1.0] * 4), (2, [1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    assert len(S.ivf_build_centroids(tie, n_centroids=1)[0]) == 8
