@@ -178,20 +178,46 @@ def contract_tree(seed: str, n_consts: int = 2) -> str:
 class ChainGen:
     """Deterministic chain builder; `variant` seeds forked branches."""
 
-    def __init__(self, seed: int = 42, value_base: int = 10**15):
+    def __init__(
+        self,
+        seed: int = 42,
+        value_base: int = 10**15,
+        n_addresses: int = 190,
+        tx_range: tuple[int, int] = (1, 4),
+        fast_pool: bool = False,
+    ):
         # `value_base` is the emission box's starting value. The default
         # mirrors mainnet-magnitude nanoERG amounts; long chains (≥ ~10k
         # blocks) should pass a smaller base so CUMULATIVE volume sums
         # stay inside int64 (Σ 10^15 overflows a long at ~9.2k blocks).
+        # `n_addresses` / `tx_range` size the fixture toward a target
+        # end-state (the reference's published anchor is 1,886,283 utxos
+        # over 159,562 addresses — readme.md:180); `fast_pool` swaps the
+        # spent-box draw to O(1) swap-pop (a different but equally valid
+        # random stream — REQUIRED for multi-million-box pools, where
+        # list.pop(i)'s memmove is quadratic; defaults keep the frozen
+        # seed-42 stream the cached bench/e2e fixtures pin).
         self.rng = random.Random(seed)
         self.value_base = value_base
+        self.tx_range = tx_range
+        self.fast_pool = fast_pool
         self.unspent: list[tuple[str, int]] = []  # (boxId, value) pool
         self.minted_tokens: list[str] = []
         self.hot_token = _hex("hot-token")
         self.blocks: list[dict] = []
         self.emission_box = GENESIS_EMISSION_BOX
         # address pool with a long tail + the exchange supernode
-        self.pks = [_hex(f"pk-{i}", 33) for i in range(190)]
+        self.pks = [_hex(f"pk-{i}", 33) for i in range(n_addresses)]
+
+    def _draw_unspent(self) -> tuple[str, int]:
+        i = self.rng.randrange(len(self.unspent))
+        if self.fast_pool:
+            self.unspent[i], self.unspent[-1] = (
+                self.unspent[-1],
+                self.unspent[i],
+            )
+            return self.unspent.pop()
+        return self.unspent.pop(i)
 
     # -- tree selection (FIXTURES §1 invariant 6) ---------------------------
     def _pick_tree(self) -> str:
@@ -282,9 +308,7 @@ class ChainGen:
         inputs = []
         in_value = 0
         for _ in range(n_inputs):
-            box_id, val = self.unspent.pop(
-                self.rng.randrange(len(self.unspent))
-            )
+            box_id, val = self._draw_unspent()
             in_value += val
             inputs.append(
                 {
@@ -389,7 +413,7 @@ class ChainGen:
 
     def block(self, height: int, parent_id: str, variant: str = "main") -> dict:
         miner_pk = "02" + self.rng.choice(self.pks)[:64]
-        n_txs = self.rng.randrange(1, 4) if self.unspent else 0
+        n_txs = self.rng.randrange(*self.tx_range) if self.unspent else 0
         txs, fees = [], 0
         for txi in range(n_txs):
             if not self.unspent:

@@ -69,45 +69,139 @@ def _pair_gains(state: DataFrame) -> DataFrame:
     )
 
 
+_TRIPLE_STRUCTS = (
+    "transform(sequence(1, size(__t) - 2),"
+    " i -> struct(element_at(__t, i) AS u, element_at(__t, i + 1) AS v,"
+    " element_at(__t, i + 2) AS w))"
+)
+
+
+def _created_pair_bounds(state: DataFrame, cands: list) -> dict:
+    """Per candidate pair (l, r): an upper bound on the gain of ANY pair
+    its merge would CREATE — max frequency-weighted count over adjacent
+    trigrams (x, l, r) and (l, r, y). A created pair (x, lr) occurs at
+    most once per (x, l, r) trigram occurrence (and (lr, lr) at most
+    once per (r, l, r)), and earlier batch merges only DESTROY
+    adjacencies, so the pre-batch trigram count is a valid bound. One
+    explode + hash-agg over the word table, filtered to the candidate
+    pairs."""
+    keys = {(c.l, c.r) for c in cands}
+    toks = F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\}\{")
+    trips = F.when(F.size("__t") >= 3, F.expr(_TRIPLE_STRUCTS)).otherwise(
+        F.array().cast("array<struct<u:string,v:string,w:string>>")
+    )
+    lits = F.array(
+        *[F.struct(F.lit(l).alias("l"), F.lit(r).alias("r")) for l, r in keys]
+    )
+    tri = (
+        state.withColumn("__t", toks)
+        .select(F.explode(trips).alias("t"), "cnt")
+        .filter(
+            F.array_contains(
+                lits, F.struct(F.col("t.v").alias("l"), F.col("t.w").alias("r"))
+            )
+            | F.array_contains(
+                lits, F.struct(F.col("t.u").alias("l"), F.col("t.v").alias("r"))
+            )
+        )
+        .groupBy("t")
+        .agg(F.sum("cnt").alias("n"))
+        .collect()
+    )
+    bounds: dict = {k: 0 for k in keys}
+    for row in tri:
+        u, v, w, n = row["t"]["u"], row["t"]["v"], row["t"]["w"], int(row["n"])
+        if (v, w) in bounds:
+            bounds[(v, w)] = max(bounds[(v, w)], n)
+        if (u, v) in bounds:
+            bounds[(u, v)] = max(bounds[(u, v)], n)
+    return bounds
+
+
+def _select_batch(cands: list, bounds: dict, limit: int) -> list:
+    """Maximal PREFIX of the (gain DESC, l, r)-sorted candidates that
+    sequential BPE provably selects in this exact order: each taken
+    pair must be symbol-disjoint from every earlier taken pair (its
+    count and content are then unaffected by their merges, and the
+    replaces commute) and its gain must STRICTLY exceed every earlier
+    pair's created-pair bound (so no newly created pair can outrank
+    it, even on a tie-break). Stops at the first violation — skipping
+    and continuing would be unsound, because a skipped pair's reduced
+    gain is unknown without recomputation."""
+    taken: list = []
+    used: set = set()
+    max_created = -1
+    for c in cands:
+        if len(taken) >= limit:
+            break
+        syms = {c.l, c.r}
+        if taken and (syms & used or int(c.gain) <= max_created):
+            break
+        taken.append(c)
+        used |= syms
+        max_created = max(max_created, bounds.get((c.l, c.r), 0))
+    return taken
+
+
 def train_bpe_merges(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
     checkpoint_every: int = 4,
+    batch: int = 1,
 ) -> DataFrame:
     """Learn the first `n_merges` BPE merges → (rank, left, right, gain):
     rank-th merge joins symbols (left, right), which co-occurred
     adjacently `gain` (frequency-weighted) times at that point.
 
-    Driver loop of n_merges rounds; per round one hash-agg + a 1-row
-    collect over the WORD table (see module docstring for why that is
-    the scale-correct input), with lineage truncated every
-    `checkpoint_every` rounds (the pagerank posture, graph.py). Stops
-    early if no pair remains."""
+    Driver loop; per round one hash-agg + a small collect over the WORD
+    table (see module docstring for why that is the scale-correct
+    input), with lineage truncated every `checkpoint_every` rounds (the
+    pagerank posture, graph.py). Stops early if no pair remains.
+
+    `batch=1` (default, the frozen-oracle twin) selects one merge per
+    round — n_merges sequential Spark jobs, fine for a small merge
+    table but 32k sequential rounds for a production vocabulary.
+    `batch=B` selects up to B merges per round and stays EXACTLY equal
+    to the sequential result (property-pinned): the round collects the
+    top-B gains plus a trigram-derived bound on every candidate's
+    created-pair gains (one extra hash-agg), and `_select_batch` takes
+    the provably-safe prefix — pairwise symbol-disjoint, each gain
+    strictly above all earlier created-pair bounds. Real vocabularies
+    mix many disjoint frequent pairs, so rounds shrink from O(vocab) to
+    O(vocab / effective-batch) at one extra scan per round (measured in
+    SCALE.md's BPE section)."""
     state = _initial_state(word_frequencies(docs, text_col)).localCheckpoint(
         eager=True
     )
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        best = (
+    rounds = 0
+    while len(merges) < n_merges:
+        width = min(batch, n_merges - len(merges))
+        cands = (
             _pair_gains(state)
             .orderBy(F.desc("gain"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(width)
             .collect()
         )
-        if not best:
+        if not cands:
             break
-        b = best[0]
-        merges.append((rank, b.l, b.r, int(b.gain)))
-        state = state.withColumn(
-            "s",
-            F.replace(
-                F.col("s"),
+        if width > 1:
+            bounds = _created_pair_bounds(state, cands)
+            taken = _select_batch(cands, bounds, width)
+        else:
+            taken = cands[:1]
+        col = F.col("s")
+        for b in taken:
+            merges.append((len(merges) + 1, b.l, b.r, int(b.gain)))
+            col = F.replace(
+                col,
                 F.lit("{" + b.l + "}{" + b.r + "}"),
                 F.lit("{" + b.l + b.r + "}"),
-            ),
-        )
-        if checkpoint_every and rank % checkpoint_every == 0:
+            )
+        state = state.withColumn("s", col)
+        rounds += 1
+        if checkpoint_every and rounds % checkpoint_every == 0:
             state = state.localCheckpoint(eager=True)
     return state.sparkSession.createDataFrame(
         merges, "rank long, left string, right string, gain long"

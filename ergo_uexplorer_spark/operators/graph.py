@@ -494,50 +494,74 @@ def pagerank_int(
     next check sees Δ=0, so the returned vector is unchanged.
     """
     e = edges.select("src", "dst").distinct().persist()
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = e.groupBy("src").agg(
-        F.count(F.lit(1)).alias("outdeg")
-    ).localCheckpoint(eager=True)
 
     def maybe_b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_tables else df
 
-    n_nodes = nodes.count() if dangling else 0
-    ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
+    # ONE aggregation builds the whole node dimension — ids, out-degrees
+    # (0 for sinks, so the dangling flag is a projection, no anti-join)
+    # — fused into the rank table and carried through every round. The
+    # per-round contribution join then reads rank AND outdeg from a
+    # single broadcast instead of two, and the pre-loop schedules one
+    # checkpoint job instead of three (nodes, deg, flag-join): on small
+    # graphs the driver-loop latency IS the cost, ~0.4 s per scheduled
+    # action (measured, SCALE.md iterative-graph section).
+    ranks = (
+        e.select(F.col("src").alias("id"), F.lit(1).alias("__o"))
+        .unionByName(e.select(F.col("dst").alias("id"), F.lit(0).alias("__o")))
+        .groupBy("id")
+        .agg(F.sum("__o").alias("outdeg"))
+        .withColumn("rank", F.lit(init).cast("long"))
+    )
     if dangling:
-        # mark out-degree-0 nodes ONCE and carry the flag through every
-        # round's update: the per-round dangling mass is then a
-        # filter-agg projection over the rank table instead of a
-        # node-dim anti-join scheduled inside each round's plan.
-        ranks = (
-            ranks.join(
-                deg.select(
-                    F.col("src").alias("id"), F.lit(True).alias("__has_out")
-                ),
-                "id",
-                "left",
-            )
-            .withColumn("__dang", F.col("__has_out").isNull())
-            .drop("__has_out")
-        )
+        ranks = ranks.withColumn("__dang", F.col("outdeg") == 0)
+    ranks = ranks.localCheckpoint(eager=True)
+    # Execution mode, decided from MATERIALIZED stats (e is persisted,
+    # ranks checkpointed — real sizes, not plan guesses):
+    # - single: the whole graph fits the broadcast budget, so the loop
+    #   runs single-partition — coalesce(1) makes SinglePartition
+    #   planner-visible, which satisfies every join/agg distribution
+    #   requirement: ZERO exchanges and zero broadcast sub-jobs per
+    #   round, the dangling share an unpartitioned window instead of a
+    #   per-round 1-row broadcast. On local mode each scheduled job
+    #   costs ~0.4 s of fixed driver latency (measured, SCALE.md), so a
+    #   tiny graph must not pay 32-task waves times 3 stages per round.
+    # - broadcast: edges too big to re-exchange per round, node dim
+    #   fits the budget → force the rank-table broadcast so the edge
+    #   table never moves (the 100 TB shape).
+    # - plain: node dim over budget too → unhinted joins; AQE picks the
+    #   strategy per round from runtime sizes and degrades to sort-
+    #   merge instead of OOMing an executor on a forced broadcast.
+    # broadcast_tables True/False force broadcast/plain respectively.
+    thr = _broadcast_threshold_bytes(edges.sparkSession)
+    est_ranks = _plan_size_estimate(ranks)
+    est_edges = _plan_size_estimate(e)
+    single_mode = False
     if broadcast_tables is None:
-        # nodes is an eager localCheckpoint, so the estimate reflects
-        # the REAL materialized node dimension, not a plan guess. On
-        # estimator drift (None) keep the historical broadcast default —
-        # callers at known-huge node dims pass False explicitly.
-        est = _plan_size_estimate(ranks)
-        thr = _broadcast_threshold_bytes(edges.sparkSession)
-        broadcast_tables = True if est is None else (0 < est <= thr)
+        small = (
+            est_edges is not None
+            and est_ranks is not None
+            and 0 < est_edges <= thr
+            and 0 < est_ranks <= thr
+        )
+        if small:
+            single_mode = True
+            broadcast_tables = False
+        else:
+            big_edges = est_edges is None or est_edges > thr
+            ranks_fit = est_ranks is None or (0 < est_ranks <= thr)
+            broadcast_tables = big_edges and ranks_fit
+    if single_mode:
+        e = e.coalesce(1)
+        ranks = ranks.coalesce(1)
+    # the dangling share needs the previous rank in-row on the single-
+    # partition path (window over __prev), and the Δ check always does
+    carry_prev = early_stop or (dangling and single_mode)
+    n_nodes = ranks.count() if dangling and not single_mode else 0
     rounds_run, converged = 0, False
     for it in range(iters):
         contrib = (
             e.join(maybe_b(ranks), e.src == ranks.id)
-            .join(maybe_b(deg), "src")
             .select(
                 F.col("dst").alias("id"),
                 F.expr(f"{damp_num} * rank div {damp_den} div outdeg").alias(
@@ -545,19 +569,45 @@ def pagerank_int(
                 ),
             )
         )
-        # early_stop carries the previous rank through the update so the
-        # Δ check is a projection-agg (no join with the old table); the
-        # fixed-iteration path skips the extra column entirely.
-        carry = ["__dang"] if dangling else []
+        # the previous rank rides along when the Δ check or the single-
+        # partition dangling share needs it in-row; the plain fixed-
+        # iteration path skips the extra column entirely.
+        carry = ["outdeg"] + (["__dang"] if dangling else [])
         lhs = (
             ranks.select("id", *carry, F.col("rank").alias("__prev"))
-            if early_stop
+            if carry_prev
             else ranks.select("id", *carry)
         )
         new_ranks = lhs.join(
             contrib.groupBy("id").agg(F.sum("c").alias("s")), "id", "left"
         )
-        if dangling:
+        if dangling and single_mode:
+            # dangling mass as an UNPARTITIONED window over the joined
+            # node table (one row per node, __prev = rank_{k-1}): on
+            # the single-partition path this costs no exchange and no
+            # per-round broadcast sub-job. Exact int64, same value as
+            # the broadcast form (equality is test-pinned).
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy()
+            new_ranks = (
+                new_ranks.withColumn(
+                    "__dm",
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("__dang"), F.col("__prev"))
+                        ).over(w),
+                        F.lit(0),
+                    ),
+                )
+                .withColumn("__nn", F.count(F.lit(1)).over(w))
+                .withColumn(
+                    "__share",
+                    F.expr(f"{damp_num} * __dm div {damp_den} div __nn"),
+                )
+                .drop("__dm", "__nn")
+            )
+        elif dangling:
             # dangling mass = Σ rank over the pre-flagged out-degree-0
             # nodes — a filter-agg PROJECTION over the rank table (the
             # per-node flag was joined once before the loop), its ONE
@@ -582,7 +632,7 @@ def pagerank_int(
         new_ranks = new_ranks.select(
             "id",
             *carry,
-            *(["__prev"] if early_stop else []),
+            *(["__prev"] if carry_prev else []),
             (
                 F.lit(base)
                 + F.col("__share")
@@ -610,13 +660,22 @@ def pagerank_int(
             or it == iters - 1
             or check_now
         ):
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            # on a check round the checkpoint is LAZY: the Δ agg below
+            # is the action that materializes it, so the check costs no
+            # extra scheduled job (each job is ~0.4 s of fixed driver
+            # latency on small graphs — see SCALE.md)
+            new_ranks = new_ranks.localCheckpoint(eager=not check_now)
+            if single_mode:
+                # re-state the planner-visible SinglePartition the
+                # checkpoint erased (LogicalRDD → UnknownPartitioning)
+                new_ranks = new_ranks.coalesce(1)
         rounds_run = it + 1
         ranks = new_ranks.drop("__prev")
         if check_now:
-            # Δ is a projection-agg over the row we just materialized —
-            # the update carries the previous rank through the
-            # checkpoint, so no join with the old table is scheduled.
+            # Δ is a projection-agg over the row this action
+            # materializes — the update carries the previous rank
+            # through the checkpoint, so no join with the old table is
+            # scheduled.
             delta = new_ranks.agg(
                 F.sum(F.abs(F.col("rank") - F.col("__prev")))
             ).first()[0]
@@ -627,7 +686,7 @@ def pagerank_int(
     if stats is not None:
         stats["rounds"] = rounds_run
         stats["converged"] = converged
-    return ranks.drop("__dang")
+    return ranks.select("id", "rank")
 
 
 def triangle_count(
@@ -1161,11 +1220,25 @@ def kcore(
     one = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
     e = one.unionByName(
         one.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    # the sizing count doubles as the checkpoint's materializing action;
+    # a tiny graph then peels single-partition — coalesce(1) makes
+    # SinglePartition planner-visible, so every round's agg + semi-joins
+    # run exchange-free in one task instead of 32-task waves (the
+    # pagerank_int posture; each scheduled job costs ~0.4 s of fixed
+    # driver latency on local mode regardless of data size)
+    single = e.count() <= 100_000
+    if single:
+        e = e.coalesce(1)
     prev_n = None
     for _ in range(max_rounds):
         deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-        surv = deg.filter(F.col("d") >= k).localCheckpoint(eager=True)
+        # lazy checkpoints: the survivor count materializes surv AND
+        # (through deg → e) the previous round's edge checkpoint, so
+        # each round schedules ONE job instead of three
+        surv = deg.filter(F.col("d") >= k).localCheckpoint(eager=False)
+        if single:
+            surv = surv.coalesce(1)
         n = surv.count()
         if n == prev_n or n == 0:
             return surv.select(F.col("a").alias("v"), F.col("d").alias("deg"))
@@ -1174,8 +1247,10 @@ def kcore(
         e = (
             e.join(sv, "a", "left_semi")
             .join(sv.withColumnRenamed("a", "b"), "b", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        if single:
+            e = e.coalesce(1)
     raise RuntimeError(
         f"k-core did not converge within {max_rounds} rounds — raise "
         "max_rounds (a truncated peel would return a core SUPERSET)"

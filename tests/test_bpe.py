@@ -124,3 +124,79 @@ def test_bpe_segment_applies_merges(spark):
         for pair in merges:
             ref = _ref_merge(ref, pair)
         assert pieces == ref, w
+
+
+def test_bpe_batched_equals_sequential(spark):
+    """batch=B is exact: the provably-safe prefix selection yields the
+    SAME (rank, left, right, gain) table as one-merge-per-round — on
+    the reference-style corpus, the pinned Sennrich shape, and the
+    adversarial overlap case ('aaa', where created pairs outrank
+    remaining candidates and the batch must stop at width 1)."""
+    rng = random.Random(21)
+    cases = [
+        _mk_texts(rng, 120),
+        ["low lower newest widest " * 10],
+        ["aaa aaa aaa", "abab abab"],
+    ]
+    for texts in cases:
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        seq = [
+            (r.rank, r.left, r.right, r.gain)
+            for r in train_bpe_merges(df, n_merges=10)
+            .orderBy("rank")
+            .collect()
+        ]
+        for b in (4, 10):
+            bat = [
+                (r.rank, r.left, r.right, r.gain)
+                for r in train_bpe_merges(df, n_merges=10, batch=b)
+                .orderBy("rank")
+                .collect()
+            ]
+            assert bat == seq, f"batch={b} diverged on {texts[:1]}"
+
+
+def test_bpe_batch_takes_disjoint_prefix(spark):
+    """When the top candidates are symbol-disjoint and cannot create a
+    competitive pair (length-2 words → no trigrams → bounds 0), one
+    batch round takes them ALL — the economics the flag exists for.
+    Conversely on an overlap-heavy corpus the guard degrades to width 1
+    rather than diverging (covered by the equivalence test's 'aaa'
+    case)."""
+    import pyspark.sql.functions as F
+
+    from ergo_uexplorer_spark.operators.bpe import (
+        _created_pair_bounds,
+        _initial_state,
+        _pair_gains,
+        _select_batch,
+        word_frequencies,
+    )
+
+    texts = ["ab " * 9 + "cd " * 7 + "ef " * 5 + "gh " * 3]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    state = _initial_state(word_frequencies(df))
+    cands = (
+        _pair_gains(state)
+        .orderBy(F.desc("gain"), F.asc("l"), F.asc("r"))
+        .limit(4)
+        .collect()
+    )
+    bounds = _created_pair_bounds(state, cands)
+    taken = _select_batch(cands, bounds, 4)
+    assert [(c.l, c.r) for c in taken] == [
+        ("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")
+    ]
+    # and the whole vocabulary trains in ONE batched round's worth of
+    # merges, identical to sequential
+    seq = [
+        (r.rank, r.left, r.right, r.gain)
+        for r in train_bpe_merges(df, n_merges=4).orderBy("rank").collect()
+    ]
+    bat = [
+        (r.rank, r.left, r.right, r.gain)
+        for r in train_bpe_merges(df, n_merges=4, batch=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert bat == seq
