@@ -149,6 +149,7 @@ def train_bpe_merges(
     n_merges: int = 10,
     checkpoint_every: int = 4,
     batch: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Learn the first `n_merges` BPE merges → (rank, left, right, gain):
     rank-th merge joins symbols (left, right), which co-occurred
@@ -186,7 +187,11 @@ def train_bpe_merges(
         )
         if not cands:
             break
-        if width > 1:
+        if width > 1 and len(_select_batch(cands, {}, width)) > 1:
+            # the trigram-bound job is only worth scheduling when the
+            # disjoint-only prefix (bounds ignored) could batch at all —
+            # character-level early rounds mostly share symbols, and a
+            # width-1 round must cost exactly what sequential costs
             bounds = _created_pair_bounds(state, cands)
             taken = _select_batch(cands, bounds, width)
         else:
@@ -203,6 +208,8 @@ def train_bpe_merges(
         rounds += 1
         if checkpoint_every and rounds % checkpoint_every == 0:
             state = state.localCheckpoint(eager=True)
+    if stats is not None:
+        stats["rounds"] = rounds
     return state.sparkSession.createDataFrame(
         merges, "rank long, left string, right string, gain long"
     )
