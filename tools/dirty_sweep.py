@@ -1,0 +1,66 @@
+"""Full-registry dirty-input sweep: run EVERY suite entry and its
+DuckDB oracle side-by-side on the corrupted twin of the sf0.001 tables
+(tests/dirty.py — null primary keys, null attributes, unicode/NUL text,
+ragged/±Inf/NaN vectors) and report every disagreement or crash.
+
+This is the generalized form of the round-9 fuzz sweep (which found 3
+real bugs in mature operators) and of round 10's dirty-at-birth gate
+(which covers entries added from r10 on). A mismatch here is either a
+real null-semantics bug (fix it) or a defensible operator-vs-GROUP-BY
+divergence (document it in the triage table this tool's output feeds).
+
+Usage: python tools/dirty_sweep.py [name ...]
+Prints one line per entry; exits 1 if any entry crashed or mismatched.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def main() -> int:
+    from ergo_uexplorer_spark.session import get_spark
+    from ergo_uexplorer_spark.suite import REGISTRY
+
+    from dirty import make_dirty_sf_dir  # tests/dirty.py
+    from oracle import assert_matches_oracle  # tests/oracle.py
+
+    spark = get_spark("dirty-sweep")
+    out = os.path.join(REPO, ".scale", "dirty_sf0001")
+    if not os.path.exists(os.path.join(out, "embeddings.parquet")):
+        make_dirty_sf_dir(spark, "/root/testdata/sf0.001", out)
+
+    names = sys.argv[1:] or sorted(REGISTRY)
+    bad = 0
+    for name in names:
+        q = REGISTRY[name]
+        try:
+            df = q.fn(spark, out)
+            if q.sql is None:
+                df.collect()
+                print(f"{name}: OK (rows-only, no oracle)", flush=True)
+                continue
+            assert_matches_oracle(df, q.sql, out, name)
+            print(f"{name}: OK", flush=True)
+        except AssertionError as ex:
+            bad += 1
+            print(f"{name}: MISMATCH {str(ex)[:300]}", flush=True)
+        except Exception as ex:
+            bad += 1
+            print(
+                f"{name}: CRASH {type(ex).__name__} "
+                f"{str(ex)[:200]} | {traceback.format_exc(limit=2)[-200:]}",
+                flush=True,
+            )
+    print(f"{len(names) - bad}/{len(names)} dirty-pass", flush=True)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
