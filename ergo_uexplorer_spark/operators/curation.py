@@ -280,8 +280,18 @@ def quantile_normalize(
     no single-task window); group sizes are a tiny broadcast dim; the
     final lookup is an equi-join on the ladder index. rank·N_global
     stays in int64 up to ~10⁹ rows per side — cast the product to
-    DECIMAL(38,0) past that."""
+    DECIMAL(38,0) past that.
+
+    Rows with a NULL group or NULL value are unnormalizable and are
+    EXCLUDED up front (explicitly, not as a join accident): a null
+    group has no group size, a null value no rank position. The filter
+    makes the group-size equi-join's null-drop a documented contract
+    both engines share."""
     from .cumulative import coarse_partition_rank, ordered_prefix
+
+    df = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    )
 
     g = ordered_prefix(
         df.select(F.col(value_col).alias("__v"), F.col(id_col).alias("__i")),

@@ -35,8 +35,17 @@ def asof_join(
     Ties on right_ts resolve to the greatest `right_tiebreak_col`
     (deterministic). Returns left's (id, key, ts) + payload columns
     (null when no right row precedes).
+
+    NULL timestamps never match: a right row with unknown ts cannot be
+    "as of" anything (it is dropped from the fill stream), and a left
+    row with unknown ts gets a null payload (it is kept, unmatched) —
+    mirroring the correlated-subquery semantics where ts <= NULL is
+    UNKNOWN. Without this, null-ts rows sort into the nulls-first
+    region together and silently match each other (dirty-twin sweep
+    finding).
     """
     tb = right_tiebreak_col or payload_cols[0]
+    right = right.filter(F.col(right_ts_col).isNotNull())
     r = right.select(
         F.col(key_col).alias("__key"),
         F.col(right_ts_col).cast("long").alias(_T),
@@ -70,7 +79,11 @@ def asof_join(
         F.col("__lid").alias(left_id_col),
         F.col("__key").alias(key_col),
         F.col(_T).alias(left_ts_col),
-        *[F.col(f"__p_{c}").alias(c) for c in payload_cols],
+        *[
+            # a null LEFT ts matches nothing (ts <= NULL is UNKNOWN)
+            F.when(F.col(_T).isNotNull(), F.col(f"__p_{c}")).alias(c)
+            for c in payload_cols
+        ],
     )
     return out
 

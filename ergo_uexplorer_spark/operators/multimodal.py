@@ -211,15 +211,24 @@ def extract_features(
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             content = pdf["content"]
+            # total over NULL content: one missing blob must not kill
+            # the executor task (the dirty-twin posture) — such rows
+            # yield null size/hash/features, observable downstream
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": content.map(len).astype("int64"),
+                    "n_bytes": content.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
                     "content_sha256": content.map(
                         lambda b: hashlib.sha256(b).hexdigest()
+                        if b is not None
+                        else None
                     ),
-                    "features": content.map(fn),
+                    "features": content.map(
+                        lambda b: fn(b) if b is not None else None
+                    ),
                 }
             )
 

@@ -90,7 +90,10 @@ PQ_CODEBOOKS: tuple[tuple[tuple[float, ...], ...], ...] = tuple(
 
 
 def valid_embeddings(
-    emb: DataFrame, vec_col: str = "embedding", dim: int | None = None
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    finite: bool = False,
 ) -> DataFrame:
     """Filter to usable vectors: non-null, and size == `dim` when the
     operator binds a fixed dimensionality (the seeded PLANES /
@@ -102,10 +105,26 @@ def valid_embeddings(
     and kills the executor task — one null embedding in a 100 TB
     corpus failed the whole job. Dropping is the correct semantics
     (no vector ⇒ no similarity); `screen_embeddings` makes the
-    dropped rows observable so a pipeline can quarantine them."""
+    dropped rows observable so a pipeline can quarantine them.
+
+    `finite=True` additionally drops vectors with null/NaN/±Inf
+    ELEMENTS — required by the INTEGER-EXACT statistics family (gram,
+    quantization, k-means, norm stats), where one NaN reaches a
+    round+cast and kills the job on BOTH engines (ANSI CAST_OVERFLOW /
+    DuckDB ConversionException — the dirty-twin sweep's finding). The
+    ANN scoring family deliberately does NOT set it: a NaN score ranks
+    as largest in Spark and DuckDB alike, so the engines agree without
+    dropping data."""
     cond = F.col(vec_col).isNotNull()
     if dim is not None:
         cond = cond & (F.size(vec_col) == dim)
+    if finite:
+        cond = cond & ~F.exists(
+            vec_col,
+            lambda x: x.isNull()
+            | F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+        )
     return emb.filter(cond)
 
 
@@ -316,7 +335,7 @@ def near_dup_pairs(
     banded-LSH OR-amplification curve (see ND_BANDS comment) — the
     deterministic seeded planes are mirrored in the SQL oracle, so both
     engines return the identical pair set."""
-    emb = valid_embeddings(emb, vec_col, EMB_DIM)
+    emb = valid_embeddings(emb, vec_col, EMB_DIM, finite=True)
     e = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
@@ -378,7 +397,7 @@ def near_dup_pairs_allpairs(
 ) -> DataFrame:
     """Exact all-pairs baseline (test-only): O(n²) by definition; used to
     measure the bucketed variant's recall."""
-    emb = valid_embeddings(emb, vec_col, EMB_DIM)
+    emb = valid_embeddings(emb, vec_col, EMB_DIM, finite=True)
     e = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
@@ -1384,8 +1403,8 @@ def lsh_topk(
     Selectivity ≈ n_probes / 2^LSH_PLANES (default 8/512 = 1/64) vs the
     recall of single-probe at 2^LSH_PLANES/n_probes× more buckets.
     Deterministic: margin ties break by plane index on both engines."""
-    emb = valid_embeddings(emb, vec_col, EMB_DIM)
-    queries = valid_embeddings(queries, vec_col, EMB_DIM)
+    emb = valid_embeddings(emb, vec_col, EMB_DIM, finite=True)
+    queries = valid_embeddings(queries, vec_col, EMB_DIM, finite=True)
     qm = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qv"),
@@ -1476,7 +1495,7 @@ def near_dup_pairs_multiprobe(
     (band, bucket); verification touches candidates only. Asymmetric
     probing (A probes, B stays exact) covers both flip directions for an
     (a < b) pair without double-probing."""
-    emb = valid_embeddings(emb, vec_col, EMB_DIM)
+    emb = valid_embeddings(emb, vec_col, EMB_DIM, finite=True)
     e = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
@@ -1565,7 +1584,7 @@ def embedding_centroid_stats(
     engine that multiplies in double). One posexplode + one hash-agg
     (map-side combined); output is |labels|·dim rows. sx accumulates in
     DECIMAL(38,0) — int64 would overflow past ~10¹² rows·scale."""
-    emb = valid_embeddings(emb, vec_col)
+    emb = valid_embeddings(emb, vec_col, finite=True)
     return (
         emb.select(
             F.col(label_col).alias("label"),
@@ -1622,7 +1641,7 @@ def embedding_gram_stats(
     screen_embeddings surfaces the offending rows)."""
     import pandas as pd
 
-    emb = valid_embeddings(emb, vec_col, dim)
+    emb = valid_embeddings(emb, vec_col, dim, finite=True)
 
     def _partial(batches):
         import numpy as np
@@ -1686,7 +1705,7 @@ def embedding_quant_stats(
     expressions, no explode — had the same shuffle bound but paid ~6 s
     of optimizer + Janino compilation for the 192-column codegen on
     EVERY fresh plan; the narrow shape plans in milliseconds.)"""
-    emb = valid_embeddings(emb, vec_col, dim)
+    emb = valid_embeddings(emb, vec_col, dim, finite=True)
     qv = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(

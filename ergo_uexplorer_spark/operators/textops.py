@@ -114,8 +114,16 @@ def punct_count(col: Column) -> Column:
 
 def fingerprint(tok: Column) -> Column:
     """Order/multiplicity-insensitive document fingerprint: md5 over the
-    sorted distinct token set (classic near-dup canonicalization)."""
-    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tok))))
+    sorted distinct token set (classic near-dup canonicalization).
+    No tokens → NULL: concat_ws would silently render a null or empty
+    token array as '' and fingerprint a MISSING document as the md5 of
+    the empty string — conflating "no content" with real content (the
+    dirty-twin sweep's finding; the SQL mirror's array_to_string of an
+    empty list is NULL, so the engines now agree on the contract)."""
+    return F.when(
+        F.size(tok) > 0,
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tok)))),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -495,6 +503,13 @@ def char_collision_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
     ).select(
         "doc_id",
         "n_chars",
-        F.col("_f")["nd"].alias("n_distinct"),
-        F.col("_f")["sumsq"].alias("sum_sq"),
+        # empty-set semantics for NULL text (0 distinct chars observed,
+        # collision sum 0) — matches the oracle's COALESCE over its
+        # per-char left join; the fold over a NULL array yields NULL
+        F.coalesce(F.col("_f")["nd"], F.lit(0).cast("long")).alias(
+            "n_distinct"
+        ),
+        F.coalesce(F.col("_f")["sumsq"], F.lit(0).cast("long")).alias(
+            "sum_sq"
+        ),
     )

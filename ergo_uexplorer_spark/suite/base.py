@@ -109,3 +109,23 @@ def register(
         return fn
 
     return deco
+
+
+def emb_valid_sql(dim: int, col: str = "embedding") -> str:
+    """Oracle-side mirror of `operators.similarity.valid_embeddings`:
+    the null/ragged screen every public similarity operator applies at
+    entry. A no-op on clean data; on dirty corpora the oracle must drop
+    the same rows the engine drops (the dirty-twin sweep gate)."""
+    return f"{col} IS NOT NULL AND len({col}) = {dim}"
+
+
+def emb_finite_sql(dim: int, col: str = "embedding") -> str:
+    """Oracle-side mirror of the stricter screen the STATISTICS family
+    (gram / quantization / k-means / cell-balance) applies — those
+    operators also exclude non-finite vectors, because one NaN poisons
+    an integer-exact accumulator (the ANN scoring family instead lets
+    NaN flow: both engines rank NaN as largest, and they agree)."""
+    return (
+        f"{emb_valid_sql(dim, col)} AND len(list_filter({col},"
+        f" x -> isnan(x) OR NOT isfinite(x))) = 0"
+    )

@@ -30,7 +30,7 @@ from ..operators import graph as G
 from ..operators import similarity as S
 from ..operators.dedup import normalized_text
 from ..operators.similarity import dot
-from .base import load, register
+from .base import emb_finite_sql, load, register
 from .dedup import _HASHED_JACCARD_SQL
 from .similarity import _DOT
 
@@ -156,7 +156,8 @@ def z37_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "zz_z38_sliding_window_distinct",
     sql="""
-    WITH e AS (SELECT epoch_ns(ts) AS tns, user_id FROM events),
+    WITH e AS (SELECT epoch_ns(ts) AS tns, user_id FROM events
+               WHERE ts IS NOT NULL),
     w AS (
       SELECT (tns // 900000000000 - k) * 900000000000 AS window_start_ns,
              user_id
@@ -268,7 +269,8 @@ def z39_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT event_type, max(n) AS mx FROM c GROUP BY 1)
     SELECT c.event_type, min(user_id) AS mode_user,
            CAST(max(c.n) AS BIGINT) AS n_events
-    FROM c JOIN m ON c.event_type = m.event_type AND c.n = m.mx
+    FROM c JOIN m ON c.event_type IS NOT DISTINCT FROM m.event_type
+               AND c.n = m.mx
     GROUP BY 1
     """,
     survey_ref="SURVEY §2.6: aggregate surface (deterministic mode)",
@@ -648,13 +650,15 @@ def z47_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH r AS (
       SELECT source, n_chars AS v,
              row_number() OVER (PARTITION BY source
-                                ORDER BY n_chars ASC, doc_id ASC) AS i
+                                ORDER BY n_chars ASC NULLS FIRST,
+                                         doc_id ASC NULLS FIRST) AS i
       FROM documents
     )
     SELECT source, count(*) AS n_docs,
            CAST(sum(v) AS BIGINT) AS total_chars,
-           CAST((1000 * (2 * sum(i * v) - (count(*) + 1) * sum(v)))
-                // (count(*) * sum(v)) AS BIGINT) AS gini_permille
+           CAST(CASE WHEN coalesce(sum(v), 0) <> 0 THEN
+                  (1000 * (2 * sum(i * v) - (count(*) + 1) * sum(v)))
+                  // (count(*) * sum(v)) END AS BIGINT) AS gini_permille
     FROM r GROUP BY 1
     """,
     survey_ref="LLM-pipeline: mixture concentration (Gini per source)",
@@ -677,9 +681,13 @@ def z48_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "total_chars",
+            # a group whose total size is 0 (or all-null) has no Gini —
+            # an unguarded div crashed the job under ANSI on one dirty
+            # group (dirty-twin sweep finding)
             F.expr(
-                "CAST((1000 * (2 * __s1 - (n_docs + 1) * total_chars))"
-                " div (n_docs * total_chars) AS BIGINT)"
+                "CAST(CASE WHEN coalesce(total_chars, 0) <> 0 THEN"
+                " (1000 * (2 * __s1 - (n_docs + 1) * total_chars))"
+                " div (n_docs * total_chars) END AS BIGINT)"
             ).alias("gini_permille"),
         )
     )
@@ -881,6 +889,7 @@ def z51_canonical_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
                {_DOT.format(dim=S.EMB_DIM, a='embedding', b='embedding')}
              )) AS BIGINT) AS nm
       FROM embeddings
+      WHERE {emb_finite_sql(S.EMB_DIM)}
     )
     SELECT label, count(*) AS n,
            CAST(min(nm) AS BIGINT) AS min_norm_micros,
@@ -893,6 +902,10 @@ def z51_canonical_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def z52_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
+    # integer-exact norms: null/ragged/non-finite vectors quarantined
+    # (the oracle's fixed-64-term dot would NULL on ragged rows while
+    # the engine's fold uses the actual length — both sides screen)
+    emb = S.valid_embeddings(emb, dim=S.EMB_DIM, finite=True)
     v = emb.select(
         "label",
         F.floor(
@@ -1008,7 +1021,7 @@ def zx2_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) AS n_events,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                  AS value_cents
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     spans AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
               FROM obs GROUP BY 1),

@@ -21,7 +21,7 @@ _TYPES = ("image", "audio", "video")
     "zz_m01_multimodal_features",
     sql=f"""
     SELECT doc_id AS media_id,
-           ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]
+           ['image', 'audio', 'video'][CAST(((doc_id % 3) + 3) % 3 AS INT) + 1]
              AS media_type,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
            sha256(text) AS content_sha256,
@@ -37,9 +37,17 @@ def zz_m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
-        F.element_at(
-            F.array(*[F.lit(t) for t in _TYPES]),
-            (F.col("doc_id") % 3).cast("int") + 1,
+        # pmod, not %: Spark's % keeps the dividend's sign, so a
+        # negative doc_id yields index 0 and element_at THROWS
+        # (executor-killing on one dirty row — the dirty-twin sweep's
+        # finding); pmod is total and matches the oracle's
+        # ((x % 3) + 3) % 3
+        F.when(
+            F.col("doc_id").isNotNull(),
+            F.element_at(
+                F.array(*[F.lit(t) for t in _TYPES]),
+                F.pmod(F.col("doc_id"), F.lit(3)).cast("int") + 1,
+            ),
         ).alias("media_type"),
         F.encode(F.col("text"), "utf-8").alias("content"),
         F.struct(

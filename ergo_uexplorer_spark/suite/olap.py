@@ -25,7 +25,7 @@ def _cents(col):
     SELECT o_custkey, count(*) AS n_orders,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS total_cents
-    FROM orders WHERE o_custkey < 50
+    FROM orders WHERE o_custkey BETWEEN 0 AND 49
     GROUP BY o_custkey
     """,
     survey_ref="Q10 BoxService.scala:13-26",
@@ -487,7 +487,7 @@ _BF_BIT = (
              FROM pb WHERE bit IN (SELECT bit FROM bits) GROUP BY k)
     SELECT p.k AS c_custkey,
            coalesce(h.n_set, 0) = 4 AS in_bloom,
-           p.k IN (SELECT k FROM members) AS actual_member
+           coalesce(p.k IN (SELECT k FROM members), FALSE) AS actual_member
     FROM probes p LEFT JOIN hits h ON p.k = h.k
     """,
     survey_ref="readme.md:226 sketches TODO: Bloom membership pre-filter",
@@ -573,7 +573,10 @@ def z16_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(k) AS BIGINT) AS sum_k,
            CAST(max(k) AS BIGINT) AS max_k,
            count(*) - count(k) AS n_missing
-    FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+    FROM (SELECT event_type,
+                 CAST(CASE WHEN json_valid(props) THEN props->>'$.k' END
+                      AS BIGINT) AS k
+          FROM events)
     GROUP BY event_type
     """,
     survey_ref="SURVEY §2.6: semi-structured columns (JSON path extraction)",

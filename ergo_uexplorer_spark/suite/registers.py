@@ -40,9 +40,11 @@ _R01_SQL = """
                      || lpad(lower(to_hex(n // 128)), 2, '0') END
            || lower(hex(s)) AS raw,
            s AS decoded,
-           '(SInt, SInt)' AS pair_type,
+           CASE WHEN p_size IS NULL OR p_partkey IS NULL THEN NULL
+                ELSE '(SInt, SInt)' END AS pair_type,
            '[' || p_size || ',' || (p_partkey % 60) || ']' AS pair_rendered,
-           '(SInt, SInt, SInt)' AS tup_type,
+           CASE WHEN p_size IS NULL OR p_partkey IS NULL THEN NULL
+                ELSE '(SInt, SInt, SInt)' END AS tup_type,
            '[' || p_size || ',' || (p_partkey % 60) || ',7]' AS tup_rendered
     FROM enc
 """

@@ -200,10 +200,18 @@ def zz_q07_join_ids_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "zz_q08_spent_anti_join",
+    # NOT EXISTS, not NOT IN: the engine-side plan is a LEFT ANTI join,
+    # whose null semantics NOT EXISTS mirrors exactly (a null key never
+    # equals, so null-key rows are KEPT), while one NULL in a NOT IN
+    # subquery turns every row UNKNOWN and empties the result — a
+    # divergence the dirty-twin sweep caught (identical on null-free
+    # clean data)
     sql="""
     SELECT c_custkey, c_name
-    FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
     """,
     survey_ref="Q8 BoxService.scala:132-138",
     tags=("anti-join",),
@@ -704,7 +712,8 @@ def z14_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT c_custkey, c_nationkey,
            CAST(ntile(10) OVER (PARTITION BY c_nationkey
-                                ORDER BY c_acctbal DESC, c_custkey ASC)
+                                ORDER BY c_acctbal DESC NULLS LAST,
+                                         c_custkey ASC NULLS FIRST)
                 AS BIGINT) AS decile
     FROM customer
     """,

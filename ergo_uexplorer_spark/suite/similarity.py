@@ -9,9 +9,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity as S
-from .base import load, register
+from .base import emb_finite_sql, emb_valid_sql, load, register
 
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
+# oracle-side mirror of valid_embeddings(dim=64) (see base.py)
+EMB_VALID = emb_valid_sql(64)
+# bucketed-candidate paths (LSH banding / probing) additionally screen
+# non-finite vectors: the bucket of a NaN/Inf vector is sign arithmetic
+# on garbage and engine-divergent, while pure scoring paths agree on
+# NaN (both engines rank it largest)
+EMB_FINITE = emb_finite_sql(64)
 
 _DOT = (
     "list_sum(list_transform(range(1, {dim} + 1),"
@@ -31,8 +38,9 @@ def _sql_cos(a: str, b: str) -> str:
 # --------------------------------------------------------------------------
 _BRUTE_SQL = f"""
     WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
-               WHERE vec_id < {_N_QUERIES}),
-    c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+               WHERE vec_id < {_N_QUERIES} AND {EMB_VALID}),
+    c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings
+          WHERE {EMB_VALID}),
     scored AS (
       SELECT q_id, n_id, {_sql_cos('qv', 'nv')} AS cos
       FROM q CROSS JOIN c WHERE q_id <> n_id
@@ -90,7 +98,7 @@ def _near_dup_sql() -> str:
     WITH e AS (
       SELECT vec_id AS vid, embedding AS v,
              sqrt({_DOT.format(dim=S.EMB_DIM, a='embedding', b='embedding')}) AS norm
-      FROM embeddings
+      FROM embeddings WHERE {EMB_FINITE}
     ),
     bands AS ({band_rows}),
     cand AS (
@@ -151,7 +159,8 @@ def _lsh_sql() -> str:
     )
     return f"""
     WITH qm AS (SELECT vec_id AS q_id, embedding AS qv, {d_cols}
-                FROM embeddings WHERE vec_id < {_N_QUERIES}),
+                FROM embeddings
+                WHERE vec_id < {_N_QUERIES} AND {EMB_FINITE}),
     qb AS (SELECT q_id, qv, ({base}) AS base,
                   list_sort([{margin_structs}]) AS ms
            FROM qm),
@@ -163,7 +172,7 @@ def _lsh_sql() -> str:
       FROM qb),
     c AS (SELECT vec_id AS n_id, embedding AS nv,
                  {_sql_bucket('embedding')} AS bucket
-          FROM embeddings),
+          FROM embeddings WHERE {EMB_FINITE}),
     scored AS (
       SELECT q_id, n_id, {_sql_cos('qv', 'nv')} AS cos
       FROM probes JOIN c USING (bucket) WHERE q_id <> n_id
@@ -243,7 +252,7 @@ def _ivf_sql() -> str:
     return f"""
     WITH cents(cell, cv) AS (VALUES
       {values}),
-    e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    e AS (SELECT vec_id, embedding AS v FROM embeddings WHERE {EMB_VALID}),
     ranked_cells AS (
       SELECT vec_id, v, cell,
              row_number() OVER (PARTITION BY vec_id
@@ -333,7 +342,7 @@ def _ivfpq_sql() -> str:
       {cent_values}),
     cb(m, k, cv) AS (VALUES
       {cb_values}),
-    e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    e AS (SELECT vec_id, embedding AS v FROM embeddings WHERE {EMB_VALID}),
     ranked_cells AS (
       SELECT vec_id, v, cell,
              row_number() OVER (PARTITION BY vec_id
@@ -437,7 +446,7 @@ def _semantic_dedup_sql() -> str:
       {values}),
     e AS (SELECT vec_id, embedding AS v,
                  sqrt({_DOT.format(dim=S.EMB_DIM, a='embedding', b='embedding')}) AS norm
-          FROM embeddings),
+          FROM embeddings WHERE {EMB_VALID}),
     ranked_cells AS (
       SELECT vec_id, v, norm, cell,
              row_number() OVER (PARTITION BY vec_id

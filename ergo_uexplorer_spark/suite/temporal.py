@@ -26,7 +26,8 @@ DAY_NS = 86_400_000_000_000
     WITH l AS (
       SELECT user_id, event_id, epoch_ns(ts) AS tsn,
              lag(epoch_ns(ts)) OVER (PARTITION BY user_id
-                                     ORDER BY epoch_ns(ts), event_id) AS prev
+                                     ORDER BY epoch_ns(ts) NULLS FIRST,
+                                              event_id NULLS FIRST) AS prev
       FROM events
     ),
     s AS (
@@ -36,7 +37,9 @@ DAY_NS = 86_400_000_000_000
       FROM l
     )
     SELECT user_id, event_id,
-           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+           CAST(sum(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY tsn NULLS FIRST,
+                                           event_id NULLS FIRST
                                   ROWS UNBOUNDED PRECEDING)
                 AS BIGINT) AS session_id
     FROM s

@@ -197,7 +197,8 @@ def zz_x04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           CASE WHEN bucket < 98 THEN 'train'
+           CASE WHEN bucket IS NULL THEN NULL
+                WHEN bucket < 98 THEN 'train'
                 WHEN bucket < 99 THEN 'val'
                 ELSE 'test' END AS split
     FROM b

@@ -80,7 +80,8 @@ def zz_t04_last_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zz_t05_global_index",
     sql="""
     SELECT o_orderkey,
-           row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS gix
+           row_number() OVER (ORDER BY o_orderdate NULLS FIRST,
+                              o_orderkey NULLS FIRST) AS gix
     FROM orders
     """,
     survey_ref="T5 FullBlockBuilder.scala:116-144",
@@ -127,10 +128,12 @@ def zz_c06_fork_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "zz_c07_missing_keys",
+    # NOT EXISTS mirrors left_anti's null semantics (see zz_q08): one
+    # NULL l_orderkey in the subquery empties the NOT IN form entirely
     sql="""
     SELECT s.k AS missing_key
     FROM (SELECT unnest(range(0, (SELECT max(o_orderkey) + 1 FROM orders))) AS k) s
-    WHERE s.k NOT IN (SELECT l_orderkey FROM lineitem)
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = s.k)
     """,
     survey_ref="C7 MvStorage.scala:284-290",
     tags=("anti-join", "generator"),

@@ -16,11 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .base import load, register
+from .base import emb_finite_sql, emb_valid_sql, load, register
 from .textops import _TOKS
 
 _GRAM_SCALE = 10**6
 _EMB_DIM = 64
+# oracle-side mirrors of the engine's entry screens (see base.py)
+EMB_VALID = emb_valid_sql(_EMB_DIM)
+EMB_FINITE = emb_finite_sql(_EMB_DIM)
 
 
 # --------------------------------------------------------------------------
@@ -76,6 +79,7 @@ def zw1_token_rank_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                x -> CAST(floor(CAST(x AS DOUBLE) * {_GRAM_SCALE} + 0.5)
                          AS BIGINT)) AS qv
       FROM embeddings
+      WHERE {EMB_FINITE}
     ),
     p AS (
       SELECT i.range AS i, j.range AS j
@@ -167,6 +171,7 @@ _QUANT_LEVELS = 255
                x -> CAST(floor(CAST(x AS DOUBLE) * {_GRAM_SCALE} + 0.5)
                          AS BIGINT)) AS qv
       FROM embeddings
+      WHERE {EMB_FINITE}
     ),
     per AS (
       SELECT d.range AS dim, qv[d.range + 1] AS v
@@ -304,9 +309,10 @@ def _hard_neg_sql() -> str:
 
     return f"""
     WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS ql
-               FROM embeddings WHERE vec_id < {_HN_QUERIES}),
+               FROM embeddings WHERE vec_id < {_HN_QUERIES}
+                 AND {EMB_VALID}),
     c AS (SELECT vec_id AS n_id, embedding AS nv, label AS nl
-          FROM embeddings),
+          FROM embeddings WHERE {EMB_VALID}),
     scored AS (
       SELECT q_id, n_id, {_sql_cos('qv', 'nv')} AS cos
       FROM q CROSS JOIN c WHERE ql <> nl
@@ -350,6 +356,7 @@ def zw6_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the per-cell sum accumulates in DECIMAL(38,0)/HUGEINT.
 # --------------------------------------------------------------------------
 def _cell_balance_sql() -> str:
+    EMB_SCREEN = EMB_FINITE  # integer-exact qnorm: non-finite quarantined
     from .similarity import _ivf_sql  # noqa: F401 — shares the seeded form
     from ..operators import similarity as S
     from .similarity import _sql_cos
@@ -361,7 +368,7 @@ def _cell_balance_sql() -> str:
     return f"""
     WITH cents(cell, cv) AS (VALUES
       {values}),
-    e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    e AS (SELECT vec_id, embedding AS v FROM embeddings WHERE {EMB_SCREEN}),
     ranked_cells AS (
       SELECT vec_id, v, cell,
              row_number() OVER (PARTITION BY vec_id
@@ -396,6 +403,10 @@ def zw7_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as S
 
     (emb,) = load(spark, sf_dir, "embeddings")
+    # integer-exact qnorm: non-finite elements must be quarantined, not
+    # crash the floor+cast (valid_embeddings finite screen — the same
+    # posture as gram/quant/centroid stats)
+    emb = S.valid_embeddings(emb, dim=S.EMB_DIM, finite=True)
     assigned = S.ivf_assign(emb, list(S.FIXED_CENTROIDS))
     qv = F.transform(
         F.col("embedding"),
@@ -434,6 +445,7 @@ _RECALL_K = 5
 
 
 def _ann_recall_sql() -> str:
+    EMB_SCREEN = EMB_VALID  # scoring family: NaN flows, engines agree
     from ..operators import similarity as S
     from .similarity import _IVF_PROBES, _N_QUERIES, _sql_cos
 
@@ -444,7 +456,7 @@ def _ann_recall_sql() -> str:
     return f"""
     WITH cents(cell, cv) AS (VALUES
       {values}),
-    e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    e AS (SELECT vec_id, embedding AS v FROM embeddings WHERE {EMB_SCREEN}),
     exact_scored AS (
       SELECT q.vec_id AS q_id, c.vec_id AS n_id,
              {_sql_cos('q.v', 'c.v')} AS cos
@@ -597,6 +609,7 @@ _KMEANS_SCALE = 10**6
 
 
 def _kmeans_update_sql() -> str:
+    EMB_SCREEN = EMB_FINITE  # integer-exact sufficient stats
     from ..operators import similarity as S
     from .similarity import _sql_cos
 
@@ -607,7 +620,7 @@ def _kmeans_update_sql() -> str:
     return f"""
     WITH cents(cell, cv) AS (VALUES
       {values}),
-    e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    e AS (SELECT vec_id, embedding AS v FROM embeddings WHERE {EMB_SCREEN}),
     ranked AS (
       SELECT vec_id, v, cell,
              row_number() OVER (PARTITION BY vec_id
@@ -758,14 +771,21 @@ def zwc_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     bparts = F.broadcast(
         part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
     )
+    # the casts must be TOTAL even though the brand join drops every
+    # dirty row: Catalyst pushes this projection below the join (it
+    # references only lineitem columns), so under ANSI an unguarded
+    # round+cast evaluates on EVERY scanned row and one NaN price
+    # kills the job before the join can filter it (dirty-twin sweep
+    # finding — the optimizer makes "it's filtered later" unsound)
+    def _safe_long(c):
+        return F.when(~F.isnan(c), F.round(c).cast("bigint"))
+
     li = lineitem.join(
         bparts, F.col("l_partkey") == F.col("p_partkey")
     ).select(
         "l_partkey",
-        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
-            "cents"
-        ),
+        _safe_long(F.col("l_quantity")).alias("qty"),
+        _safe_long(F.col("l_extendedprice") * 100).alias("cents"),
     )
     avgq = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("c"), F.sum("qty").alias("s")
@@ -793,12 +813,16 @@ def zwc_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "zwd_dormant_customer_anti_join",
+    # NOT EXISTS mirrors left_anti's null-key semantics (see zz_q08) —
+    # the dirty-twin sweep caught the NOT IN form dropping the null-key
+    # customer row the anti-join keeps
     sql="""
     SELECT c_custkey, c_name
-    FROM customer
-    WHERE c_custkey NOT IN (
-      SELECT o_custkey FROM orders
-      WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01'
     )
     """,
     survey_ref="Q8 BoxService.scala:132-138 (non-vacuous driver variant)",

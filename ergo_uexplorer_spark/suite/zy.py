@@ -133,7 +133,7 @@ def zy2_ewma_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
              year(o_orderdate) * 12 + month(o_orderdate) AS bucket,
              CAST(sum({_CENTS_SQL.format(col='o_totalprice')}) AS BIGINT)
                AS cents
-      FROM orders GROUP BY 1, 2
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     ),
     s AS (SELECT o_custkey, min(bucket) AS lo, max(bucket) AS hi
           FROM b GROUP BY 1),
@@ -291,8 +291,9 @@ def zy5_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT user_id, event_type,
              lead(event_type) OVER (PARTITION BY user_id
-                                    ORDER BY epoch_ns(ts) ASC,
-                                             event_id ASC) AS nxt
+                                    ORDER BY epoch_ns(ts) ASC NULLS FIRST,
+                                             event_id ASC NULLS FIRST)
+               AS nxt
       FROM events
     )
     SELECT event_type AS state_from, nxt AS state_to, count(*) AS n
@@ -452,8 +453,13 @@ def zy9_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0),
         F.lit(_ZY9_TOL) * F.col("n_users_exact").cast("double"),
     )
-    return exact.join(merged, "event_type").select(
-        "event_type",
+    # null-safe: the GROUP BY keeps a NULL event_type group, so the
+    # sketch⋈exact join must not silently drop it (the r9 Misra-Gries
+    # null-lane class, caught again by the dirty-twin sweep)
+    return exact.join(
+        merged, exact.event_type.eqNullSafe(merged.event_type)
+    ).select(
+        exact.event_type.alias("event_type"),
         "n_users_exact",
         (
             F.abs(

@@ -242,7 +242,8 @@ _ZYA5_K = 5
       SELECT doc_id, source,
              row_number() OVER (
                PARTITION BY source
-               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC NULLS FIRST,
+                        doc_id ASC NULLS FIRST
              ) AS rk
       FROM documents
     )

@@ -40,10 +40,12 @@ def _cents(col):
 @register(
     "zyb1_quantile_norm",
     sql="""
-    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents
+               WHERE source IS NOT NULL AND n_chars IS NOT NULL),
     g AS (
       SELECT n_chars AS v,
-             row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS gix
+             row_number() OVER (ORDER BY n_chars ASC NULLS FIRST,
+                                doc_id ASC NULLS FIRST) AS gix
       FROM d
     ),
     ns AS (SELECT source, count(*) AS ns FROM d GROUP BY 1),
@@ -51,11 +53,12 @@ def _cents(col):
     r AS (
       SELECT doc_id, source, n_chars,
              row_number() OVER (PARTITION BY source
-                                ORDER BY n_chars ASC, doc_id ASC) AS rs
+                                ORDER BY n_chars ASC NULLS FIRST,
+                                         doc_id ASC NULLS FIRST) AS rs
       FROM d
     )
     SELECT r.doc_id, r.source, r.n_chars, g.v AS norm_val
-    FROM r JOIN ns ON r.source = ns.source CROSS JOIN ng
+    FROM r JOIN ns ON r.source IS NOT DISTINCT FROM ns.source CROSS JOIN ng
     JOIN g ON g.gix = (r.rs * ng.ng + ns.ns - 1) // ns.ns
     """,
     survey_ref="LLM-pipeline: cross-source score normalization "
@@ -252,11 +255,13 @@ def zyb4_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zyb5_ab_contingency",
     sql="""
     WITH t AS (
-      SELECT CASE WHEN CAST(props->>'$.k' AS BIGINT) % 2 = 0
+      SELECT CASE WHEN CAST(CASE WHEN json_valid(props)
+                            THEN props->>'$.k' END AS BIGINT) % 2 = 0
                   THEN 'A' ELSE 'B' END AS variant,
              event_type AS outcome
       FROM events
-      WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+      WHERE CAST(CASE WHEN json_valid(props)
+                 THEN props->>'$.k' END AS BIGINT) IS NOT NULL
     ),
     o AS (SELECT variant, outcome, count(*) AS obs FROM t GROUP BY 1, 2)
     SELECT variant, outcome, CAST(obs AS BIGINT) AS obs,

@@ -89,10 +89,13 @@ def zyc1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
                        OR lag(event_type) OVER w <> event_type
                      THEN 1 ELSE 0 END AS chg
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+      FROM e WINDOW w AS (PARTITION BY user_id
+                          ORDER BY tsn NULLS FIRST, event_id NULLS FIRST)
     ),
     v AS (
-      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+      SELECT *, sum(chg) OVER (PARTITION BY user_id
+                               ORDER BY tsn NULLS FIRST,
+                                        event_id NULLS FIRST
                                ROWS UNBOUNDED PRECEDING) AS version
       FROM l
     ),
@@ -298,13 +301,22 @@ def zyc5_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(tokens(F.col("text")), lambda x: x == F.lit("vector"))
         ).alias("__tfv"),
     )
+    # an UNKNOWN signal ranks LAST (sentinel > every real negated
+    # value): the bare -col would turn NULL signals into nulls-FIRST
+    # top ranks under Spark's ASC default, while the oracle's DESC
+    # puts them last — the dirty-twin sweep caught the rank shift
+    last = F.lit(2**62).cast("long")
     a = ordered_prefix(
-        base.select("doc_id", (-F.col("n_chars")).alias("__na")),
+        base.select(
+            "doc_id", F.coalesce(-F.col("n_chars"), last).alias("__na")
+        ),
         ["__na", "doc_id"],
         row_col="rk",
     ).select("doc_id", "rk")
     b = ordered_prefix(
-        base.select("doc_id", (-F.col("__tfv")).alias("__nb")),
+        base.select(
+            "doc_id", F.coalesce(-F.col("__tfv"), last).alias("__nb")
+        ),
         ["__nb", "doc_id"],
         row_col="rk",
     ).select("doc_id", "rk")

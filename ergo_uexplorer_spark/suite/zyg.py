@@ -80,6 +80,9 @@ def zyg1_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, unnest(embedding) AS e,
              unnest(range(0, len(embedding))) AS dim
       FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding,
+                            x -> isnan(x) OR NOT isfinite(x))) = 0
     )
     GROUP BY 1, 2
     """,

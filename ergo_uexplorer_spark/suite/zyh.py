@@ -40,7 +40,8 @@ from ..operators.textops import SQL_HASH
     cc AS (
       SELECT *,
              sum(c) OVER (PARTITION BY g_src, g_lang, source, lang
-                          ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cum,
+                          ORDER BY v ASC NULLS FIRST
+                          ROWS UNBOUNDED PRECEDING) AS cum,
              sum(c) OVER (PARTITION BY g_src, g_lang, source, lang) AS n
       FROM g
     )

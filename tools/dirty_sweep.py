@@ -36,8 +36,24 @@ def main() -> int:
     if not os.path.exists(os.path.join(out, "embeddings.parquet")):
         make_dirty_sf_dir(spark, "/root/testdata/sf0.001", out)
 
+    def _is_cast_refusal(ex: Exception) -> bool:
+        # ANSI-conformant refusal of a non-finite → integer cast: DuckDB
+        # ConversionException / Spark CAST_OVERFLOW-family errors
+        txt = f"{type(ex).__name__} {ex}"
+        return any(
+            m in txt
+            for m in (
+                "ConversionException",
+                "CAST_OVERFLOW",
+                "CAST_INVALID_INPUT",
+                "ArithmeticException",
+                "InvalidInputException",
+            )
+        )
+
     names = sys.argv[1:] or sorted(REGISTRY)
     bad = 0
+    agreed_refusals = 0
     for name in names:
         q = REGISTRY[name]
         try:
@@ -52,13 +68,51 @@ def main() -> int:
             bad += 1
             print(f"{name}: MISMATCH {str(ex)[:300]}", flush=True)
         except Exception as ex:
+            if _is_cast_refusal(ex):
+                # one engine refused the cast — AGREED_REFUSAL only if
+                # the OTHER engine refuses the same input too (both
+                # engines failing loudly and identically on garbage
+                # money is the accepted ANSI contract; ONE-sided
+                # refusal would be a silent-divergence bug)
+                try:
+                    q.fn(spark, out).collect()
+                    spark_crash = None
+                except Exception as ex2:
+                    spark_crash = ex2
+                try:
+                    import duckdb
+
+                    from oracle import duck_connection
+
+                    con = duck_connection(out)
+                    con.execute(q.sql).fetchall()
+                    duck_crash = None
+                except Exception as ex2:
+                    duck_crash = ex2
+                if (
+                    spark_crash is not None
+                    and duck_crash is not None
+                    and _is_cast_refusal(spark_crash)
+                    and _is_cast_refusal(duck_crash)
+                ):
+                    agreed_refusals += 1
+                    print(
+                        f"{name}: AGREED_REFUSAL (both engines reject "
+                        f"the non-finite cast)",
+                        flush=True,
+                    )
+                    continue
             bad += 1
             print(
                 f"{name}: CRASH {type(ex).__name__} "
                 f"{str(ex)[:200]} | {traceback.format_exc(limit=2)[-200:]}",
                 flush=True,
             )
-    print(f"{len(names) - bad}/{len(names)} dirty-pass", flush=True)
+    print(
+        f"{len(names) - bad}/{len(names)} dirty-pass "
+        f"({agreed_refusals} agreed refusals)",
+        flush=True,
+    )
     return 1 if bad else 0
 
 
