@@ -1094,6 +1094,7 @@ def common_neighbor_links(
     min_common: int = 2,
     max_right_degree: int | None = None,
     hub_guard: str = "auto",
+    guard_stats: dict | None = None,
 ) -> DataFrame:
     """Link prediction by common-neighbor counting over a bipartite
     graph → (node_a, node_b, common, deg_a, deg_b) for unordered left-
@@ -1120,9 +1121,14 @@ def common_neighbor_links(
     test pins this); on a hot-key graph the guard trips and the dropped
     hubs are logged with their wedge volume. `hub_guard="off"` is the
     exactness escape hatch; an explicit `max_right_degree` cap takes
-    precedence over both. Distinct edges first, then degrees via one
-    hash-agg, wedge equi-join on the right key, and a final (a, b)
-    hash-agg."""
+    precedence over both. Because the auto guard CHANGES results when
+    it trips, pass `guard_stats={}` to observe it in-band (r10 ADVICE —
+    a results-changing default must not be log-only): the dict is
+    filled with {"tripped", "cap", "dropped_rights", "dropped_wedges",
+    "total_wedges"} as soon as the probe runs, so callers can assert
+    tripped is False or record the dropped volume next to the results.
+    Distinct edges first, then degrees via one hash-agg, wedge
+    equi-join on the right key, and a final (a, b) hash-agg."""
     e = edges.select(
         F.col(left_col).alias("l"), F.col(right_col).alias("r")
     ).distinct()
@@ -1148,6 +1154,18 @@ def common_neighbor_links(
         if hist:
             auto_cap = _auto_hub_cap(hist, floor, ratio)
             hubs = [r for r in hist if r["rd"] > auto_cap]
+            if guard_stats is not None:
+                guard_stats.update(
+                    tripped=bool(hubs),
+                    cap=auto_cap,
+                    dropped_rights=sum(r["n_rights"] for r in hubs),
+                    dropped_wedges=sum(
+                        r["rd"] ** 2 * r["n_rights"] for r in hubs
+                    ),
+                    total_wedges=sum(
+                        r["rd"] ** 2 * r["n_rights"] for r in hist
+                    ),
+                )
             if hubs:
                 cap = auto_cap
                 import logging

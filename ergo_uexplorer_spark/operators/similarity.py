@@ -107,22 +107,31 @@ def valid_embeddings(
     (no vector ⇒ no similarity); `screen_embeddings` makes the
     dropped rows observable so a pipeline can quarantine them.
 
-    `finite=True` additionally drops vectors with null/NaN/±Inf
-    ELEMENTS — required by the INTEGER-EXACT statistics family (gram,
+    A NULL ELEMENT inside a correct-length vector is screened at this
+    BASE level (r11, after the -7 dirty row exposed it): Spark's
+    zip_with/aggregate fold propagates the null into a NULL/NaN score
+    while DuckDB's list functions SKIP null elements and produce a
+    finite score — the engines structurally disagree, so unlike NaN
+    (which both rank largest) a null element cannot be allowed to
+    flow. No-element-vector ⇒ malformed vector, same as ragged.
+
+    `finite=True` additionally drops vectors with NaN/±Inf ELEMENTS —
+    required by the INTEGER-EXACT statistics family (gram,
     quantization, k-means, norm stats), where one NaN reaches a
     round+cast and kills the job on BOTH engines (ANSI CAST_OVERFLOW /
     DuckDB ConversionException — the dirty-twin sweep's finding). The
     ANN scoring family deliberately does NOT set it: a NaN score ranks
     as largest in Spark and DuckDB alike, so the engines agree without
     dropping data."""
-    cond = F.col(vec_col).isNotNull()
+    cond = F.col(vec_col).isNotNull() & ~F.exists(
+        vec_col, lambda x: x.isNull()
+    )
     if dim is not None:
         cond = cond & (F.size(vec_col) == dim)
     if finite:
         cond = cond & ~F.exists(
             vec_col,
-            lambda x: x.isNull()
-            | F.isnan(x.cast("double"))
+            lambda x: F.isnan(x.cast("double"))
             | (F.abs(x.cast("double")) == F.lit(float("inf"))),
         )
     return emb.filter(cond)
@@ -135,12 +144,13 @@ def screen_embeddings(
     dim: int | None = None,
 ) -> DataFrame:
     """Quarantine screen → (id, n_dims, reason) for every row
-    `valid_embeddings` would drop, plus non-finite flags (NaN or null
-    ELEMENTS pass the validity filter but poison every score they
+    `valid_embeddings` would drop, plus non-finite flags (NaN/±Inf
+    ELEMENTS pass the base validity filter but poison every score they
     touch — fold and Arrow paths alike — so a pipeline wants them
-    surfaced even though they cannot crash a task). reason ∈
-    null_vector | wrong_dim | non_finite; one row per offending input
-    row, worst reason wins in that order."""
+    surfaced even though they cannot crash a task; null elements are
+    dropped by the base screen itself since r11 and surface here under
+    the same flag). reason ∈ null_vector | wrong_dim | non_finite; one
+    row per offending input row, worst reason wins in that order."""
     sz = F.size(vec_col)
     bad_elem = F.exists(
         vec_col,

@@ -113,10 +113,17 @@ def register(
 
 def emb_valid_sql(dim: int, col: str = "embedding") -> str:
     """Oracle-side mirror of `operators.similarity.valid_embeddings`:
-    the null/ragged screen every public similarity operator applies at
-    entry. A no-op on clean data; on dirty corpora the oracle must drop
-    the same rows the engine drops (the dirty-twin sweep gate)."""
-    return f"{col} IS NOT NULL AND len({col}) = {dim}"
+    the null/ragged/null-element screen every public similarity
+    operator applies at entry. A no-op on clean data; on dirty corpora
+    the oracle must drop the same rows the engine drops (the dirty-twin
+    sweep gate). Null ELEMENTS are screened here at the base level
+    because the engines structurally disagree on them: Spark's
+    zip_with fold propagates the null while DuckDB's list functions
+    skip it and produce a finite score (the -7 dirty row's finding)."""
+    return (
+        f"{col} IS NOT NULL AND len({col}) = {dim}"
+        f" AND len(list_filter({col}, x -> x IS NULL)) = 0"
+    )
 
 
 def emb_finite_sql(dim: int, col: str = "embedding") -> str:
@@ -125,7 +132,13 @@ def emb_finite_sql(dim: int, col: str = "embedding") -> str:
     operators also exclude non-finite vectors, because one NaN poisons
     an integer-exact accumulator (the ANN scoring family instead lets
     NaN flow: both engines rank NaN as largest, and they agree)."""
+    # `x IS NULL` must be tested EXPLICITLY: isnan(NULL)/isfinite(NULL)
+    # are NULL in DuckDB, so a NULL element would be excluded from the
+    # filter and the vector would PASS — while the engine screen
+    # (valid_embeddings(finite=True)) drops any vector containing a
+    # NULL element. One null element in an otherwise correct-length
+    # vector would desynchronize the two (r10 ADVICE finding).
     return (
         f"{emb_valid_sql(dim, col)} AND len(list_filter({col},"
-        f" x -> isnan(x) OR NOT isfinite(x))) = 0"
+        f" x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0"
     )

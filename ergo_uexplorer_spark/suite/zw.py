@@ -778,7 +778,13 @@ def zwc_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kills the job before the join can filter it (dirty-twin sweep
     # finding — the optimizer makes "it's filtered later" unsound)
     def _safe_long(c):
-        return F.when(~F.isnan(c), F.round(c).cast("bigint"))
+        # non-FINITE, not just non-NaN: round(Inf).cast(bigint) throws
+        # CAST_OVERFLOW under ANSI exactly like NaN does (r10 ADVICE —
+        # the original guard only covered half the failure)
+        return F.when(
+            ~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))),
+            F.round(c).cast("bigint"),
+        )
 
     li = lineitem.join(
         bparts, F.col("l_partkey") == F.col("p_partkey")
@@ -876,3 +882,230 @@ def zwh_wedge_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.l_orderkey == orders.o_orderkey,
     )
     return right_degree_histogram(edges, "o_custkey", "l_partkey")
+
+
+# --------------------------------------------------------------------------
+# zwi/zwj/zwk: QUARANTINE twins of the strict-money aggregates (r10
+# VERDICT #6). The strict entries REFUSE non-finite money two-sidedly
+# (ANSI CAST_OVERFLOW / DuckDB ConversionException — 35 agreed refusals
+# in the dirty sweep); these twins are the keep-going alternative a
+# pipeline consumer wants on a corrupted source: accepted rows
+# aggregate EXACTLY as the strict entry would, refused rows are
+# excluded and counted by reason ('nan' / 'inf') the way
+# screen_embeddings surfaces dropped vectors. Plain NULLs are ordinary
+# missing data — null-skipped by the aggregates on both engines, never
+# quarantined. functions/money.py holds the shared reason predicate and
+# its DuckDB mirror.
+# --------------------------------------------------------------------------
+from ..functions.money import accepted_cents, money_reason, money_reason_sql
+
+_ZWI_REASON = money_reason_sql("l_extendedprice", "l_discount")
+_ZWJ_REASON = money_reason_sql("l_quantity", "l_extendedprice")
+_ZWK_REASON = money_reason_sql(
+    "l_quantity", "l_extendedprice", "l_discount"
+)
+
+
+@register(
+    "zwi_local_supplier_volume_quarantine",
+    sql=f"""
+    WITH li0 AS (SELECT *, {_ZWI_REASON} AS reason FROM lineitem),
+    q AS (SELECT count(*) FILTER (WHERE reason = 'nan') AS n_nan,
+                 count(*) FILTER (WHERE reason = 'inf') AS n_inf
+          FROM li0)
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_lines, n_nan, n_inf
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN li0 ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    CROSS JOIN q
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND reason IS NULL
+    GROUP BY n_name, n_nan, n_inf
+    """,
+    survey_ref="zwb quarantine twin (r10 VERDICT #6): keep-going "
+    "6-table star join; source-screened lineitem, reasons counted",
+    tags=("join", "agg", "quarantine"),
+)
+def zwi_local_supplier_volume_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    customer, orders, lineitem, supplier, nation, region = load(
+        spark, sf_dir,
+        "customer", "orders", "lineitem", "supplier", "nation", "region",
+    )
+    li0 = lineitem.withColumn(
+        "__reason", money_reason(F.col("l_extendedprice"), F.col("l_discount"))
+    )
+    # the reasons frame is computed over the WHOLE input table (a
+    # source screen), not over post-join survivors — quarantine counts
+    # must not depend on how selective the query happens to be
+    quar = li0.agg(
+        F.count(F.when(F.col("__reason") == "nan", 1)).alias("n_nan"),
+        F.count(F.when(F.col("__reason") == "inf", 1)).alias("n_inf"),
+    )
+    accepted = li0.filter(F.col("__reason").isNull())
+    dims = (
+        F.broadcast(nation)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = F.broadcast(
+        supplier.join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cents = accepted_cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(accepted, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(customer),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .crossJoin(F.broadcast(quar))
+    )
+
+
+@register(
+    "zwj_small_quantity_revenue_quarantine",
+    sql=f"""
+    WITH li0 AS (SELECT *, {_ZWJ_REASON} AS reason FROM lineitem),
+    bparts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+    li AS (
+      SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM li0 JOIN bparts ON l_partkey = p_partkey
+      WHERE reason IS NULL
+    ),
+    avgq AS (SELECT l_partkey, count(*) AS c,
+                    CAST(sum(qty) AS BIGINT) AS s
+             FROM li GROUP BY 1)
+    SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) AS revenue_cents,
+           count(*) AS n_lines,
+           (SELECT count(*) FROM li0 WHERE reason = 'nan') AS n_nan,
+           (SELECT count(*) FROM li0 WHERE reason = 'inf') AS n_inf
+    FROM li JOIN avgq USING (l_partkey)
+    WHERE 5 * qty * c < s
+    """,
+    survey_ref="zwc quarantine twin (r10 VERDICT #6): keep-going "
+    "decorrelated per-group-average predicate",
+    tags=("join", "agg", "quarantine"),
+)
+def zwj_small_quantity_revenue_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    lineitem, part = load(spark, sf_dir, "lineitem", "part")
+    li0 = lineitem.withColumn(
+        "__reason", money_reason(F.col("l_quantity"), F.col("l_extendedprice"))
+    )
+    quar = li0.agg(
+        F.count(F.when(F.col("__reason") == "nan", 1)).alias("n_nan"),
+        F.count(F.when(F.col("__reason") == "inf", 1)).alias("n_inf"),
+    )
+    accepted = li0.filter(F.col("__reason").isNull())
+    bparts = F.broadcast(
+        part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    )
+    li = accepted.join(
+        bparts, F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "l_partkey",
+        accepted_cents(F.col("l_quantity"), scale=1).alias("qty"),
+        accepted_cents(F.col("l_extendedprice")).alias("cents"),
+    )
+    avgq = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("qty").alias("s")
+    )
+    return (
+        li.join(avgq, "l_partkey")
+        .filter(F.lit(5) * F.col("qty") * F.col("c") < F.col("s"))
+        .agg(
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .crossJoin(F.broadcast(quar))
+    )
+
+
+@register(
+    "zwk_pricing_summary_quarantine",
+    sql=f"""
+    WITH li0 AS (SELECT *, {_ZWK_REASON} AS reason FROM lineitem)
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CASE WHEN reason IS NULL
+                         THEN CAST(round(l_quantity) AS BIGINT) END)
+                AS BIGINT) AS sum_qty,
+           CAST(sum(CASE WHEN reason IS NULL
+                         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                    END) AS BIGINT) AS sum_base_cents,
+           CAST(sum(CASE WHEN reason IS NULL
+                         THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                         * 100) AS BIGINT)
+                    END) AS BIGINT) AS sum_disc_cents,
+           count(*) FILTER (WHERE reason IS NULL) AS count_order,
+           count(*) FILTER (WHERE reason = 'nan') AS n_nan,
+           count(*) FILTER (WHERE reason = 'inf') AS n_inf
+    FROM li0
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey_ref="zz_b01 quarantine twin (r10 VERDICT #6): keep-going "
+    "pricing summary with PER-GROUP reason counts (quarantined rows "
+    "keep their group keys here, so reasons localize). No date filter: "
+    "the twin screens the whole input table",
+    tags=("agg", "quarantine"),
+)
+def zwk_pricing_summary_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    reason = money_reason(
+        F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    )
+    ok = F.col("__reason").isNull()
+    return (
+        lineitem.withColumn("__reason", reason)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(
+                F.when(ok, accepted_cents(F.col("l_quantity"), scale=1))
+            ).alias("sum_qty"),
+            F.sum(
+                F.when(ok, accepted_cents(F.col("l_extendedprice")))
+            ).alias("sum_base_cents"),
+            F.sum(
+                F.when(
+                    ok,
+                    accepted_cents(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ),
+                )
+            ).alias("sum_disc_cents"),
+            F.count(F.when(ok, 1)).alias("count_order"),
+            F.count(F.when(F.col("__reason") == "nan", 1)).alias("n_nan"),
+            F.count(F.when(F.col("__reason") == "inf", 1)).alias("n_inf"),
+        )
+    )

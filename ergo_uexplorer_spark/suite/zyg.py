@@ -82,7 +82,8 @@ def zyg1_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
       WHERE embedding IS NOT NULL
         AND len(list_filter(embedding,
-                            x -> isnan(x) OR NOT isfinite(x))) = 0
+                            x -> x IS NULL OR isnan(x)
+                                 OR NOT isfinite(x))) = 0
     )
     GROUP BY 1, 2
     """,

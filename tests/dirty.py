@@ -46,6 +46,10 @@ DIRTY_ROWS: dict[str, list[tuple]] = {
         (None, None, None, None, None, None, None, None, None, None, None),
         (-1, None, -1, 1, _NAN, _NAN, None, None, "", None, None),
         (-2, -1, None, None, None, None, None, None, _UNI, _UNI, None),
+        # ±Inf money: under ANSI round(Inf).cast(bigint) throws exactly
+        # like NaN, and Catalyst pushes money projections below joins —
+        # guards that only test isnan() are half a guard (r10 ADVICE)
+        (-3, None, -1, 2, _INF, -_INF, None, None, None, None, None),
     ],
     "events": [
         (None, None, None, None, None, None),
@@ -66,6 +70,11 @@ DIRTY_ROWS: dict[str, list[tuple]] = {
         (-4, [_NAN] * 64, 4),
         (-5, [_INF] * 64, None),
         (-6, [-_INF] + [0.5] * 63, 5),
+        # correct-length vector with ONE null element: the engine's
+        # finite screen drops it, but isnan(NULL)/isfinite(NULL) are
+        # NULL in DuckDB so an oracle that doesn't test x IS NULL
+        # explicitly KEEPS it (r10 ADVICE) — this row pins the mirror
+        (-7, [0.5] * 63 + [None], 6),
     ],
 }
 

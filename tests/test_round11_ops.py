@@ -1,0 +1,127 @@
+"""Round-11 additions: the quarantine twins of the strict-money
+aggregates (zwi/zwj/zwk — r10 VERDICT #6), the hub-guard in-band
+observability (r10 ADVICE low), and the dirty-at-birth gate for every
+entry registered this round (tests/dirty.py policy)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ergo_uexplorer_spark.suite.base import REGISTRY
+
+from .dirty import make_dirty_sf_dir
+from .oracle import assert_matches_oracle
+
+# every entry registered in round 11 — the dirty-at-birth gate below
+# runs each against its oracle on the corrupted tables
+R11_NEW_ENTRIES = [
+    "zwi_local_supplier_volume_quarantine",
+    "zwj_small_quantity_revenue_quarantine",
+    "zwk_pricing_summary_quarantine",
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("dirty_sf_r11")
+    return make_dirty_sf_dir(spark, "/root/testdata/sf0.001", str(out))
+
+
+@pytest.mark.parametrize("name", R11_NEW_ENTRIES)
+def test_r11_entries_survive_dirty_inputs(spark, dirty_dir, name):
+    """Dirty-at-birth gate: the entry and its oracle must AGREE on the
+    corrupted tables — for the quarantine twins this is the entire
+    point: the strict siblings REFUSE these tables (agreed two-sided),
+    the twins must instead finish with identical accepted-row results
+    and identical reason counts on both engines."""
+    q = REGISTRY[name]
+    df = q.fn(spark, dirty_dir)
+    assert_matches_oracle(df, q.sql, dirty_dir, name)
+
+
+def test_quarantine_twin_counts_dirty_rows(spark, dirty_dir):
+    """The dirty lineitem twin carries one NaN money row and one ±Inf
+    money row (tests/dirty.py); the pricing twin must quarantine
+    exactly those — and the strict sibling must still refuse the same
+    table (the twins ADD a lane, they do not weaken the strict
+    contract)."""
+    q = REGISTRY["zwk_pricing_summary_quarantine"]
+    rows = q.fn(spark, dirty_dir).collect()
+    assert sum(r["n_nan"] for r in rows) == 1
+    assert sum(r["n_inf"] for r in rows) == 1
+    strict = REGISTRY["zz_b01_pricing_summary"]
+    with pytest.raises(Exception):
+        # the strict entry scans no date-filtered dirty rows — probe its
+        # cast contract directly on the full table instead
+        (
+            spark.read.parquet(f"{dirty_dir}/lineitem.parquet")
+            .select(
+                F.round(F.col("l_quantity")).cast("bigint").alias("q")
+            )
+            .agg(F.sum("q"))
+            .collect()
+        )
+    assert strict is not None
+
+
+def test_quarantine_twin_matches_strict_on_clean_data(spark):
+    """On CLEAN tables the twins must reproduce the strict entries'
+    numbers exactly (zero quarantined rows) — keep-going semantics may
+    never change a clean-source answer."""
+    sf = "/root/testdata/sf0.001"
+    strict = {
+        tuple(r)
+        for r in REGISTRY["zwb_local_supplier_volume"].fn(spark, sf).collect()
+    }
+    twin_rows = (
+        REGISTRY["zwi_local_supplier_volume_quarantine"].fn(spark, sf).collect()
+    )
+    assert all(r["n_nan"] == 0 and r["n_inf"] == 0 for r in twin_rows)
+    twin = {
+        (r["n_name"], r["revenue_cents"], r["n_lines"]) for r in twin_rows
+    }
+    assert twin == strict
+
+    strict_c = REGISTRY["zwc_small_quantity_revenue"].fn(spark, sf).collect()
+    twin_c = (
+        REGISTRY["zwj_small_quantity_revenue_quarantine"].fn(spark, sf).collect()
+    )
+    assert len(strict_c) == len(twin_c) == 1
+    assert (
+        twin_c[0]["revenue_cents"],
+        twin_c[0]["n_lines"],
+        twin_c[0]["n_nan"],
+        twin_c[0]["n_inf"],
+    ) == (strict_c[0]["revenue_cents"], strict_c[0]["n_lines"], 0, 0)
+
+
+def test_hub_guard_stats_surfaced_in_band(spark):
+    """r10 ADVICE: the auto hub guard changes results when it trips, so
+    callers must be able to observe it without reading logs — the
+    guard_stats out-dict reports tripped/cap/dropped volumes on both
+    the tripped and the silent path."""
+    from ergo_uexplorer_spark.operators.graph import common_neighbor_links
+
+    normal = [(left, r) for r in range(1, 21) for left in (r, r + 1, r + 2)]
+    hub = [(left, 999) for left in range(1, 201)]
+    edges = spark.createDataFrame(normal + hub, "l long, r long")
+    spark.conf.set("spark.graft.linkpred.hubFloor", "16")
+    try:
+        gs: dict = {}
+        common_neighbor_links(
+            edges, "l", "r", min_common=1, guard_stats=gs
+        ).collect()
+        assert gs["tripped"] is True
+        assert gs["cap"] == 48
+        assert gs["dropped_rights"] == 1
+        assert gs["dropped_wedges"] == 200 * 200
+        assert gs["total_wedges"] > gs["dropped_wedges"]
+
+        silent: dict = {}
+        skew_free = spark.createDataFrame(normal, "l long, r long")
+        common_neighbor_links(
+            skew_free, "l", "r", min_common=1, guard_stats=silent
+        ).collect()
+        assert silent["tripped"] is False
+        assert silent["dropped_rights"] == 0
+    finally:
+        spark.conf.unset("spark.graft.linkpred.hubFloor")

@@ -9,8 +9,11 @@ real bugs in mature operators) and of round 10's dirty-at-birth gate
 real null-semantics bug (fix it) or a defensible operator-vs-GROUP-BY
 divergence (document it in the triage table this tool's output feeds).
 
-Usage: python tools/dirty_sweep.py [name ...]
+Usage: python tools/dirty_sweep.py [--json OUT.json] [name ...]
 Prints one line per entry; exits 1 if any entry crashed or mismatched.
+`--json` writes the committed per-round DIRTY_rN.json artifact (r10
+VERDICT #3: the sweep found 78 findings on first run — it is a standing
+per-round gate, not a one-off, and each round's run leaves a record).
 """
 
 from __future__ import annotations
@@ -51,21 +54,31 @@ def main() -> int:
             )
         )
 
-    names = sys.argv[1:] or sorted(REGISTRY)
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    names = args or sorted(REGISTRY)
     bad = 0
     agreed_refusals = 0
+    results: dict[str, str] = {}
     for name in names:
         q = REGISTRY[name]
         try:
             df = q.fn(spark, out)
             if q.sql is None:
                 df.collect()
+                results[name] = "OK (rows-only)"
                 print(f"{name}: OK (rows-only, no oracle)", flush=True)
                 continue
             assert_matches_oracle(df, q.sql, out, name)
+            results[name] = "OK"
             print(f"{name}: OK", flush=True)
         except AssertionError as ex:
             bad += 1
+            results[name] = f"MISMATCH {str(ex)[:200]}"
             print(f"{name}: MISMATCH {str(ex)[:300]}", flush=True)
         except Exception as ex:
             if _is_cast_refusal(ex):
@@ -96,6 +109,7 @@ def main() -> int:
                     and _is_cast_refusal(duck_crash)
                 ):
                     agreed_refusals += 1
+                    results[name] = "AGREED_REFUSAL"
                     print(
                         f"{name}: AGREED_REFUSAL (both engines reject "
                         f"the non-finite cast)",
@@ -103,6 +117,7 @@ def main() -> int:
                     )
                     continue
             bad += 1
+            results[name] = f"CRASH {type(ex).__name__} {str(ex)[:200]}"
             print(
                 f"{name}: CRASH {type(ex).__name__} "
                 f"{str(ex)[:200]} | {traceback.format_exc(limit=2)[-200:]}",
@@ -113,6 +128,27 @@ def main() -> int:
         f"({agreed_refusals} agreed refusals)",
         flush=True,
     )
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "tool": "dirty_sweep",
+                    "total": len(names),
+                    "dirty_pass": len(names) - bad,
+                    "agreed_refusals": agreed_refusals,
+                    "failed": [
+                        n
+                        for n, s in results.items()
+                        if s.startswith(("MISMATCH", "CRASH"))
+                    ],
+                    "results": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
     return 1 if bad else 0
 
 

@@ -8,7 +8,12 @@ where DuckDB returns HUGEINT (-> pandas float64/object) while Spark
 returns int64. This tool reproduces the driver's view: exact repr of
 every cell after pandas conversion, no type normalization.
 
-Usage: python tools/strict_parity.py [sf_dir] [name ...]
+Usage: python tools/strict_parity.py [--json OUT.json] [sf_dir] [name ...]
+
+`--json` writes a machine-readable artifact (per-entry status + counts)
+— the committed per-round PARITY_rN.json record (r10 VERDICT #3: the
+driver's frozen 50-entry correctness window never re-covers the tail,
+so the full-registry sweep must leave a committed artifact each round).
 """
 
 from __future__ import annotations
@@ -54,6 +59,11 @@ def main() -> int:
     from tests.oracle import duck_connection
 
     args = [a for a in sys.argv[1:]]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     if args and os.path.isdir(args[0]):
         sf_dir, names = args[0], args[1:]
     else:
@@ -75,9 +85,11 @@ def main() -> int:
     )
     con = duck_connection(sf_dir)
     failed = []
+    results: dict[str, str] = {}
     for name in names:
         qd = REGISTRY[name]
         if qd.sql is None:
+            results[name] = "SKIP"
             print(f"{name}: SKIP (rows-only)")
             continue
         try:
@@ -96,15 +108,34 @@ def main() -> int:
                     (i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y
                 )
                 raise AssertionError(f"first diff at row {bad[0]}:\n  spark={bad[1]}\n  oracle={bad[2]}")
+            results[name] = f"OK ({len(a)} rows)"
             print(f"{name}: OK ({len(a)} rows)")
         except Exception as exc:  # noqa: BLE001 - report-all harness
             failed.append(name)
+            results[name] = f"FAIL {str(exc)[:200]}"
             print(f"{name}: FAIL {exc}")
     con.close()
     spark.stop()
     print(f"\n{len(names) - len(failed)}/{len(names)} strict-pass")
     if failed:
         print("failed:", " ".join(failed))
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "tool": "strict_parity",
+                    "sf_dir": sf_dir,
+                    "total": len(names),
+                    "strict_pass": len(names) - len(failed),
+                    "failed": failed,
+                    "results": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
     return 1 if failed else 0
 
 
