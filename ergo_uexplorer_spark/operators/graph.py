@@ -423,6 +423,87 @@ def two_hop_neighbors(edges: DataFrame, address_hash: str) -> DataFrame:
     )
 
 
+def _pagerank_local_arrow(
+    e: DataFrame,
+    iters: int,
+    base: int,
+    damp_num: int,
+    damp_den: int,
+    init: int,
+    dangling: bool,
+    early_stop: bool,
+) -> DataFrame:
+    """The small-graph execution of `pagerank_int`: the WHOLE iteration
+    loop in ONE Arrow task via mapInPandas over the single-partition
+    distinct edge table. Gated by the same materialized-size check as
+    the broadcast budget — a graph that fits a broadcast fits one task
+    — so the driver schedules ONE job instead of one scheduled action
+    per checkpoint span (each ~0.4 s of fixed latency on local mode,
+    SCALE.md iterative-graph section: at sf0.1 the per-round window +
+    Δ-probe machinery was 2 s of pure scheduling on a 1,100-node
+    graph). At scale the gate never trips and the distributed loop
+    below runs unchanged.
+
+    Bit-exact twin of the distributed loop (property-pinned), including
+    its null-key semantics: a NULL src/dst is a real node in the fused
+    node dimension (groupBy keeps the null group) whose edges never
+    match the per-round equi-join — null-src edges emit nothing,
+    null-dst receipts are lost, the null node itself earns
+    base + share each round. Integer ops are int64 with python-//
+    semantics (≡ SQL `div` on the non-negative ranks). Early stop is
+    checked every round — stopping at the exact fixpoint returns the
+    same vector as any check cadence, which is what keeps the
+    fixed-round oracle valid."""
+    import numpy as np
+    import pandas as pd
+
+    out_fields = e.schema["src"].dataType.simpleString()
+    schema = f"id {out_fields}, rank long"
+
+    def run(batches):
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        both = pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
+        codes, uniques = pd.factorize(both, use_na_sentinel=True)
+        n_real = len(uniques)
+        has_null = bool((codes < 0).any())
+        null_idx = n_real
+        codes = np.where(codes < 0, null_idx, codes)
+        m = len(pdf)
+        s_idx, d_idx = codes[:m], codes[m:]
+        n = n_real + (1 if has_null else 0)
+        outdeg = np.bincount(s_idx, minlength=n).astype(np.int64)
+        # contributions flow only through edges the distributed
+        # equi-joins would match: non-null src AND non-null dst
+        flows = np.ones(m, dtype=bool)
+        if has_null:
+            flows = (s_idx != null_idx) & (d_idx != null_idx)
+        fs, fd = s_idx[flows], d_idx[flows]
+        rank = np.full(n, int(init), dtype=np.int64)
+        dang = outdeg == 0
+        for _ in range(iters):
+            contrib = damp_num * rank[fs] // damp_den // outdeg[fs]
+            acc = np.zeros(n, dtype=np.int64)
+            np.add.at(acc, fd, contrib)
+            share = 0
+            if dangling:
+                d_mass = int(rank[dang].sum())
+                share = damp_num * d_mass // damp_den // n
+            new_rank = base + share + acc
+            if early_stop and int(np.abs(new_rank - rank).sum()) == 0:
+                rank = new_rank
+                break
+            rank = new_rank
+        ids = list(uniques) + ([None] if has_null else [])
+        yield pd.DataFrame({"id": ids, "rank": rank})
+
+    return e.coalesce(1).mapInPandas(run, schema)
+
+
 def pagerank_int(
     edges: DataFrame,
     iters: int = 6,
@@ -466,6 +547,16 @@ def pagerank_int(
     executor on a forced broadcast (pre-partition edges by src then so
     every round reuses one shuffle layout). Pass True/False to force.
 
+    Small-graph tier (r11): when the MATERIALIZED edge table fits the
+    broadcast budget (same auto-gate), the whole loop runs in ONE
+    Arrow task (`_pagerank_local_arrow`) — a graph that fits a
+    broadcast fits one task, and per-round scheduled actions (~0.4 s
+    fixed latency each on local mode) dominate a tiny graph's cost.
+    Bit-exact twin of the distributed loop, property-pinned, null-key
+    semantics included. Passing `stats` (or forcing
+    `broadcast_tables`) keeps the distributed loop, which tests use
+    to pin local == distributed.
+
     `dangling=True` redistributes dangling mass instead of dropping it
     (the at-scale-correct form: on real graphs a large rank fraction
     sits on sink nodes): each round the summed rank of out-degree-0
@@ -494,6 +585,46 @@ def pagerank_int(
     next check sees Δ=0, so the returned vector is unchanged.
     """
     e = edges.select("src", "dst").distinct().persist()
+    # materialize the edge dim up front: every mode decision below reads
+    # REAL sizes, and the local-Arrow gate must fire before the node-dim
+    # build schedules its checkpoint job
+    e.count()
+    if broadcast_tables is None and stats is None and not e.isStreaming:
+        est = _plan_size_estimate(e)
+        thr0 = _broadcast_threshold_bytes(edges.sparkSession)
+        if est is not None and 0 < est <= thr0:
+            from pyspark.sql.types import (
+                ByteType,
+                IntegerType,
+                LongType,
+                ShortType,
+                StringType,
+            )
+
+            src_t = e.schema["src"].dataType
+            args = (iters, base, damp_num, damp_den, init, dangling,
+                    early_stop)
+            out = None
+            if isinstance(src_t, StringType):
+                out = _pagerank_local_arrow(e, *args)
+            elif isinstance(
+                src_t, (ByteType, ShortType, IntegerType, LongType)
+            ):
+                # Arrow→pandas turns a nullable integral column into
+                # float64 (lossy past 2^53); string ids round-trip
+                # integrals exactly, so cast in and back out
+                e_str = e.select(
+                    F.col("src").cast("string").alias("src"),
+                    F.col("dst").cast("string").alias("dst"),
+                )
+                out = _pagerank_local_arrow(e_str, *args).select(
+                    F.col("id").cast(src_t).alias("id"), "rank"
+                )
+            if out is not None:
+                out = out.localCheckpoint(eager=True)
+                e.unpersist(blocking=False)
+                return out
+            # exotic id types (float/binary/struct): distributed loop
 
     def maybe_b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_tables else df

@@ -155,7 +155,12 @@ def test_pagerank_round_broadcasts_rank_table(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
     )
-    df = pagerank_int(edges, iters=1, checkpoint_every=0)
+    # broadcast_tables=True pins the DISTRIBUTED loop's forced-broadcast
+    # round (a tiny default-gated graph takes the single-Arrow-task
+    # tier since r11 and has no per-round join at all)
+    df = pagerank_int(
+        edges, iters=1, checkpoint_every=0, broadcast_tables=True
+    )
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
@@ -175,7 +180,11 @@ def test_pagerank_auto_gate_demotes_oversized_rank_table(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
     )
-    under = formatted_plan(pagerank_int(edges, iters=1, checkpoint_every=0))
+    # stats={} opts out of the single-Arrow-task tier so the
+    # distributed auto-gate logic itself is what gets inspected
+    under = formatted_plan(
+        pagerank_int(edges, iters=1, checkpoint_every=0, stats={})
+    )
     assert "BroadcastHashJoin" in under
 
     key = "spark.sql.autoBroadcastJoinThreshold"
@@ -183,7 +192,7 @@ def test_pagerank_auto_gate_demotes_oversized_rank_table(spark):
     spark.conf.set(key, "-1")
     try:
         over = formatted_plan(
-            pagerank_int(edges, iters=1, checkpoint_every=0)
+            pagerank_int(edges, iters=1, checkpoint_every=0, stats={})
         )
     finally:
         spark.conf.set(key, prev)

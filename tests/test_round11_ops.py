@@ -125,3 +125,70 @@ def test_hub_guard_stats_surfaced_in_band(spark):
         assert silent["dropped_rights"] == 0
     finally:
         spark.conf.unset("spark.graft.linkpred.hubFloor")
+
+
+def test_pagerank_local_arrow_equals_distributed(spark):
+    """The single-Arrow-task tier must be a bit-exact twin of the
+    distributed loop — same integer truncation, same dangling share,
+    same null-key semantics (a NULL src/dst is a node whose edges
+    never match the per-round equi-join). stats={} forces the
+    distributed loop; the default gate takes the local tier on these
+    tiny graphs."""
+    import random
+
+    from ergo_uexplorer_spark.operators.graph import pagerank_int
+
+    rng = random.Random(42)
+    graphs = [
+        # string ids with a null src and a null dst edge
+        (
+            [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+             (None, "a"), ("b", None)],
+            "src string, dst string",
+        ),
+        # long ids (exercise the string-cast round-trip)
+        (
+            [(1, 2), (2, 3), (3, 1), (3, 4), (4, 4)],
+            "src long, dst long",
+        ),
+        # random digraph with dangling sinks
+        (
+            [
+                (rng.randrange(30), rng.randrange(40))
+                for _ in range(200)
+            ],
+            "src long, dst long",
+        ),
+    ]
+    for rows, schema in graphs:
+        edges = spark.createDataFrame(rows, schema)
+        for kw in (
+            dict(iters=4),
+            dict(iters=5, dangling=True),
+            dict(iters=6, dangling=True, early_stop=True,
+                 convergence_check_every=2),
+        ):
+            local = {
+                (x["id"],): x["rank"]
+                for x in pagerank_int(edges, **kw).collect()
+            }
+            dist = {
+                (x["id"],): x["rank"]
+                for x in pagerank_int(edges, **kw, stats={}).collect()
+            }
+            assert local == dist, (schema, kw)
+
+
+def test_pagerank_local_arrow_is_single_job_plan(spark):
+    """On a default-gated small graph the returned plan must be the
+    materialized single task (a checkpointed RDD scan) — no per-round
+    joins, windows, or exchanges survive into the consumer's plan."""
+    from ergo_uexplorer_spark.operators.graph import pagerank_int
+    from ergo_uexplorer_spark.plans.explain import formatted_plan
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    plan = formatted_plan(pagerank_int(edges, iters=4, dangling=True))
+    for op in ("Join", "Window", "Exchange"):
+        assert op not in plan, plan
