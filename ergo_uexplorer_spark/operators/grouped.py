@@ -26,11 +26,28 @@ TREND_SCHEMA = StructType(
 
 
 def per_group_linear_trend(
-    df: DataFrame, key_col: str, x_col: str, y_col: str
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    vectorized: bool = True,
 ) -> DataFrame:
-    """OLS y ~ x per group (closed form), one pandas batch per group.
+    """OLS y ~ x per group (closed form).
     Returns (group_key, n_points, slope, intercept); slope is null for
     degenerate groups (n < 2 valid points or zero x-variance).
+
+    `vectorized=True` (default, r11): repartition by key + ONE
+    mapInPandas call per partition, with the whole fit — group means,
+    centered products, the final division — in Cython groupby kernels.
+    The r10 form (`vectorized=False`) shipped each group through its
+    own applyInPandas call, and the per-group Arrow round-trip
+    (~2.7 ms) dominated: 1,500 groups cost ~4 s at sf0.1 regardless of
+    row count (the drift the r10 VERDICT flagged; re-measured quiet at
+    5.7 s). The math per group is the same two-pass centered form; a
+    property test pins vectorized == per-group on random data. Memory
+    contract: one shuffle partition's rows concat into one pandas
+    frame (same order as any pandas stage — size shuffle partitions
+    accordingly), vs per-group frames before.
 
     Total over dirty data: rows with a null x or y are excluded from
     the fit (and from n_points) BEFORE the group ships to pandas — a
@@ -59,6 +76,50 @@ def per_group_linear_trend(
             }
         )
 
+    def _fit_partition(batches):
+        parts = [p for p in batches]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        x = pdf[x_col].astype("float64")
+        y = pdf[y_col].astype("float64")
+        g = pdf.groupby(key_col, sort=False)
+        cx = x - g[x_col].transform("mean")
+        cy = y - g[y_col].transform("mean")
+        agg = (
+            pd.DataFrame(
+                {
+                    key_col: pdf[key_col],
+                    "ym": y,
+                    "xm": x,
+                    "sxy": cx * cy,
+                    "sxx": cx * cx,
+                }
+            )
+            .groupby(key_col, sort=False)
+            .agg(
+                n=(key_col, "size"),
+                ym=("ym", "mean"),
+                xm=("xm", "mean"),
+                sxy=("sxy", "sum"),
+                sxx=("sxx", "sum"),
+            )
+            .reset_index()
+        )
+        ok = (agg["n"] >= 2) & (agg["sxx"] != 0.0)
+        slope = (agg["sxy"] / agg["sxx"]).where(ok)
+        intercept = (agg["ym"] - slope * agg["xm"]).where(ok)
+        yield pd.DataFrame(
+            {
+                "group_key": agg[key_col].astype("int64"),
+                "n_points": agg["n"].astype("int64"),
+                "slope": slope,
+                "intercept": intercept,
+            }
+        )
+
     from pyspark.sql import functions as F
 
     clean = df.select(key_col, x_col, y_col).filter(
@@ -66,7 +127,11 @@ def per_group_linear_trend(
         & F.col(x_col).isNotNull()
         & F.col(y_col).isNotNull()
     )
-    return clean.groupBy(key_col).applyInPandas(_fit, TREND_SCHEMA)
+    if not vectorized:
+        return clean.groupBy(key_col).applyInPandas(_fit, TREND_SCHEMA)
+    return clean.repartition(key_col).mapInPandas(
+        _fit_partition, TREND_SCHEMA
+    )
 
 
 # Ship this module by VALUE to Spark python workers (see

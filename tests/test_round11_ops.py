@@ -192,3 +192,50 @@ def test_pagerank_local_arrow_is_single_job_plan(spark):
     plan = formatted_plan(pagerank_int(edges, iters=4, dangling=True))
     for op in ("Join", "Window", "Exchange"):
         assert op not in plan, plan
+
+
+def test_linear_trend_vectorized_equals_per_group(spark):
+    """The r11 vectorized (one-call-per-partition) trend fit must agree
+    with the per-group applyInPandas form: n_points exactly, moments to
+    float tolerance (the two forms sum in different orders — pairwise
+    numpy vs Cython groupby — which is inside the 1e-9 the suite's
+    round(slope, 4) oracle already absorbs across engines)."""
+    import math
+    import random
+
+    from ergo_uexplorer_spark.operators.grouped import per_group_linear_trend
+
+    rng = random.Random(7)
+    rows = [
+        (
+            rng.randrange(40) if rng.random() > 0.02 else None,
+            rng.uniform(-50, 50) if rng.random() > 0.02 else None,
+            rng.uniform(-5, 5) if rng.random() > 0.02 else None,
+        )
+        for _ in range(5000)
+    ]
+    # a degenerate group: single point, and a zero-variance group
+    rows += [(900, 1.0, 2.0), (901, 3.0, 1.0), (901, 3.0, 2.0)]
+    df = spark.createDataFrame(rows, "k long, x double, y double")
+    vec = {
+        r["group_key"]: r
+        for r in per_group_linear_trend(df, "k", "x", "y").collect()
+    }
+    ref = {
+        r["group_key"]: r
+        for r in per_group_linear_trend(
+            df, "k", "x", "y", vectorized=False
+        ).collect()
+    }
+    assert set(vec) == set(ref)
+    for k, rv in vec.items():
+        rr = ref[k]
+        assert rv["n_points"] == rr["n_points"], k
+        for c in ("slope", "intercept"):
+            a, b = rv[c], rr[c]
+            assert (a is None) == (b is None), (k, c, a, b)
+            if a is not None:
+                assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12), (
+                    k, c, a, b,
+                )
+    assert vec[900]["slope"] is None and vec[901]["slope"] is None
