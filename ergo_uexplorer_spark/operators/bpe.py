@@ -75,85 +75,6 @@ _TRIPLE_STRUCTS = (
     " element_at(__t, i + 2) AS w))"
 )
 
-# pair occurrence WITH its right context: (l, r, nxt) where nxt is the
-# symbol after the pair (null at word end). Summing out nxt gives the
-# pair gains; the rows themselves ARE the trigram counts the batch
-# bound needs — so one explode+hash-agg per round serves both, instead
-# of the separate trigram job the r10 implementation scheduled (which
-# made a batched round cost ~2 scans and capped the measured win at 8%)
-_PAIR_CTX_STRUCTS = (
-    "transform(sequence(1, size(__t) - 1),"
-    " i -> struct(element_at(__t, i) AS l, element_at(__t, i + 1) AS r,"
-    " if(i + 2 <= size(__t), element_at(__t, i + 2), null) AS nxt))"
-)
-
-
-def _pair_ctx_gains(state: DataFrame) -> DataFrame:
-    """(l, r, nxt, gain): frequency-weighted count of pair (l, r)
-    occurrences followed by symbol `nxt` (null at word end). The
-    trigram (u, v, w) count is exactly the (u, v, w) row, and
-    sum(gain) GROUP BY (l, r) is exactly `_pair_gains` — one scan of
-    the word table serves the candidate ranking and the created-pair
-    bounds alike. Output is vocab-scale (distinct trigrams), safe to
-    persist per round."""
-    toks = F.split(
-        F.expr("substring(s, 2, length(s) - 2)"), r"\}\{"
-    )
-    pairs = F.when(F.size("__t") >= 2, F.expr(_PAIR_CTX_STRUCTS)).otherwise(
-        F.array().cast("array<struct<l:string,r:string,nxt:string>>")
-    )
-    return (
-        state.withColumn("__t", toks)
-        .select(F.explode(pairs).alias("p"), "cnt")
-        .groupBy(
-            F.col("p.l").alias("l"),
-            F.col("p.r").alias("r"),
-            F.col("p.nxt").alias("nxt"),
-        )
-        .agg(F.sum("cnt").alias("gain"))
-    )
-
-
-def _bounds_from_ctx(tri: DataFrame, keys: set) -> dict:
-    """Created-pair bounds for the candidate `keys` from the persisted
-    (l, r, nxt, gain) context table — the same values
-    `_created_pair_bounds` computes from its separate trigram job: for
-    candidate (cl, cr), max over trigrams (x, cl, cr) — rows with
-    (r, nxt) == (cl, cr) — and (cl, cr, y) — rows with (l, r) ==
-    (cl, cr) and a non-null nxt. Both sides aggregate to ≤ |keys| rows
-    BEFORE collecting (max per candidate Spark-side), so driver traffic
-    is O(batch), not O(distinct right-contexts)."""
-    lits = F.array(
-        *[F.struct(F.lit(l).alias("a"), F.lit(r).alias("b")) for l, r in keys]
-    )
-    nn = tri.filter(F.col("nxt").isNotNull())
-    ends_at = (
-        nn.filter(
-            F.array_contains(
-                lits,
-                F.struct(F.col("r").alias("a"), F.col("nxt").alias("b")),
-            )
-        )
-        .groupBy(F.col("r").alias("a"), F.col("nxt").alias("b"))
-        .agg(F.max("gain").alias("m"))
-        .collect()
-    )
-    starts_at = (
-        nn.filter(
-            F.array_contains(
-                lits, F.struct(F.col("l").alias("a"), F.col("r").alias("b"))
-            )
-        )
-        .groupBy(F.col("l").alias("a"), F.col("r").alias("b"))
-        .agg(F.max("gain").alias("m"))
-        .collect()
-    )
-    bounds: dict = {k: 0 for k in keys}
-    for row in list(ends_at) + list(starts_at):
-        k = (row["a"], row["b"])
-        bounds[k] = max(bounds[k], int(row["m"]))
-    return bounds
-
 
 def _created_pair_bounds(state: DataFrame, cands: list) -> dict:
     """Per candidate pair (l, r): an upper bound on the gain of ANY pair
@@ -163,13 +84,9 @@ def _created_pair_bounds(state: DataFrame, cands: list) -> dict:
     once per (r, l, r)), and earlier batch merges only DESTROY
     adjacencies, so the pre-batch trigram count is a valid bound. One
     explode + hash-agg over the word table, filtered to the candidate
-    pairs.
-
-    Since r11 the training loop derives the SAME values from the
-    persisted `_pair_ctx_gains` table instead (`_bounds_from_ctx` —
-    no second word-table scan); this standalone job is kept as the
-    independently-derived reference twin the equivalence test pins
-    the fused path against."""
+    pairs — candidate-adjacent cardinality only, which is why this
+    beats fusing the bounds into the candidate agg (measured r11, see
+    SCALE.md's BPE section)."""
     keys = {(c.l, c.r) for c in cands}
     toks = F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\}\{")
     trips = F.when(F.size("__t") >= 3, F.expr(_TRIPLE_STRUCTS)).otherwise(
@@ -249,18 +166,17 @@ def train_bpe_merges(
     round — n_merges sequential Spark jobs, fine for a small merge
     table but 32k sequential rounds for a production vocabulary.
     `batch=B` selects up to B merges per round and stays EXACTLY equal
-    to the sequential result (property-pinned): the round aggregates
-    pair occurrences WITH their right context (`_pair_ctx_gains`) —
-    ONE word-table scan that yields both the top-B candidate ranking
-    and the exact trigram-derived bound on every candidate's
-    created-pair gains (r10 scheduled a second corpus-dim trigram job
-    for the bounds, which made a batched round cost ~2 scans) — and
-    `_select_batch` takes the provably-safe prefix: pairwise
-    symbol-disjoint, each gain strictly above all earlier
-    created-pair bounds. Real vocabularies mix many disjoint frequent
-    pairs, so rounds shrink from O(vocab) to O(vocab /
-    effective-batch) at sequential-round scan cost (measured in
-    SCALE.md's BPE section)."""
+    to the sequential result (property-pinned): the round collects the
+    top-B gains plus a trigram-derived bound on every candidate's
+    created-pair gains (one extra hash-agg, scheduled only on rounds
+    whose disjoint-only prefix could batch at all), and `_select_batch`
+    takes the provably-safe prefix — pairwise symbol-disjoint, each
+    gain strictly above all earlier created-pair bounds. Real
+    vocabularies mix many disjoint frequent pairs, so rounds shrink
+    from O(vocab) to O(vocab / effective-batch) at one extra scan per
+    batched round (measured in SCALE.md's BPE section; widths past ~16
+    buy nothing — the prefix stops at the first violation, so extra
+    collected candidates are pure overhead)."""
     state = _initial_state(word_frequencies(docs, text_col)).localCheckpoint(
         eager=True
     )
@@ -268,37 +184,28 @@ def train_bpe_merges(
     rounds = 0
     while len(merges) < n_merges:
         width = min(batch, n_merges - len(merges))
-        if width > 1:
-            tri = _pair_ctx_gains(state).persist()
-            cands = (
-                tri.groupBy("l", "r")
-                .agg(F.sum("gain").alias("gain"))
-                .orderBy(F.desc("gain"), F.asc("l"), F.asc("r"))
-                .limit(width)
-                .collect()
-            )
-            if not cands:
-                tri.unpersist(blocking=False)
-                break
-            if len(_select_batch(cands, {}, width)) > 1:
-                # bounds are two ≤B-row aggs over the PERSISTED context
-                # table — no second word-table scan; skip them entirely
-                # when the disjoint-only prefix (bounds ignored) cannot
-                # batch anyway (character-level early rounds)
-                bounds = _bounds_from_ctx(tri, {(c.l, c.r) for c in cands})
-                taken = _select_batch(cands, bounds, width)
-            else:
-                taken = cands[:1]
-            tri.unpersist(blocking=False)
+        cands = (
+            _pair_gains(state)
+            .orderBy(F.desc("gain"), F.asc("l"), F.asc("r"))
+            .limit(width)
+            .collect()
+        )
+        if not cands:
+            break
+        if width > 1 and len(_select_batch(cands, {}, width)) > 1:
+            # the trigram-bound job is only worth scheduling when the
+            # disjoint-only prefix (bounds ignored) could batch at all —
+            # character-level early rounds mostly share symbols, and a
+            # width-1 round must cost exactly what sequential costs.
+            # (An r11 experiment FUSED the bounds into the candidate agg
+            # by keying it (l, r, next) — one scan serving both — and
+            # measured 2.2× SLOWER: the fused agg has trigram
+            # cardinality and runs every round, while this filtered
+            # trigram job has candidate-adjacent cardinality and runs
+            # only on batchable rounds. See SCALE.md's BPE section.)
+            bounds = _created_pair_bounds(state, cands)
+            taken = _select_batch(cands, bounds, width)
         else:
-            cands = (
-                _pair_gains(state)
-                .orderBy(F.desc("gain"), F.asc("l"), F.asc("r"))
-                .limit(width)
-                .collect()
-            )
-            if not cands:
-                break
             taken = cands[:1]
         col = F.col("s")
         for b in taken:

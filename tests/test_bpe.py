@@ -201,64 +201,3 @@ def test_bpe_batch_takes_disjoint_prefix(spark):
     ]
     assert bat == seq
 
-
-def test_bounds_from_ctx_equals_reference_trigram_job(spark):
-    """The fused per-round bounds (aggs over the persisted pair-context
-    table) must equal the standalone trigram job's values exactly —
-    they feed the batch-safety proof, so a looser bound would break
-    sequential equivalence and a tighter one would be unsound."""
-    import pyspark.sql.functions as F
-
-    from ergo_uexplorer_spark.operators.bpe import (
-        _bounds_from_ctx,
-        _created_pair_bounds,
-        _initial_state,
-        _pair_ctx_gains,
-        _pair_gains,
-        word_frequencies,
-    )
-
-    texts = [
-        "abc " * 9 + "abab " * 7 + "cd " * 7 + "aaa " * 5 + "xyzzy " * 3,
-        "banana bandana cabana " * 4,
-    ]
-    df = spark.createDataFrame([(t,) for t in texts], "text string")
-    state = _initial_state(word_frequencies(df))
-    cands = (
-        _pair_gains(state)
-        .orderBy(F.desc("gain"), F.asc("l"), F.asc("r"))
-        .limit(8)
-        .collect()
-    )
-    ref = _created_pair_bounds(state, cands)
-    tri = _pair_ctx_gains(state)
-    got = _bounds_from_ctx(tri, {(c.l, c.r) for c in cands})
-    assert got == ref
-
-
-def test_pair_ctx_gains_marginalizes_to_pair_gains(spark):
-    """sum(gain) GROUP BY (l, r) over the context table must equal
-    `_pair_gains` — the candidate ranking the batched loop now reads
-    from the fused table has to be the exact sequential ranking."""
-    from ergo_uexplorer_spark.operators.bpe import (
-        _initial_state,
-        _pair_ctx_gains,
-        _pair_gains,
-        word_frequencies,
-    )
-    import pyspark.sql.functions as F
-
-    texts = ["abc abab aaa xyzzy banana bandana " * 3]
-    df = spark.createDataFrame([(t,) for t in texts], "text string")
-    state = _initial_state(word_frequencies(df))
-    ref = {
-        (r.l, r.r): r.gain for r in _pair_gains(state).collect()
-    }
-    got = {
-        (r.l, r.r): r.gain
-        for r in _pair_ctx_gains(state)
-        .groupBy("l", "r")
-        .agg(F.sum("gain").alias("gain"))
-        .collect()
-    }
-    assert got == ref
