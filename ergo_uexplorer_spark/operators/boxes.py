@@ -160,10 +160,24 @@ def boxes_with_assets(
     liveness: Liveness = "any",
     key_kind: KeyKind | None = None,
     keys: Iterable[str] | None = None,
+    probe_ids: bool = False,
+    probe_cap: int = 100_000,
 ) -> DataFrame:
     """Q18 response assembly (BoxWithAssets, LightBlockModel.scala:31-87):
     box ⟕ assets grouped into a sorted struct array + block meta via a
-    broadcast of the blocks dimension."""
+    broadcast of the blocks dimension.
+
+    `probe_ids=True` is the interactive-serving strategy — the Spark
+    mirror of the reference's `asset2box_boxId` B-tree probe
+    (h2-schema.sql:79-80): the selected boxes' ids (a handful for a
+    point/address query) are collected and pushed into the assets scan
+    as an IN filter, which bucket-prunes to 1/N of the files when the
+    assets table is bucketed by box_id (`storage.write_bucketed`) —
+    instead of streaming the whole multi-million-row assets table
+    through the join's build side. Exact same result: assets rows
+    outside the id list could never match the left join. Falls back to
+    the plain join past `probe_cap` selected ids (an analytical query
+    shouldn't driver-collect its key set)."""
     sel = select_boxes(
         tables,
         liveness,
@@ -179,6 +193,15 @@ def boxes_with_assets(
             "address",
         ],
     )
+    if probe_ids:
+        ids = [
+            r["box_id"] for r in sel.select("box_id").limit(probe_cap + 1).collect()
+        ]
+        if len(ids) <= probe_cap:
+            tables = dict(tables)
+            tables["assets"] = tables["assets"].filter(
+                F.col("box_id").isin(ids)
+            )
     assets = tables["assets"].select(
         "box_id",
         F.struct(

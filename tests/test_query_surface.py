@@ -267,3 +267,32 @@ def test_resample_gap_fill_preserves_observed_nulls(spark):
     assert rows[("a", 2)] == (None, True)   # observed NULL survives
     assert rows[("a", 3)] == (None, False)  # gap carries the NULL row
     assert rows[("a", 4)] == (9, True)
+
+
+def test_boxes_with_assets_probe_equals_join(tables):
+    """probe_ids=True (the interactive B-tree-probe strategy, r11) must
+    return exactly the plain-join result — pre-filtering assets to the
+    selected box ids cannot change a left join keyed on those ids."""
+    plain = B.boxes_with_assets(
+        tables, liveness="unspent", key_kind="address", keys=[EXCHANGE_ADDR]
+    )
+    probed = B.boxes_with_assets(
+        tables,
+        liveness="unspent",
+        key_kind="address",
+        keys=[EXCHANGE_ADDR],
+        probe_ids=True,
+    )
+    a = sorted(map(repr, plain.collect()))
+    b = sorted(map(repr, probed.collect()))
+    assert a == b and a
+    # past the cap the probe falls back to the plain join, same result
+    capped = B.boxes_with_assets(
+        tables,
+        liveness="unspent",
+        key_kind="address",
+        keys=[EXCHANGE_ADDR],
+        probe_ids=True,
+        probe_cap=1,
+    )
+    assert sorted(map(repr, capped.collect())) == a

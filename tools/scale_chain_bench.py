@@ -109,6 +109,10 @@ def run_queries() -> dict:
         )
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", "24g")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(FIXTURE_DIR, "..", "chain_warehouse"),
+        )
         .getOrCreate()
     )
     t0 = time.time()
@@ -199,6 +203,70 @@ def run_queries() -> dict:
     for name, fn in qs.items():
         out[name] = timed(fn)
         print(f"  {name}: {out[name]}s", flush=True)
+
+    # ---- storage-layout A/B for the three asset-dim endpoints (r10
+    # VERDICT #4). The in-memory numbers above are the serving-cache
+    # posture; at 100 TB the assets table reads from STORAGE, so the
+    # layout question is disk-vs-disk: the flat lakehouse layout
+    # (write_fact: sorted by (token_id, box_id) → parquet min/max
+    # pruning on token predicates) against the bucketed managed tables
+    # mirroring the reference's TWO asset B-trees (asset2box_tokenId /
+    # asset2box_boxId, h2-schema.sql:79-80,100-101): q07/q15b on the
+    # token_id layout (bucket-pruned point filter / exchange-free
+    # groupBy), q06 probing the box_id layout with the collected id
+    # list (boxes_with_assets probe_ids — the B-tree point-probe).
+    from ergo_uexplorer_spark.storage import write_bucketed, write_fact
+
+    # managed-table locations persist across sessions while the derby
+    # metastore does not — clear them or saveAsTable refuses
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("assets_by_token", "assets_by_box"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    flat_dir = os.path.join(FIXTURE_DIR, "..", "chain_flat_assets")
+    t0 = time.time()
+    write_fact(served["assets"], flat_dir, ["token_id", "box_id"])
+    out["flat_write_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    write_bucketed(
+        served["assets"], "assets_by_token", keys=("token_id",)
+    )
+    out["bucketed_write_token_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    write_bucketed(served["assets"], "assets_by_box", keys=("box_id",))
+    out["bucketed_write_box_s"] = round(time.time() - t0, 1)
+
+    flat_assets = spark.read.parquet(flat_dir)
+    flat_t = dict(tables)
+    flat_t["assets"] = flat_assets
+    by_token = dict(tables)
+    by_token["assets"] = spark.table("assets_by_token")
+    by_box = dict(tables)
+    by_box["assets"] = spark.table("assets_by_box")
+    layouts = {
+        "flat_disk": (flat_t, flat_t, flat_assets),
+        "bucketed": (by_box, by_token, by_token["assets"]),
+    }
+    for lname, (t_box, t_tok, assets_df) in layouts.items():
+        shapes = {
+            f"q06_assets_addr[{lname}]": lambda t=t_box: boxes_with_assets(
+                t,
+                liveness="unspent",
+                key_kind="address",
+                keys=[addr],
+                probe_ids=True,
+            ).collect(),
+            f"q07_ids_by_token[{lname}]": lambda t=t_tok: box_ids(
+                t, key_kind="token_id", keys=[tok]
+            ).collect(),
+            f"q15b_top_tokens[{lname}]": lambda a=assets_df:
+                top_tokens_by_box_count(a, k=100).collect(),
+        }
+        for name, fn in shapes.items():
+            out[name] = timed(fn)
+            print(f"  {name}: {out[name]}s", flush=True)
     return out
 
 
