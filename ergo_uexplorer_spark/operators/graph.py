@@ -72,6 +72,67 @@ def graph_vertices(edges: DataFrame) -> DataFrame:
     )
 
 
+def _k_hop_local_arrow(
+    e: DataFrame, start_ids: list, k: int
+) -> DataFrame:
+    """Small-graph execution of `k_hop_neighbors`: the whole BFS in ONE
+    Arrow task over the (already symmetrized) edge table. Exact twin of
+    the distributed loop, property-pinned, including its null-key
+    quirks: a null dst enters the output at EVERY level some frontier
+    node reaches one (the visited anti-join can never match a null
+    key, so null is re-admitted per level — one row per level, the
+    per-level distinct), a null src never matches the frontier join,
+    and duplicate/null start ids pass through at level 0 exactly as
+    given (the distributed seed frame keeps them)."""
+    import numpy as np
+    import pandas as pd
+
+    id_t = e.schema["src"].dataType.simpleString()
+    schema = f"id {id_t}, hops int"
+
+    def run(batches):
+        parts = list(batches)
+        pdf = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"src": [], "dst": []})
+        )
+        both = pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
+        codes, uniques = pd.factorize(both, use_na_sentinel=True)
+        val_to_code = {v: i for i, v in enumerate(uniques)}
+        m = len(pdf)
+        s_idx, d_idx = codes[:m], codes[m:]
+        out_ids: list = list(start_ids)
+        out_hops: list = [0] * len(start_ids)
+        visited = {
+            val_to_code[s] for s in start_ids if s in val_to_code
+        }
+        frontier = np.array(sorted(visited), dtype=np.int64)
+        for level in range(1, k + 1):
+            if m:
+                mask = np.isin(s_idx, frontier) & (s_idx >= 0)
+                dsts = d_idx[mask]
+            else:
+                dsts = np.array([], dtype=np.int64)
+            null_seen = bool((dsts < 0).any())
+            nxt = np.unique(dsts[dsts >= 0])
+            fresh = np.array(
+                [c for c in nxt if c not in visited], dtype=np.int64
+            )
+            out_ids.extend(uniques[c] for c in fresh)
+            out_hops.extend([level] * len(fresh))
+            if null_seen:
+                out_ids.append(None)
+                out_hops.append(level)
+            visited.update(int(c) for c in fresh)
+            frontier = fresh
+            if len(fresh) + (1 if null_seen else 0) == 0:
+                break
+        yield pd.DataFrame({"id": out_ids, "hops": out_hops})
+
+    return e.coalesce(1).mapInPandas(run, schema)
+
+
 def k_hop_neighbors(
     edges: DataFrame,
     start_ids: list,
@@ -79,6 +140,7 @@ def k_hop_neighbors(
     directed: bool = True,
     num_partitions: int | None = None,
     broadcast_frontier_max_rows: int = 4_000_000,
+    local_tier: bool | None = None,
 ) -> DataFrame:
     """General bounded traversal (the Gremlin `repeat(out()).times(k)`
     family behind Q19's endpoint — StreamExecutor.scala:37-41): BFS
@@ -104,7 +166,14 @@ def k_hop_neighbors(
     `src` and persisted ONCE — so the shuffled fallback path reuses
     the same join layout every level instead of re-exchanging the big
     side. Returns (id, hops) with hops = BFS level = minimum hop
-    distance."""
+    distance.
+
+    `local_tier=None` (default) auto-gates the small-graph tier: when
+    the materialized edge table fits the broadcast budget, the whole
+    BFS runs in ONE Arrow task (`_k_hop_local_arrow` — the pagerank
+    posture; per-level scheduled jobs dominate tiny-graph cost).
+    Bit-exact twin, property-pinned; False forces the distributed
+    loop."""
     spark = edges.sparkSession
     from pyspark.sql import types as T
 
@@ -124,6 +193,26 @@ def k_hop_neighbors(
     # demotes to the shuffled join — from the cached copy, not the
     # source scan — and reused by every subsequent shuffled level.
     e = e.persist()
+    if local_tier is None and not e.isStreaming:
+        e.count()  # materialize: real size for the tier gate (and the
+        # cache every level-1 consumer reads anyway)
+        local_tier = _fits_one_task(e)
+    if local_tier:
+        e2, restore = _cast_ids_for_arrow(e)
+        if e2 is not None:
+            from pyspark.sql.types import StringType
+
+            starts = (
+                list(start_ids)
+                if isinstance(edges.schema["src"].dataType, StringType)
+                else [None if s is None else str(s) for s in start_ids]
+            )
+            out = _k_hop_local_arrow(e2, starts, k).localCheckpoint(
+                eager=True
+            )
+            e.unpersist(blocking=False)
+            return restore(out, ["id"])
+        # exotic id types: fall through to the distributed loop
     e_part: DataFrame | None = None
     schema = T.StructType(
         [
@@ -885,12 +974,79 @@ def triangle_count(
     return materialize_and_release(out, dag)
 
 
+def _components_local_arrow(e: DataFrame, numeric: bool = False) -> DataFrame:
+    """Small-graph execution of `connected_components`: union-find in
+    ONE Arrow task over the symmetrized edge table. Exact twin of the
+    hash-min propagation fixpoint, property-pinned, including its
+    null-key semantics: a null endpoint is a real node (the label table
+    is built from the symmetrized 'u' column, which includes null) but
+    its edges can never deliver a label through the equi-joins — so the
+    null node stays its own singleton component (label null) and a
+    node whose only neighbor is null keeps its own id. Component = the
+    minimum member id by VALUE ordering — `numeric=True` when the
+    caller round-tripped integral ids through strings (the Arrow cast
+    policy), so the min is taken in the ORIGINAL numeric order, not
+    lexicographic ("10" < "9" would mislabel components)."""
+    import pandas as pd
+
+    id_t = e.schema["u"].dataType.simpleString()
+    schema = f"id {id_t}, component {id_t}"
+
+    def run(batches):
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        both = pd.concat([pdf["u"], pdf["v"]], ignore_index=True)
+        codes, uniques = pd.factorize(both, use_na_sentinel=True)
+        n = len(uniques)
+        m = len(pdf)
+        s_idx, d_idx = codes[:m], codes[m:]
+        parent = list(range(n))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(s_idx, d_idx):
+            if a < 0 or b < 0:
+                continue  # null never equi-matches
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[rb] = ra
+        # component label = min member VALUE per root (original-type
+        # ordering: numeric ids arrive as strings via the Arrow cast)
+        key = (lambda v: int(v)) if numeric else (lambda v: v)
+        best: dict = {}
+        for c in range(n):
+            r = find(c)
+            v = uniques[c]
+            if r not in best or key(v) < key(best[r]):
+                best[r] = v
+        # node set = distinct symmetrized 'u' values (== all endpoints),
+        # incl null when present (it labels itself null)
+        ids = list(uniques)
+        comps = [best[find(c)] for c in range(n)]
+        has_null = bool((codes < 0).any())
+        if has_null:
+            ids.append(None)
+            comps.append(None)
+        yield pd.DataFrame({"id": ids, "component": comps})
+
+    return e.coalesce(1).mapInPandas(run, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 50,
     num_partitions: int | None = None,
+    local_tier: bool | None = None,
 ) -> DataFrame:
     """Distributed connected components over an undirected pair list →
     (id, component) with component = the minimum member id.
@@ -908,7 +1064,13 @@ def connected_components(
     table (bounded: one row per distinct node), so plan depth stays O(1);
     convergence = zero per-row label changes in a round (labels only ever
     decrease, so zero changes is a fixpoint and the loop must terminate —
-    and unlike a label-sum probe this works for string ids too)."""
+    and unlike a label-sum probe this works for string ids too).
+
+    `local_tier=None` (default) auto-gates the small-graph tier: when
+    the materialized pair table fits the broadcast budget, the whole
+    fixpoint runs as union-find in ONE Arrow task
+    (`_components_local_arrow` — the pagerank posture). Bit-exact twin,
+    property-pinned; False forces the distributed loop."""
     u, v = F.col("u"), F.col("v")
     # Every per-round exchange is pinned to an EXPLICIT partition count
     # instead of the session's spark.sql.shuffle.partitions: the label
@@ -938,6 +1100,24 @@ def connected_components(
                 pairs.count() // 10_000 + 1,
             ),
         )
+    if local_tier is None and not pairs.isStreaming:
+        # pairs is already eagerly checkpointed + counted above — the
+        # size estimate is real; symmetrized edges ≤ 2× pairs bytes
+        local_tier = _fits_one_task(pairs)
+    if local_tier and not pairs.isStreaming:
+        sym = pairs.select(
+            F.col(a_col).alias("u"), F.col(b_col).alias("v")
+        ).unionByName(
+            pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+        )
+        e2, restore = _cast_ids_for_arrow(sym)
+        if e2 is not None:
+            numeric = e2 is not sym  # integral ids took the string cast
+            out = _components_local_arrow(
+                e2, numeric=numeric
+            ).localCheckpoint(eager=True)
+            return restore(out, ["id", "component"])
+        # exotic id types: fall through to the distributed loop
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(
@@ -1342,12 +1522,129 @@ def common_neighbor_links(
     )
 
 
+def _fits_one_task(e: DataFrame) -> bool:
+    """Gate for the small-graph one-Arrow-task tier (shared by
+    pagerank/k-hop/kcore/components): the MATERIALIZED edge table fits
+    the broadcast budget — a graph that fits a broadcast fits one
+    task. Callers must have materialized `e` (persist+count or
+    checkpoint) so the estimate is a real size, not a plan guess."""
+    if e.isStreaming:
+        return False
+    est = _plan_size_estimate(e)
+    thr = _broadcast_threshold_bytes(e.sparkSession)
+    return est is not None and 0 < est <= thr
+
+
+def _cast_ids_for_arrow(e: DataFrame):
+    """Arrow→pandas turns a NULLABLE integral column into float64,
+    which is lossy past 2^53 — so integral id columns round-trip
+    through strings (exact both ways); strings pass through; other id
+    types (float/binary/struct) return (None, None) and the caller
+    stays on the distributed path. Returns (e_cast, restore) where
+    restore(df, out_cols) casts the named output columns back."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    t = e.schema[e.columns[0]].dataType
+    if isinstance(t, StringType):
+        return e, lambda df, out_cols: df
+    if isinstance(t, (ByteType, ShortType, IntegerType, LongType)):
+        e2 = e.select(
+            *[F.col(c).cast("string").alias(c) for c in e.columns]
+        )
+
+        def restore(df: DataFrame, out_cols: list) -> DataFrame:
+            return df.select(
+                *[
+                    F.col(c).cast(t).alias(c) if c in out_cols else F.col(c)
+                    for c in df.columns
+                ]
+            )
+
+        return e2, restore
+    return None, None
+
+
+def _kcore_local_arrow(e: DataFrame, k: int, max_rounds: int) -> DataFrame:
+    """Small-graph execution of `kcore`: the whole peel in ONE Arrow
+    task over the mirrored edge multiset (the pagerank tier's posture —
+    a graph that fits the broadcast budget fits one task, and on local
+    mode each peel round otherwise costs a scheduled job of fixed
+    latency). Exact twin of the distributed loop, property-pinned,
+    including its null-key semantics: a null endpoint contributes to
+    ROUND-1 degrees (the groupBy counts every row) but its edges can
+    never survive a semi-join (null never equi-matches), so null rows
+    die in the first restriction and a null node can never reach the
+    converged output. The convergence check is the same
+    survivor-count-equality sequence, so the raise-past-max_rounds
+    contract fires on exactly the same inputs."""
+    import numpy as np
+    import pandas as pd
+
+    id_t = e.schema["a"].dataType.simpleString()
+    schema = f"v {id_t}, deg long"
+
+    def run(batches):
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        both = pd.concat([pdf["a"], pdf["b"]], ignore_index=True)
+        codes, uniques = pd.factorize(both, use_na_sentinel=True)
+        n_real = len(uniques)
+        null_idx = n_real  # sentinel slot: participates in degrees,
+        codes = np.where(codes < 0, null_idx, codes)  # never in semi-joins
+        m = len(pdf)
+        a_idx, b_idx = codes[:m], codes[m:]
+        n = n_real + 1
+        alive = np.ones(m, dtype=bool)
+        prev = None
+        for _ in range(max_rounds):
+            deg = np.bincount(a_idx[alive], minlength=n).astype(np.int64)
+            # the distributed surv is rows OF the degree table (nodes
+            # appearing as 'a'), so zero-degree nodes are never members
+            # even when k <= 0
+            surv = (deg >= k) & (deg >= 1)
+            n_surv = int(surv.sum())
+            if n_surv == prev or n_surv == 0:
+                vs = np.flatnonzero(surv)
+                ids = [
+                    None if v == null_idx else uniques[v] for v in vs
+                ]
+                yield pd.DataFrame({"v": ids, "deg": deg[vs]})
+                return
+            prev = n_surv
+            surv_join = surv.copy()
+            surv_join[null_idx] = False  # null never equi-matches
+            alive = (
+                alive
+                & surv_join[a_idx]
+                & surv_join[b_idx]
+                & (a_idx != null_idx)
+                & (b_idx != null_idx)
+            )
+        raise RuntimeError(
+            f"k-core did not converge within {max_rounds} rounds — raise "
+            "max_rounds (a truncated peel would return a core SUPERSET)"
+        )
+
+    return e.coalesce(1).mapInPandas(run, schema)
+
+
 def kcore(
     edges: DataFrame,
     k: int,
     src: str = "a",
     dst: str = "b",
     max_rounds: int = 10,
+    local_tier: bool | None = None,
 ) -> DataFrame:
     """k-core decomposition membership via iterative peeling →
     (v, deg): the maximal subgraph in which every node keeps degree
@@ -1365,8 +1662,20 @@ def kcore(
     the peel depth (typically a handful; worst case the degeneracy
     ordering length) — raises past `max_rounds` rather than silently
     truncating, because a truncated peel returns a SUPERSET of the
-    core. Input is one row per undirected edge; mirrored internally."""
-    one = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    core. Input is one row per undirected edge; mirrored internally.
+
+    `local_tier=None` (default) auto-gates the small-graph tier: when
+    the materialized edge table fits the broadcast budget, the whole
+    peel runs in ONE Arrow task (`_kcore_local_arrow`, the pagerank
+    posture) — bit-exact twin, property-pinned. False forces the
+    distributed peel (tests use this to pin local == distributed)."""
+    one = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .distinct()
+        .persist()  # real cached bytes for the tier gate — the lazy
+        # checkpoint below keeps the JOIN's pre-materialization size
+        # estimate, which is garbage for a join+distinct plan
+    )
     e = one.unionByName(
         one.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=False)
@@ -1377,6 +1686,24 @@ def kcore(
     # pagerank_int posture; each scheduled job costs ~0.4 s of fixed
     # driver latency on local mode regardless of data size)
     single = e.count() <= 100_000
+    if local_tier is None:
+        # the one-task tier is gated on BYTES (the broadcast budget —
+        # mirrored edges ≈ 2× the cached one-direction table), not the
+        # stricter 100k single-partition row gate: a 500k-edge peel is
+        # still ~15 MB — trivially one task's work, while the
+        # distributed loop pays per-round scheduled jobs for it
+        est = _plan_size_estimate(one)
+        thr = _broadcast_threshold_bytes(edges.sparkSession)
+        local_tier = est is not None and 0 < est * 2 <= thr
+    one.unpersist(blocking=False)  # e is materialized; cache served
+    if local_tier:
+        e2, restore = _cast_ids_for_arrow(e)
+        if e2 is not None:
+            out = _kcore_local_arrow(e2, k, max_rounds).localCheckpoint(
+                eager=True
+            )
+            return restore(out, ["v"])
+        # exotic id types: fall through to the distributed peel
     if single:
         e = e.coalesce(1)
     prev_n = None

@@ -239,3 +239,107 @@ def test_linear_trend_vectorized_equals_per_group(spark):
                     k, c, a, b,
                 )
     assert vec[900]["slope"] is None and vec[901]["slope"] is None
+
+
+def _rand_edges(rng, n_rows, n_nodes, null_rate=0.05):
+    def nid():
+        return None if rng.random() < null_rate else rng.randrange(n_nodes)
+
+    return [(nid(), nid()) for _ in range(n_rows)]
+
+
+def test_k_hop_local_arrow_equals_distributed(spark):
+    """The one-Arrow-task BFS must equal the distributed loop as a
+    MULTISET (the distributed form re-admits a null dst at every level
+    it appears, and keeps duplicate seed rows — quirks included)."""
+    import random
+    from collections import Counter
+
+    from ergo_uexplorer_spark.operators.graph import k_hop_neighbors
+
+    rng = random.Random(13)
+    cases = [
+        ([("a", "b"), ("b", "c"), ("c", "d"), ("b", None), ("c", None),
+          (None, "a")], "src string, dst string", ["a"], 3),
+        (_rand_edges(rng, 300, 40), "src long, dst long", [0, 1, 99], 4),
+        ([("x", "y")], "src string, dst string", ["zz"], 2),
+    ]
+    for rows, schema, starts, k in cases:
+        edges = spark.createDataFrame(rows, schema)
+        for directed in (True, False):
+            loc = Counter(
+                (r["id"], r["hops"])
+                for r in k_hop_neighbors(
+                    edges, starts, k, directed=directed, local_tier=True
+                ).collect()
+            )
+            dist = Counter(
+                (r["id"], r["hops"])
+                for r in k_hop_neighbors(
+                    edges, starts, k, directed=directed, local_tier=False
+                ).collect()
+            )
+            assert loc == dist, (schema, starts, directed)
+
+
+def test_kcore_local_arrow_equals_distributed(spark):
+    """One-task peel == distributed peel, nulls included (a null
+    endpoint counts toward round-1 degrees but its edges never survive
+    a semi-join)."""
+    import random
+
+    from ergo_uexplorer_spark.operators.graph import kcore
+
+    rng = random.Random(29)
+    cases = [
+        [(i, (i + 1) % 5) for i in range(5)] + [(0, 2), (1, 3)],
+        _rand_edges(rng, 400, 30),
+        [("p", "q"), ("q", "r"), ("r", "p"), ("p", None)],
+    ]
+    for rows in cases:
+        schema = (
+            "a string, b string"
+            if isinstance(next(x for r in rows for x in r if x is not None), str)
+            else "a long, b long"
+        )
+        edges = spark.createDataFrame(rows, schema)
+        for k in (1, 2, 3):
+            loc = sorted(
+                (r["v"], r["deg"])
+                for r in kcore(edges, k, local_tier=True).collect()
+            )
+            dist = sorted(
+                (r["v"], r["deg"])
+                for r in kcore(edges, k, local_tier=False).collect()
+            )
+            assert loc == dist, (schema, k)
+
+
+def test_components_local_arrow_equals_distributed(spark):
+    """One-task union-find == hash-min fixpoint: same node set (nulls
+    are singleton components), same min-member labels — including
+    numeric ordering for integral ids round-tripped through strings
+    (ids ≥ 10 would mislabel under lexicographic min)."""
+    import random
+
+    from ergo_uexplorer_spark.operators.graph import connected_components
+
+    rng = random.Random(31)
+    cases = [
+        ([(1, 2), (2, 3), (10, 11), (11, 12), (9, 10), (5, None)],
+         "doc_a long, doc_b long"),
+        (_rand_edges(rng, 300, 50), "doc_a long, doc_b long"),
+        ([("m", "n"), ("n", "o"), ("x", "y"), (None, "m")],
+         "doc_a string, doc_b string"),
+    ]
+    for rows, schema in cases:
+        pairs = spark.createDataFrame(rows, schema)
+        loc = sorted(
+            repr((r["id"], r["component"]))
+            for r in connected_components(pairs, local_tier=True).collect()
+        )
+        dist = sorted(
+            repr((r["id"], r["component"]))
+            for r in connected_components(pairs, local_tier=False).collect()
+        )
+        assert loc == dist, schema

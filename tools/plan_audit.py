@@ -60,6 +60,11 @@ BNLJ_ALLOW = {
     # eval (broadcast query product); the IVF side is equi-joined
     "zw5_retrieval_eval": 3,  # the single-row (N, L) corpus-scalar
     # join, once per query — same scalar as zyc1
+    "zwi_local_supplier_volume_quarantine": 1,  # the 1-row quarantine
+    # reason frame (n_nan, n_inf) broadcast into the result — the
+    # screen_embeddings-style observability the twins exist for
+    "zwj_small_quantity_revenue_quarantine": 1,  # same 1-row reason
+    # frame
 }
 
 # entries whose unpartitioned windows run over PROVABLY bounded dims
