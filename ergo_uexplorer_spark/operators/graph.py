@@ -1630,10 +1630,11 @@ def _kcore_local_arrow(e: DataFrame, k: int, max_rounds: int) -> DataFrame:
                 & (a_idx != null_idx)
                 & (b_idx != null_idx)
             )
-        raise RuntimeError(
-            f"k-core did not converge within {max_rounds} rounds — raise "
-            "max_rounds (a truncated peel would return a core SUPERSET)"
-        )
+        # non-convergence: a raise here would surface as an opaque
+        # PythonException — emit a sentinel row (deg < 0 is impossible
+        # for a count) and let the driver raise the contract's
+        # RuntimeError
+        yield pd.DataFrame({"v": [None], "deg": [-1]})
 
     return e.coalesce(1).mapInPandas(run, schema)
 
@@ -1702,6 +1703,12 @@ def kcore(
             out = _kcore_local_arrow(e2, k, max_rounds).localCheckpoint(
                 eager=True
             )
+            if out.filter(F.col("deg") < 0).limit(1).count():
+                raise RuntimeError(
+                    f"k-core did not converge within {max_rounds} rounds"
+                    " — raise max_rounds (a truncated peel would return"
+                    " a core SUPERSET)"
+                )
             return restore(out, ["v"])
         # exotic id types: fall through to the distributed peel
     if single:
