@@ -296,7 +296,7 @@ def zz_b02_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _Z08_ITERS = 6
 _Z08_EDGES_SQL = """
-    e AS (
+    e AS MATERIALIZED (
       SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       WHERE o_custkey < 300
@@ -308,15 +308,22 @@ _Z08_EDGES_SQL = """
 
 
 def _z08_sql(iters: int = _Z08_ITERS) -> str:
+    # MATERIALIZED throughout: the shared dims (e/nodes/deg) are
+    # referenced every round and r{k-1} feeds r{k} — DuckDB's default
+    # inlining re-evaluates the whole prefix per reference (the zyf1
+    # k-core oracle measured ~9 min vs 0.1 s materialized; same class)
     ctes = [
         _Z08_EDGES_SQL,
-        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
-        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
-        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes)",
+        "nodes AS MATERIALIZED (SELECT src AS id FROM e"
+        " UNION SELECT dst FROM e)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e"
+        " GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS rank"
+        " FROM nodes)",
     ]
     for k in range(1, iters + 1):
         ctes.append(
-            f"""r{k} AS (
+            f"""r{k} AS MATERIALIZED (
       SELECT n.id,
              CAST(150000 + COALESCE(SUM(85 * p.rank // 100 // d.outdeg), 0)
                   AS BIGINT) AS rank
@@ -369,23 +376,30 @@ _Z20_ITERS = 8
 
 
 def _z20_sql(iters: int = _Z20_ITERS) -> str:
+    # MATERIALIZED throughout — see _z08_sql; z20 is the worst case:
+    # r{k-1} is referenced TWICE per round (d{k} and r{k}), so default
+    # inlining doubles the tree per round (measured 248 s at sf0.001
+    # vs sub-second materialized, identical 160 rows)
     ctes = [
         _Z08_EDGES_SQL,
-        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
-        "nc AS (SELECT count(*) AS n FROM nodes)",
-        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
-        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes)",
+        "nodes AS MATERIALIZED (SELECT src AS id FROM e"
+        " UNION SELECT dst FROM e)",
+        "nc AS MATERIALIZED (SELECT count(*) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e"
+        " GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS rank"
+        " FROM nodes)",
     ]
     for k in range(1, iters + 1):
         ctes.append(
-            f"""d{k} AS (
+            f"""d{k} AS MATERIALIZED (
       SELECT COALESCE(SUM(r.rank), 0) AS dm
       FROM r{k - 1} r LEFT JOIN deg g ON g.src = r.id
       WHERE g.src IS NULL
     )"""
         )
         ctes.append(
-            f"""r{k} AS (
+            f"""r{k} AS MATERIALIZED (
       SELECT n.id,
              CAST(150000
                   + (SELECT 85 * dm // 100 // (SELECT n FROM nc) FROM d{k})

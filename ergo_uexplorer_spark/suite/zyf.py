@@ -27,21 +27,30 @@ _TOKS = (
 def _kcore_oracle_sql(k: int, rounds: int) -> str:
     """Unrolled peel: round i keeps nodes whose degree within the
     round-(i-1) survivor subgraph is ≥ k. Node ids namespace the
-    bipartite sides (customer = 2·key, part = 2·key + 1)."""
+    bipartite sides (customer = 2·key, part = 2·key + 1).
+
+    Every chained CTE is MATERIALIZED: each s{i} is referenced TWICE by
+    g{i+1}, and DuckDB's default inlining re-evaluates the whole prefix
+    per reference — the logical tree doubles per round, turning an
+    8-round peel into ~2^8 re-evaluations (measured: ~9 MINUTES at
+    sf0.001 vs seconds materialized; the exact pathology the engine
+    side avoids with per-round checkpoints). Same values, linear
+    plan."""
     parts = [
-        "WITH be AS (SELECT DISTINCT o_custkey * 2 AS c,"
+        "WITH be AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS c,"
         " l_partkey * 2 + 1 AS p"
         " FROM lineitem JOIN orders ON l_orderkey = o_orderkey),"
-        " e0 AS (SELECT c AS a, p AS b FROM be"
+        " e0 AS MATERIALIZED (SELECT c AS a, p AS b FROM be"
         " UNION ALL SELECT p AS a, c AS b FROM be),"
-        " s0 AS (SELECT DISTINCT a AS v, 0 AS d FROM e0)"
+        " s0 AS MATERIALIZED (SELECT DISTINCT a AS v, 0 AS d FROM e0)"
     ]
     for i in range(1, rounds + 1):
         parts.append(
-            f", g{i} AS (SELECT e0.a, e0.b FROM e0"
+            f", g{i} AS MATERIALIZED (SELECT e0.a, e0.b FROM e0"
             f" JOIN s{i - 1} sa ON e0.a = sa.v"
             f" JOIN s{i - 1} sb ON e0.b = sb.v)"
-            f", s{i} AS (SELECT a AS v, count(*) AS d FROM g{i}"
+            f", s{i} AS MATERIALIZED (SELECT a AS v, count(*) AS d"
+            f" FROM g{i}"
             f" GROUP BY 1 HAVING count(*) >= {k})"
         )
     return (
