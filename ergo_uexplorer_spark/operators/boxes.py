@@ -110,11 +110,23 @@ def select_boxes(
     keys: Iterable[str] | None = None,
     params: dict[str, str] | None = None,
     columns: Iterable[str] | None = None,
+    probe_ids: bool = False,
+    probe_cap: int = 100_000,
 ) -> DataFrame:
     """The generic surface: liveness × key-kind × dynamic whitelisted
     predicates × column projection. Equality predicates land in the scan
     (Catalyst pushdown); token filtering is a semi-join on the assets
-    table (Q7)."""
+    table (Q7).
+
+    `probe_ids=True` is the interactive-serving strategy for the
+    token lookup — the Spark mirror of the reference's
+    `asset2box_tokenId` B-tree walk (h2-schema.sql:100-101): the
+    holder box ids (bounded for a point token query) are collected and
+    pushed into the boxes scan as an IN filter, which bucket-prunes to
+    1/N of the files when boxes_main is bucketed by box_id — instead
+    of streaming the whole boxes table through a semi-join build.
+    Exact same result (the semi-join IS membership in that id set);
+    falls back to the semi-join past `probe_cap` holder ids."""
     boxes = tables["boxes_main"]
     if liveness != "any":
         spent_ids = spent_inputs(tables["inputs_main"]).select("box_id")
@@ -127,7 +139,17 @@ def select_boxes(
             .select("box_id")
             .distinct()
         )
-        boxes = boxes.join(holders, "box_id", "left_semi")
+        probed = False
+        if probe_ids:
+            ids = [
+                r["box_id"]
+                for r in holders.limit(probe_cap + 1).collect()
+            ]
+            if len(ids) <= probe_cap:
+                boxes = boxes.filter(F.col("box_id").isin(ids))
+                probed = True
+        if not probed:
+            boxes = boxes.join(holders, "box_id", "left_semi")
     elif key_kind is not None:
         boxes = boxes.filter(_key_filter(key_kind, keys or []))
     for k, v in (params or {}).items():
@@ -150,9 +172,13 @@ def box_ids(
     key_kind: KeyKind | None = None,
     keys: Iterable[str] | None = None,
     params: dict[str, str] | None = None,
+    probe_ids: bool = False,
 ) -> DataFrame:
     """The `-ids` endpoint family: same query, ids projection."""
-    return select_boxes(tables, liveness, key_kind, keys, params, ["box_id"])
+    return select_boxes(
+        tables, liveness, key_kind, keys, params, ["box_id"],
+        probe_ids=probe_ids,
+    )
 
 
 def boxes_with_assets(

@@ -296,3 +296,35 @@ def test_boxes_with_assets_probe_equals_join(tables):
         probe_cap=1,
     )
     assert sorted(map(repr, capped.collect())) == a
+
+
+def test_box_ids_token_probe_equals_semi_join(tables):
+    """select_boxes(probe_ids=True) for the token lookup (r11) must
+    return exactly the semi-join result — membership in the collected
+    holder set IS the semi-join predicate; past the cap it falls back."""
+    tok = (
+        tables["assets"].select("token_id").limit(1).collect()[0]["token_id"]
+    )
+    plain = sorted(
+        r["box_id"]
+        for r in B.box_ids(tables, key_kind="token_id", keys=[tok]).collect()
+    )
+    probed = sorted(
+        r["box_id"]
+        for r in B.box_ids(
+            tables, key_kind="token_id", keys=[tok], probe_ids=True
+        ).collect()
+    )
+    assert plain == probed and plain
+    capped = sorted(
+        r["box_id"]
+        for r in B.select_boxes(
+            tables,
+            key_kind="token_id",
+            keys=[tok],
+            columns=["box_id"],
+            probe_ids=True,
+            probe_cap=0,
+        ).collect()
+    )
+    assert capped == plain

@@ -222,7 +222,7 @@ def run_queries() -> dict:
     import shutil
 
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("assets_by_token", "assets_by_box"):
+    for t in ("assets_by_token", "assets_by_box", "boxes_by_box"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     flat_dir = os.path.join(FIXTURE_DIR, "..", "chain_flat_assets")
@@ -237,6 +237,9 @@ def run_queries() -> dict:
     t0 = time.time()
     write_bucketed(served["assets"], "assets_by_box", keys=("box_id",))
     out["bucketed_write_box_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    write_bucketed(served["boxes_main"], "boxes_by_box", keys=("box_id",))
+    out["bucketed_write_boxes_s"] = round(time.time() - t0, 1)
 
     flat_assets = spark.read.parquet(flat_dir)
     flat_t = dict(tables)
@@ -245,6 +248,12 @@ def run_queries() -> dict:
     by_token["assets"] = spark.table("assets_by_token")
     by_box = dict(tables)
     by_box["assets"] = spark.table("assets_by_box")
+    # the full Q7 probe layout (r11): BOTH sides indexed — holder ids
+    # from the token_id-bucketed assets, probed into box_id-bucketed
+    # boxes (the asset2box_tokenId walk + primary-key probe)
+    probe7 = dict(tables)
+    probe7["assets"] = by_token["assets"]
+    probe7["boxes_main"] = spark.table("boxes_by_box")
     layouts = {
         "flat_disk": (flat_t, flat_t, flat_assets),
         "bucketed": (by_box, by_token, by_token["assets"]),
@@ -267,6 +276,16 @@ def run_queries() -> dict:
         for name, fn in shapes.items():
             out[name] = timed(fn)
             print(f"  {name}: {out[name]}s", flush=True)
+    out["q07_ids_by_token[probe_bucketed]"] = timed(
+        lambda: box_ids(
+            probe7, key_kind="token_id", keys=[tok], probe_ids=True
+        ).collect()
+    )
+    print(
+        "  q07_ids_by_token[probe_bucketed]: "
+        f"{out['q07_ids_by_token[probe_bucketed]']}s",
+        flush=True,
+    )
     return out
 
 
