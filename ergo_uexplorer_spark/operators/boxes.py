@@ -120,7 +120,7 @@ def select_boxes(
 
     `probe_ids=True` is the interactive-serving strategy for the
     token lookup — the Spark mirror of the reference's
-    `asset2box_tokenId` B-tree walk (h2-schema.sql:100-101): the
+    `asset2box_tokenId` B-tree walk (h2-schema.sql:79): the
     holder box ids (bounded for a point token query) are collected and
     pushed into the boxes scan as an IN filter, which bucket-prunes to
     1/N of the files when boxes_main is bucketed by box_id — instead
@@ -195,7 +195,7 @@ def boxes_with_assets(
 
     `probe_ids=True` is the interactive-serving strategy — the Spark
     mirror of the reference's `asset2box_boxId` B-tree probe
-    (h2-schema.sql:79-80): the selected boxes' ids (a handful for a
+    (h2-schema.sql:80): the selected boxes' ids (a handful for a
     point/address query) are collected and pushed into the assets scan
     as an IN filter, which bucket-prunes to 1/N of the files when the
     assets table is bucketed by box_id (`storage.write_bucketed`) —

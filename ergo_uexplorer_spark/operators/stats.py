@@ -616,9 +616,19 @@ def iqr_outlier_summary(
     One scan builds the (group, value, count) histogram; quartiles AND
     both tail counts come from the histogram alone — the raw rows are
     never re-scanned. Per-group window over distinct values, as in
-    `weighted_median_by_group`."""
-    h = df.groupBy(group_col, value_col).agg(
-        F.count(F.lit(1)).alias("__c")
+    `weighted_median_by_group`.
+
+    Rows with a NULL value are EXCLUDED from the histogram: quantiles
+    are over observed values, `n` counts observed rows, and a group
+    whose values are all NULL yields no output row. (Leaving NULLs in
+    would also make the cum-count window null-ORDERING-sensitive —
+    Spark's ASC is NULLS FIRST, DuckDB's is NULLS LAST, so the q3 of
+    a group containing a NULL silently diverged between engine and
+    oracle until the r12 dirty menu caught it.)"""
+    h = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
     wcum = (
         Window.partitionBy(group_col)

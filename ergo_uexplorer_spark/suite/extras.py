@@ -159,7 +159,12 @@ def z37_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT epoch_ns(ts) AS tns, user_id FROM events
                WHERE ts IS NOT NULL),
     w AS (
-      SELECT (tns // 900000000000 - k) * 900000000000 AS window_start_ns,
+      -- FLOOR-aligned slide start: DuckDB's integer // truncates
+      -- toward zero, which on a PRE-EPOCH event emits a window that
+      -- does not contain it (Spark's F.window floors — r12 dirty-menu
+      -- catch); the positive-mod form is floor-exact for any sign
+      SELECT tns - ((tns % 900000000000) + 900000000000) % 900000000000
+               - k * 900000000000 AS window_start_ns,
              user_id
       FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) t(k)
     )
@@ -368,33 +373,20 @@ def z41_central_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def z42_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load(spark, sf_dir, "lineitem")
-    # distinct (order, supplier) FIRST: shrinks the self-join input and
-    # turns the support count into a plain count(*) — each orderkey
-    # appears at most once per oriented pair afterwards, so the
-    # count_distinct (hash-set per group) is equivalent and cheaper.
-    os_pairs = lineitem.select("l_orderkey", "l_suppkey").distinct()
-    a, b = os_pairs.alias("a"), os_pairs.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("src"),
-            F.col("b.l_suppkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") >= 4)
-        .select("src", "dst")
-        # pin the supplier-pair edge table (tiny): it feeds the edge
-        # count AND triangle_count's two-sided symmetrize — lazily each
-        # consumer re-ran the whole co-purchase self-join+agg pipeline
-        .localCheckpoint(eager=True)
+    # The fact-scale groupBy(basket) stays distributed at every
+    # scale (collect_set dedupes suppliers within the order); the
+    # fused operator gates everything AFTER it — pair explode,
+    # support count, triangle closure — into one Arrow task when the
+    # per-order set table fits the broadcast budget, and falls back
+    # to the sorted-array pair explode + hash aggregate +
+    # triangle_count (its own wedge-volume gate) when it does not.
+    # The r11 form — distinct + self-join on l_orderkey + pair
+    # groupBy — paid four shuffles for the same answer; the oracle
+    # keeps the self-join formulation (engine-plan change only).
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_suppkey")).alias("ss")
     )
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    tri = G.triangle_count(edges)
-    return F.broadcast(n_edges).crossJoin(tri)
+    return G.cooccurrence_triangles(per_order, items="ss", min_support=4)
 
 
 # --------------------------------------------------------------------------
@@ -509,10 +501,14 @@ def z44_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zz_z45_order_gap_histogram",
     sql="""
     WITH g AS (
+      -- NULLS FIRST pinned: Spark's ASC defaults to NULLS FIRST,
+      -- DuckDB's to NULLS LAST — with mixed null/non-null dates in
+      -- one partition the lag chains diverge (r12 dirty-menu catch)
       SELECT CAST(o_orderdate AS DATE) AS d,
              lag(CAST(o_orderdate AS DATE)) OVER (
                PARTITION BY o_custkey
-               ORDER BY o_orderdate ASC, o_orderkey ASC) AS pd
+               ORDER BY o_orderdate ASC NULLS FIRST,
+                        o_orderkey ASC NULLS FIRST) AS pd
       FROM orders
     )
     SELECT CAST((d - pd) // 7 AS BIGINT) AS gap_weeks,

@@ -899,10 +899,30 @@ def zwh_wedge_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 from ..functions.money import accepted_cents, money_reason, money_reason_sql
 
-_ZWI_REASON = money_reason_sql("l_extendedprice", "l_discount")
-_ZWJ_REASON = money_reason_sql("l_quantity", "l_extendedprice")
+# the `scaled=` expressions are EXACTLY the ones the twins' casts
+# consume — the reason label must be computed from the same IEEE-754
+# chain the cast sees, or a finite 1e307 that scales to +Inf under
+# ×100 desynchronizes the engines at the cast (r11 ADVICE; the
+# finite-overflow dirty row pins this)
+_ZWI_REASON = money_reason_sql(
+    "l_extendedprice",
+    "l_discount",
+    scaled=("l_extendedprice * (1 - l_discount) * 100",),
+)
+_ZWJ_REASON = money_reason_sql(
+    "l_quantity",
+    "l_extendedprice",
+    scaled=("l_quantity", "l_extendedprice * 100"),
+)
 _ZWK_REASON = money_reason_sql(
-    "l_quantity", "l_extendedprice", "l_discount"
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    scaled=(
+        "l_quantity",
+        "l_extendedprice * 100",
+        "l_extendedprice * (1 - l_discount) * 100",
+    ),
 )
 
 
@@ -911,12 +931,13 @@ _ZWK_REASON = money_reason_sql(
     sql=f"""
     WITH li0 AS (SELECT *, {_ZWI_REASON} AS reason FROM lineitem),
     q AS (SELECT count(*) FILTER (WHERE reason = 'nan') AS n_nan,
-                 count(*) FILTER (WHERE reason = 'inf') AS n_inf
+                 count(*) FILTER (WHERE reason = 'inf') AS n_inf,
+                 count(*) FILTER (WHERE reason = 'overflow') AS n_ovf
           FROM li0)
     SELECT n_name,
            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
                          AS BIGINT)) AS BIGINT) AS revenue_cents,
-           count(*) AS n_lines, n_nan, n_inf
+           count(*) AS n_lines, n_nan, n_inf, n_ovf
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN li0 ON l_orderkey = o_orderkey
@@ -928,7 +949,7 @@ _ZWK_REASON = money_reason_sql(
       AND o_orderdate >= TIMESTAMP '1996-01-01'
       AND o_orderdate < TIMESTAMP '1998-01-01'
       AND reason IS NULL
-    GROUP BY n_name, n_nan, n_inf
+    GROUP BY n_name, n_nan, n_inf, n_ovf
     """,
     survey_ref="zwb quarantine twin (r10 VERDICT #6): keep-going "
     "6-table star join; source-screened lineitem, reasons counted",
@@ -942,7 +963,14 @@ def zwi_local_supplier_volume_quarantine(
         "customer", "orders", "lineitem", "supplier", "nation", "region",
     )
     li0 = lineitem.withColumn(
-        "__reason", money_reason(F.col("l_extendedprice"), F.col("l_discount"))
+        "__reason",
+        money_reason(
+            F.col("l_extendedprice"),
+            F.col("l_discount"),
+            scaled=(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+            ),
+        ),
     )
     # the reasons frame is computed over the WHOLE input table (a
     # source screen), not over post-join survivors — quarantine counts
@@ -950,6 +978,7 @@ def zwi_local_supplier_volume_quarantine(
     quar = li0.agg(
         F.count(F.when(F.col("__reason") == "nan", 1)).alias("n_nan"),
         F.count(F.when(F.col("__reason") == "inf", 1)).alias("n_inf"),
+        F.count(F.when(F.col("__reason") == "overflow", 1)).alias("n_ovf"),
     )
     accepted = li0.filter(F.col("__reason").isNull())
     dims = (
@@ -1005,7 +1034,8 @@ def zwi_local_supplier_volume_quarantine(
     SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) AS revenue_cents,
            count(*) AS n_lines,
            (SELECT count(*) FROM li0 WHERE reason = 'nan') AS n_nan,
-           (SELECT count(*) FROM li0 WHERE reason = 'inf') AS n_inf
+           (SELECT count(*) FROM li0 WHERE reason = 'inf') AS n_inf,
+           (SELECT count(*) FROM li0 WHERE reason = 'overflow') AS n_ovf
     FROM li JOIN avgq USING (l_partkey)
     WHERE 5 * qty * c < s
     """,
@@ -1018,11 +1048,17 @@ def zwj_small_quantity_revenue_quarantine(
 ) -> DataFrame:
     lineitem, part = load(spark, sf_dir, "lineitem", "part")
     li0 = lineitem.withColumn(
-        "__reason", money_reason(F.col("l_quantity"), F.col("l_extendedprice"))
+        "__reason",
+        money_reason(
+            F.col("l_quantity"),
+            F.col("l_extendedprice"),
+            scaled=(F.col("l_quantity"), F.col("l_extendedprice") * 100),
+        ),
     )
     quar = li0.agg(
         F.count(F.when(F.col("__reason") == "nan", 1)).alias("n_nan"),
         F.count(F.when(F.col("__reason") == "inf", 1)).alias("n_inf"),
+        F.count(F.when(F.col("__reason") == "overflow", 1)).alias("n_ovf"),
     )
     accepted = li0.filter(F.col("__reason").isNull())
     bparts = F.broadcast(
@@ -1068,7 +1104,8 @@ def zwj_small_quantity_revenue_quarantine(
                     END) AS BIGINT) AS sum_disc_cents,
            count(*) FILTER (WHERE reason IS NULL) AS count_order,
            count(*) FILTER (WHERE reason = 'nan') AS n_nan,
-           count(*) FILTER (WHERE reason = 'inf') AS n_inf
+           count(*) FILTER (WHERE reason = 'inf') AS n_inf,
+           count(*) FILTER (WHERE reason = 'overflow') AS n_ovf
     FROM li0
     GROUP BY l_returnflag, l_linestatus
     """,
@@ -1083,7 +1120,14 @@ def zwk_pricing_summary_quarantine(
 ) -> DataFrame:
     (lineitem,) = load(spark, sf_dir, "lineitem")
     reason = money_reason(
-        F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+        scaled=(
+            F.col("l_quantity"),
+            F.col("l_extendedprice") * 100,
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+        ),
     )
     ok = F.col("__reason").isNull()
     return (
@@ -1107,5 +1151,8 @@ def zwk_pricing_summary_quarantine(
             F.count(F.when(ok, 1)).alias("count_order"),
             F.count(F.when(F.col("__reason") == "nan", 1)).alias("n_nan"),
             F.count(F.when(F.col("__reason") == "inf", 1)).alias("n_inf"),
+            F.count(F.when(F.col("__reason") == "overflow", 1)).alias(
+                "n_ovf"
+            ),
         )
     )

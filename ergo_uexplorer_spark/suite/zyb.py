@@ -207,8 +207,11 @@ def zyb3_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zyb4_iqr_fences",
     sql="""
     WITH h AS (
+      -- NULL values excluded: quantiles are over OBSERVED values (and
+      -- NULLs in the cum window would hit the Spark-NULLS-FIRST vs
+      -- DuckDB-NULLS-LAST ordering split — r12 dirty-menu catch)
       SELECT source, n_chars AS v, count(*) AS c
-      FROM documents GROUP BY 1, 2
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
     ),
     cc AS (
       SELECT source, v, c,

@@ -7,18 +7,39 @@ the sf0.001 tables and must still agree (operator-vs-GROUP-BY null
 semantics is exactly the bug class the sweep caught).
 
 The corruption menu per table: a null-primary-key row, null attribute
-columns, empty/whitespace/unicode/NUL text, ragged/empty/null embedding
-vectors and non-finite elements, null timestamps. Keys are negative so
-they never collide with driver-generated rows.
+columns, empty/whitespace/unicode/NUL text, hostile-but-valid Unicode
+with a 10k-char unbroken run, ragged/empty/null embedding vectors and
+non-finite elements, NaN/±Inf and finite-overflow money, null and
+PRE-EPOCH timestamps. Keys are negative so they never collide with
+driver-generated rows.
 """
 
 from __future__ import annotations
+
+import datetime
 
 from ergo_uexplorer_spark.suite.base import TABLES
 
 _NAN = float("nan")
 _INF = float("inf")
 _UNI = "ééé 中文 \U0001f600 \x00tab\ttext"
+# Hostile-but-VALID Unicode (r11 VERDICT #7 — parquet string columns
+# cannot carry actually-malformed UTF-8: pyarrow encodes Python str,
+# which has no representation for overlong sequences or unpaired
+# surrogates; what CAN flow through a lake are the valid-but-nasty
+# code points below). BOM, zero-width space, RTL override, NEL (a C1
+# control some line-splitters honor), replacement char, the two
+# noncharacters U+FFFE/U+FFFF, a bare combining-mark cluster, and a
+# 10k-char unbroken run (tokenizer/n-gram length stressor).
+_EVIL_UNI = (
+    "\ufeff\u200b\u202eRTL\u202c \x85nel \ufffd\ufffe\uffff "
+    "x\u0301\u0301\u0301 " + "a" * 10_000
+)
+# pre-epoch timestamps (r11 VERDICT #7): negative microseconds-since-
+# epoch — the divergence hunt is truncation/floor direction in date
+# arithmetic (epoch-day, date_trunc, EXTRACT) on negative epochs
+_PRE_EPOCH = datetime.datetime(1903, 12, 28, 23, 59, 59, 999999)
+_JUST_PRE_EPOCH = datetime.datetime(1969, 12, 31, 23, 59, 59, 999999)
 
 # rows appended to each sf0.001 table (schema-aligned tuples)
 DIRTY_ROWS: dict[str, list[tuple]] = {
@@ -41,6 +62,9 @@ DIRTY_ROWS: dict[str, list[tuple]] = {
         (None, None, None, None, None, None),
         (-1, None, "", _NAN, None, _UNI),
         (-2, -1, None, None, None, None),
+        # one microsecond before the epoch: the smallest-magnitude
+        # NEGATIVE timestamp — floor-vs-truncate divergence bait
+        (-3, None, None, None, _JUST_PRE_EPOCH, None),
     ],
     "lineitem": [
         (None, None, None, None, None, None, None, None, None, None, None),
@@ -50,17 +74,32 @@ DIRTY_ROWS: dict[str, list[tuple]] = {
         # like NaN, and Catalyst pushes money projections below joins —
         # guards that only test isnan() are half a guard (r10 ADVICE)
         (-3, None, -1, 2, _INF, -_INF, None, None, None, None, None),
+        # FINITE overflow money (r11 ADVICE): 1e307 is finite so raw-
+        # column screens accept it, but ×100 overflows the double to
+        # +Inf — Spark's guarded cast silently NULLed it while DuckDB's
+        # CAST threw. Quarantine twins must label it 'overflow' from
+        # the scaled expression; strict entries refuse it two-sided.
+        (-4, None, None, 3, 1.0, 1e307, 0.0, None, None, None, None),
+        # pre-epoch shipdate, money columns NULL (accepted lane)
+        (-5, None, None, 4, None, None, None, None, None, None,
+         _PRE_EPOCH),
     ],
     "events": [
         (None, None, None, None, None, None),
         (-1, None, None, "", _NAN, _UNI),
         (-2, None, -1, _UNI, _INF, None),
+        # deep pre-epoch event: negative epoch-µs through window/
+        # bucketing arithmetic (date_trunc, epoch-day, tumbling mod)
+        (-3, _PRE_EPOCH, None, "pre-epoch", None, None),
     ],
     "documents": [
         (None, None, None, None, None),
         (-1, "", "en", "web", 0),
         (-2, "   ", None, None, None),
         (-3, _UNI, "zh", None, 10),
+        # hostile-but-valid Unicode + 10k-char unbroken run; n_chars
+        # deliberately NULL (metadata absent, not wrong)
+        (-4, _EVIL_UNI, None, "web", None),
     ],
     "embeddings": [
         (None, None, None),

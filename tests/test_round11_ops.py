@@ -39,15 +39,19 @@ def test_r11_entries_survive_dirty_inputs(spark, dirty_dir, name):
 
 
 def test_quarantine_twin_counts_dirty_rows(spark, dirty_dir):
-    """The dirty lineitem twin carries one NaN money row and one ±Inf
-    money row (tests/dirty.py); the pricing twin must quarantine
-    exactly those — and the strict sibling must still refuse the same
+    """The dirty lineitem twin carries one NaN money row, one ±Inf
+    money row, and one finite-overflow row (tests/dirty.py); the
+    pricing twin must quarantine exactly those — and the strict
+    sibling must still refuse the same
     table (the twins ADD a lane, they do not weaken the strict
     contract)."""
     q = REGISTRY["zwk_pricing_summary_quarantine"]
     rows = q.fn(spark, dirty_dir).collect()
     assert sum(r["n_nan"] for r in rows) == 1
     assert sum(r["n_inf"] for r in rows) == 1
+    # the r12 finite-overflow row: 1e307 is finite (raw screens pass)
+    # but ×100 → +Inf; the scaled-expression reason must catch it
+    assert sum(r["n_ovf"] for r in rows) == 1
     strict = REGISTRY["zz_b01_pricing_summary"]
     with pytest.raises(Exception):
         # the strict entry scans no date-filtered dirty rows — probe its
