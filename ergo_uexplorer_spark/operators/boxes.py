@@ -111,7 +111,7 @@ def select_boxes(
     params: dict[str, str] | None = None,
     columns: Iterable[str] | None = None,
     probe_ids: bool = False,
-    probe_cap: int = 100_000,
+    probe_cap: int = 1_000,
 ) -> DataFrame:
     """The generic surface: liveness × key-kind × dynamic whitelisted
     predicates × column projection. Equality predicates land in the scan
@@ -126,7 +126,15 @@ def select_boxes(
     1/N of the files when boxes_main is bucketed by box_id — instead
     of streaming the whole boxes table through a semi-join build.
     Exact same result (the semi-join IS membership in that id set);
-    falls back to the semi-join past `probe_cap` holder ids."""
+    falls back to the semi-join past `probe_cap` holder ids.
+
+    `probe_cap` defaults to the MEASURED knee, not a round number
+    (r11 ADVICE / r12 A/B at the 1.9M-utxo anchor, SCALE.md): the
+    IN-literal plan costs ~0.75 ms per id end to end (plan build +
+    bucket-prune + task-binary broadcast grows linearly; 0.99 s at 1k
+    ids vs 3.6 s at 5k) while the semi-join fallback is flat ~1.2 s —
+    they cross at ≈1.3k ids, so the probe stays never-worse below
+    1_000 and the fallback takes over above."""
     boxes = tables["boxes_main"]
     if liveness != "any":
         spent_ids = spent_inputs(tables["inputs_main"]).select("box_id")
@@ -187,7 +195,7 @@ def boxes_with_assets(
     key_kind: KeyKind | None = None,
     keys: Iterable[str] | None = None,
     probe_ids: bool = False,
-    probe_cap: int = 100_000,
+    probe_cap: int = 1_000,
 ) -> DataFrame:
     """Q18 response assembly (BoxWithAssets, LightBlockModel.scala:31-87):
     box ⟕ assets grouped into a sorted struct array + block meta via a
@@ -203,7 +211,9 @@ def boxes_with_assets(
     through the join's build side. Exact same result: assets rows
     outside the id list could never match the left join. Falls back to
     the plain join past `probe_cap` selected ids (an analytical query
-    shouldn't driver-collect its key set)."""
+    shouldn't driver-collect its key set); the default cap sits at the
+    measured IN-literal/semi-join crossover (~1.3k ids at the 1.9M
+    anchor — see `select_boxes` and SCALE.md r12)."""
     sel = select_boxes(
         tables,
         liveness,

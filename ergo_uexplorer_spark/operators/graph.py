@@ -145,7 +145,7 @@ def _k_hop_local_arrow(
 
 def k_hop_neighbors(
     edges: DataFrame,
-    start_ids: list,
+    start_ids: "list | DataFrame",
     k: int,
     directed: bool = True,
     num_partitions: int | None = None,
@@ -183,10 +183,26 @@ def k_hop_neighbors(
     BFS runs in ONE Arrow task (`_k_hop_local_arrow` — the pagerank
     posture; per-level scheduled jobs dominate tiny-graph cost).
     Bit-exact twin, property-pinned; False forces the distributed
-    loop."""
+    loop.
+
+    `start_ids` may be a SEED FRAME (a one-column DataFrame) instead
+    of a Python list (r11 VERDICT #8): at 100 TB a large seed set —
+    "every box touched by these addresses", itself a query result —
+    must not ship through the driver as a literal list (the plan
+    alone would be megabytes and the driver a copy bottleneck). The
+    frame becomes the level-0 visited/frontier directly; seeds are
+    deduplicated (a frame is a SET of seeds — the list form's
+    duplicate-passthrough is an interactive-path nicety that has no
+    distributed meaning) and the traversal always runs the
+    distributed loop (a caller holding a seed FRAME is by definition
+    at the scale the one-task tier's gate refuses; the list form
+    keeps the local tier for the interactive path)."""
     spark = edges.sparkSession
     from pyspark.sql import types as T
 
+    seed_frame = isinstance(start_ids, DataFrame)
+    if seed_frame:
+        local_tier = False
     n = num_partitions or spark.sparkContext.defaultParallelism
     e = edges.select("src", "dst")
     if not directed:
@@ -230,10 +246,25 @@ def k_hop_neighbors(
             T.StructField("hops", T.IntegerType()),
         ]
     )
-    visited = spark.createDataFrame([(s, 0) for s in start_ids], schema)
-    frontier = visited.persist()
-    f_rows = len(start_ids)
-    v_rows = len(start_ids)  # exact visited size (sum of counted levels)
+    if seed_frame:
+        visited = (
+            start_ids.select(
+                F.col(start_ids.columns[0])
+                .cast(edges.schema["src"].dataType)
+                .alias("id")
+            )
+            .distinct()
+            .withColumn("hops", F.lit(0).cast("int"))
+        )
+        frontier = visited.persist()
+        f_rows = frontier.count()
+    else:
+        visited = spark.createDataFrame(
+            [(s, 0) for s in start_ids], schema
+        )
+        frontier = visited.persist()
+        f_rows = len(start_ids)
+    v_rows = f_rows  # exact visited size (sum of counted levels)
     retired: list[DataFrame] = []
     for level in range(1, k + 1):
         small_frontier = f_rows <= broadcast_frontier_max_rows

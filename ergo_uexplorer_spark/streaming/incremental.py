@@ -455,6 +455,7 @@ def incremental_sync(
     available_now: bool = True,
     state: "UtxoState | None" = None,
     fork_aware: bool = False,
+    token_rollup=None,
 ):
     """C10: Structured Streaming over arriving block files; one UTXO
     version per micro-batch. `Trigger.AvailableNow` drains the backlog
@@ -463,8 +464,25 @@ def incremental_sync(
     different versioned backend (e.g. `delta_state.DeltaUtxoState`).
     `fork_aware=True` routes each micro-batch through the reference
     scheduler's branch resolution (rollback + winning-chain re-apply;
-    parquet `UtxoState` backend — it needs the tip/header sidecars)."""
+    parquet `UtxoState` backend — it needs the tip/header sidecars).
+
+    `token_rollup` (a `token_rollup.TokenStatsRollup`) additionally
+    maintains the q15b top-tokens aggregate per micro-batch — the
+    serving answer the r11 layout A/B named (SCALE.md: both disk
+    layouts lose to a full scan; the rollup serves top-K from the
+    token DIMENSION). Supported on the linear path only: a fork-aware
+    deployment must drive the rollup from the same branch resolution
+    that drives the UTXO state (winning slice + matched rollback
+    version), which is the caller's integration, so combining the two
+    flags raises rather than silently maintaining a rollup that forks
+    would corrupt."""
     state = state or UtxoState(spark, state_dir)
+    if token_rollup is not None and fork_aware:
+        raise ValueError(
+            "token_rollup under fork_aware needs the branch resolution "
+            "to drive both states — wire apply_block_batch_forkaware's "
+            "winning slice into the rollup explicitly"
+        )
     stream = spark.readStream.schema(BLOCK_SCHEMA).json(blocks_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -474,6 +492,10 @@ def incremental_sync(
             apply_block_batch_forkaware(state, batch_df, batch_id=batch_id)
         else:
             apply_block_batch(state, batch_df, batch_id=batch_id)
+            if token_rollup is not None:
+                token_rollup.commit(
+                    N.assets(N.outputs(batch_df)), batch_id=batch_id
+                )
 
     writer = (
         stream.writeStream.foreachBatch(_apply)

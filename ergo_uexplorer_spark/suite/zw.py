@@ -1156,3 +1156,145 @@ def zwk_pricing_summary_quarantine(
             ),
         )
     )
+
+
+_ZWL_REASON = money_reason_sql("l_quantity", scaled=("l_quantity",))
+_ZWM_REASON = money_reason_sql(
+    "l_extendedprice",
+    "l_discount",
+    scaled=("l_extendedprice * (1 - l_discount) * 100",),
+)
+
+
+@register(
+    "zwl_rollup_summary_quarantine",
+    sql=f"""
+    WITH li0 AS (SELECT *, {_ZWL_REASON} AS reason FROM lineitem)
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CASE WHEN reason IS NULL
+                         THEN CAST(round(l_quantity) AS BIGINT) END)
+                AS BIGINT) AS sum_qty,
+           count(*) FILTER (WHERE reason IS NULL) AS n,
+           count(*) FILTER (WHERE reason = 'nan') AS n_nan,
+           count(*) FILTER (WHERE reason = 'inf') AS n_inf,
+           count(*) FILTER (WHERE reason = 'overflow') AS n_ovf
+    FROM li0
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    survey_ref="zz_b02 quarantine twin (r11 VERDICT #5): keep-going "
+    "ROLLUP grouping sets — quarantined rows keep their group keys, so "
+    "reason counts localize per group AND aggregate up the rollup "
+    "levels exactly like the accepted sums",
+    tags=("agg", "rollup", "quarantine"),
+)
+def zwl_rollup_summary_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    reason = money_reason(
+        F.col("l_quantity"), scaled=(F.col("l_quantity"),)
+    )
+    ok = F.col("__reason").isNull()
+    return (
+        lineitem.withColumn("__reason", reason)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(
+                F.when(ok, accepted_cents(F.col("l_quantity"), scale=1))
+            ).alias("sum_qty"),
+            F.count(F.when(ok, 1)).alias("n"),
+            F.count(F.when(F.col("__reason") == "nan", 1)).alias("n_nan"),
+            F.count(F.when(F.col("__reason") == "inf", 1)).alias("n_inf"),
+            F.count(F.when(F.col("__reason") == "overflow", 1)).alias(
+                "n_ovf"
+            ),
+        )
+    )
+
+
+@register(
+    "zwm_regional_volume_quarantine",
+    sql=f"""
+    WITH li0 AS (SELECT *, {_ZWM_REASON} AS reason FROM lineitem),
+    q AS (SELECT count(*) FILTER (WHERE reason = 'nan') AS n_nan,
+                 count(*) FILTER (WHERE reason = 'inf') AS n_inf,
+                 count(*) FILTER (WHERE reason = 'overflow') AS n_ovf
+          FROM li0)
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_items, n_nan, n_inf, n_ovf
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN li0 ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    CROSS JOIN q
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND reason IS NULL
+    GROUP BY n_name, n_nan, n_inf, n_ovf
+    """,
+    survey_ref="zz_z13 quarantine twin (r11 VERDICT #5): keep-going "
+    "TPC-H Q5 snowflake join; source-screened lineitem, reasons "
+    "counted over the WHOLE source (not post-join survivors)",
+    tags=("join", "agg", "quarantine"),
+)
+def zwm_regional_volume_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    region, nation, customer, supplier, orders, lineitem = load(
+        spark, sf_dir,
+        "region", "nation", "customer", "supplier", "orders", "lineitem",
+    )
+    li0 = lineitem.withColumn(
+        "__reason",
+        money_reason(
+            F.col("l_extendedprice"),
+            F.col("l_discount"),
+            scaled=(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+            ),
+        ),
+    )
+    quar = li0.agg(
+        F.count(F.when(F.col("__reason") == "nan", 1)).alias("n_nan"),
+        F.count(F.when(F.col("__reason") == "inf", 1)).alias("n_inf"),
+        F.count(F.when(F.col("__reason") == "overflow", 1)).alias("n_ovf"),
+    )
+    accepted = li0.filter(F.col("__reason").isNull())
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    asia_nations = (
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    cust = F.broadcast(
+        customer.join(
+            F.broadcast(asia_nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey", "c_nationkey", "n_name")
+    )
+    supp = F.broadcast(supplier.select("s_suppkey", "s_nationkey"))
+    cents = accepted_cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    return (
+        orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(accepted, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .crossJoin(F.broadcast(quar))
+    )

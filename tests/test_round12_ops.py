@@ -279,3 +279,214 @@ def test_dirty_menu_growth_rows_flow(spark, tmp_path):
     docs = spark.read.parquet(f"{out}/documents.parquet")
     evil = docs.filter(F.col("doc_id") == -4).collect()[0]["text"]
     assert len(evil) > 10_000 and "﻿" in evil and "￿" in evil
+
+
+def test_token_rollup_stream_equals_batch(spark, tmp_path):
+    """r11 VERDICT #3: the maintained top-K token rollup (q15b's 100 TB
+    serving answer) streamed over file-batches must equal
+    `top_tokens_by_box_count` over the batch pipeline's full assets
+    table — including through compaction + pruning of the delta
+    chain."""
+    from ergo_uexplorer_spark.fixtures.chaingen import (
+        ChainGen,
+        write_jsonl_gz,
+    )
+    from ergo_uexplorer_spark.operators.stats import top_tokens_by_box_count
+    from ergo_uexplorer_spark.pipeline import ingest_blocks
+    from ergo_uexplorer_spark.streaming.incremental import incremental_sync
+    from ergo_uexplorer_spark.streaming.token_rollup import TokenStatsRollup
+
+    gen = ChainGen(seed=33)
+    gen.generate(100)
+    blocks_dir = tmp_path / "blocks_in"
+    blocks_dir.mkdir()
+    for i in range(4):
+        write_jsonl_gz(
+            gen.blocks[i * 25 : (i + 1) * 25],
+            str(blocks_dir / f"part{i}.jsonl.gz"),
+        )
+    rollup = TokenStatsRollup(
+        spark, str(tmp_path / "state"), compact_every=2, keep_versions=2
+    )
+    q = incremental_sync(
+        spark,
+        str(blocks_dir),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        token_rollup=rollup,
+    )
+    q.awaitTermination(300)
+
+    full = str(tmp_path / "full.jsonl.gz")
+    write_jsonl_gz(gen.blocks, full)
+    batch = ingest_blocks(spark, full)
+    expect = [
+        tuple(r)
+        for r in top_tokens_by_box_count(batch["assets"], k=50).collect()
+    ]
+    got = [tuple(r) for r in rollup.top(50).collect()]
+    assert got == expect
+
+
+def test_token_rollup_exactly_once_and_rollback(spark, tmp_path):
+    from ergo_uexplorer_spark.fixtures.chaingen import ChainGen
+    from ergo_uexplorer_spark.operators import normalize as N
+    from ergo_uexplorer_spark.sources.blocks import BLOCK_SCHEMA
+    from ergo_uexplorer_spark.fixtures.chaingen import write_jsonl_gz
+    from ergo_uexplorer_spark.streaming.token_rollup import TokenStatsRollup
+
+    gen = ChainGen(seed=34)
+    gen.generate(30)
+    p = str(tmp_path / "b.jsonl.gz")
+    write_jsonl_gz(gen.blocks, p)
+    raw = spark.read.schema(BLOCK_SCHEMA).json(p)
+    assets = N.assets(N.outputs(raw))
+    # -- exactly-once + fork rollback (no compaction interference)
+    rollup = TokenStatsRollup(spark, str(tmp_path / "state"))
+    v1 = rollup.commit(assets.filter(F.col("height") <= 15), batch_id=0)
+    v2 = rollup.commit(assets.filter(F.col("height") > 15), batch_id=1)
+    assert (v1, v2) == (1, 2)
+    # redelivery of batch 1 returns the published version, no new dir
+    assert rollup.commit(assets.filter(F.col("height") > 15), batch_id=1) == 2
+    assert rollup.current_version() == 2
+    top_before = [tuple(r) for r in rollup.top(20).collect()]
+    # fork recovery: rolling back to v1 must serve exactly the ≤15 slice
+    rollup.rollback_to(1)
+    only_first = TokenStatsRollup(spark, str(tmp_path / "state2"))
+    only_first.commit(assets.filter(F.col("height") <= 15))
+    assert [tuple(r) for r in rollup.top(20).collect()] == [
+        tuple(r) for r in only_first.top(20).collect()
+    ]
+    assert [tuple(r) for r in rollup.top(20).collect()] != top_before
+
+    # -- compaction + pruning: base written on cadence, old versions
+    # pruned, compacted read equals the one-shot recomputation
+    compacted = TokenStatsRollup(
+        spark, str(tmp_path / "state3"), compact_every=2, keep_versions=1
+    )
+    compacted.commit(assets.filter(F.col("height") <= 15))
+    compacted.commit(assets.filter(F.col("height") > 15))
+    assert compacted._has_base(2)
+    assert compacted.versions() == [2]
+    full_rollup = TokenStatsRollup(spark, str(tmp_path / "state_full"))
+    full_rollup.commit(assets)
+    assert sorted(
+        tuple(r) for r in compacted.read().collect()
+    ) == sorted(tuple(r) for r in full_rollup.read().collect())
+
+
+def test_token_rollup_fork_aware_sync_refuses(spark, tmp_path):
+    from ergo_uexplorer_spark.streaming.incremental import incremental_sync
+    from ergo_uexplorer_spark.streaming.token_rollup import TokenStatsRollup
+
+    with pytest.raises(ValueError, match="fork_aware"):
+        incremental_sync(
+            spark,
+            str(tmp_path / "in"),
+            str(tmp_path / "state"),
+            str(tmp_path / "ckpt"),
+            fork_aware=True,
+            token_rollup=TokenStatsRollup(spark, str(tmp_path / "state")),
+        )
+
+
+R12_NEW_ENTRIES = [
+    "zwl_rollup_summary_quarantine",
+    "zwm_regional_volume_quarantine",
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_dir_r12(spark, tmp_path_factory):
+    from .dirty import make_dirty_sf_dir
+
+    out = tmp_path_factory.mktemp("dirty_sf_r12")
+    return make_dirty_sf_dir(spark, "/root/testdata/sf0.001", str(out))
+
+
+@pytest.mark.parametrize("name", R12_NEW_ENTRIES)
+def test_r12_entries_survive_dirty_inputs(spark, dirty_dir_r12, name):
+    """Dirty-at-birth gate for the r12 quarantine twins (zwl = b02
+    ROLLUP twin, zwm = z13 snowflake twin): entry and oracle must
+    agree on the corrupted tables, quarantining the NaN/Inf/overflow
+    money rows the strict siblings refuse."""
+    from ergo_uexplorer_spark.suite.base import REGISTRY
+
+    from .oracle import assert_matches_oracle
+
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, dirty_dir_r12), q.sql, dirty_dir_r12, name)
+
+
+def test_r12_quarantine_twins_match_strict_on_clean_data(spark):
+    """On CLEAN tables zwl/zwm must reproduce zz_b02/zz_z13 exactly
+    with zero quarantined rows — keep-going semantics never change a
+    clean-source answer."""
+    from ergo_uexplorer_spark.suite.base import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    strict_b02 = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["sum_qty"], r["n"])
+        for r in REGISTRY["zz_b02_rollup_summary"].fn(spark, sf).collect()
+    }
+    twin_b02 = REGISTRY["zwl_rollup_summary_quarantine"].fn(spark, sf).collect()
+    assert all(
+        r["n_nan"] == 0 and r["n_inf"] == 0 and r["n_ovf"] == 0
+        for r in twin_b02
+    )
+    assert {
+        (r["l_returnflag"], r["l_linestatus"]): (r["sum_qty"], r["n"])
+        for r in twin_b02
+    } == strict_b02
+
+    strict_z13 = {
+        r["n_name"]: (r["revenue_cents"], r["n_items"])
+        for r in REGISTRY["zz_z13_regional_volume"].fn(spark, sf).collect()
+    }
+    twin_z13 = (
+        REGISTRY["zwm_regional_volume_quarantine"].fn(spark, sf).collect()
+    )
+    assert all(
+        r["n_nan"] == 0 and r["n_inf"] == 0 and r["n_ovf"] == 0
+        for r in twin_z13
+    )
+    assert {
+        r["n_name"]: (r["revenue_cents"], r["n_items"]) for r in twin_z13
+    } == strict_z13
+
+
+def test_k_hop_seed_frame_equals_list(spark):
+    """r11 VERDICT #8: the seed-FRAME overload must produce exactly the
+    list form's BFS labels (deduplicated — a frame is a set of seeds)
+    without shipping ids through the driver; mismatched seed column
+    types are cast to the edge id type."""
+    random.seed(5)
+    edges = [
+        (random.randint(0, 300), random.randint(0, 300))
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = [1, 2, 3, 4, 5]
+    via_list = {
+        (r["id"], r["hops"])
+        for r in G.k_hop_neighbors(
+            df, seeds, 3, local_tier=False
+        ).collect()
+    }
+    seed_df = spark.createDataFrame(
+        [(s,) for s in seeds + [3, 3]], "seed long"  # dupes dedup away
+    )
+    via_frame = {
+        (r["id"], r["hops"])
+        for r in G.k_hop_neighbors(df, seed_df, 3).collect()
+    }
+    assert via_frame == via_list
+
+    # string seed column against long edges: cast applies
+    seed_str = spark.createDataFrame([(str(s),) for s in seeds], "s string")
+    via_cast = {
+        (r["id"], r["hops"])
+        for r in G.k_hop_neighbors(df, seed_str, 3).collect()
+    }
+    assert via_cast == via_list
