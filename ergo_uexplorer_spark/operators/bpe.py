@@ -149,7 +149,7 @@ def train_bpe_merges(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
-    checkpoint_every: int = 4,
+    checkpoint_every: "int | str" = 4,
     batch: int = 1,
     stats: dict | None = None,
 ) -> DataFrame:
@@ -176,7 +176,17 @@ def train_bpe_merges(
     from O(vocab) to O(vocab / effective-batch) at one extra scan per
     batched round (measured in SCALE.md's BPE section; widths past ~16
     buy nothing — the prefix stops at the first violation, so extra
-    collected candidates are pure overhead)."""
+    collected candidates are pure overhead).
+
+    Checkpoint cadence: the r12 sweep (SCALE.md) measured cadence ∈
+    {1, 2, 4, 8, "auto"} on the diversified 128→256-merge window at
+    batch=16 and found a NEGATIVE result — all variants land within
+    the ±10% session noise (fixed-1's one apparent 1.2× marginal win
+    did not reproduce under interleaved A/B), because the bound is
+    driver round latency, not lineage truncation. The default stays 4;
+    `"auto"` (truncate immediately after any round that applied >1
+    merge — the batch×-faster-lineage hypothesis — else every 4th)
+    remains available and property-tested but buys nothing measured."""
     state = _initial_state(word_frequencies(docs, text_col)).localCheckpoint(
         eager=True
     )
@@ -217,7 +227,10 @@ def train_bpe_merges(
             )
         state = state.withColumn("s", col)
         rounds += 1
-        if checkpoint_every and rounds % checkpoint_every == 0:
+        if checkpoint_every == "auto":
+            if len(taken) > 1 or rounds % 4 == 0:
+                state = state.localCheckpoint(eager=True)
+        elif checkpoint_every and rounds % checkpoint_every == 0:
             state = state.localCheckpoint(eager=True)
     if stats is not None:
         stats["rounds"] = rounds

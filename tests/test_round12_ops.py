@@ -490,3 +490,35 @@ def test_k_hop_seed_frame_equals_list(spark):
         for r in G.k_hop_neighbors(df, seed_str, 3).collect()
     }
     assert via_cast == via_list
+
+
+def test_bpe_auto_cadence_equals_fixed(spark):
+    """checkpoint_every='auto' (r12 cadence sweep's adaptive option)
+    must be a pure execution-schedule change: merges identical to the
+    fixed-cadence and sequential results."""
+    from ergo_uexplorer_spark.operators.bpe import train_bpe_merges
+
+    docs = spark.createDataFrame(
+        [("low lower lowest newer newest wider widest",)] * 3
+        + [("new wide low slow slower slowest",)] * 2,
+        "text string",
+    )
+    fixed = [
+        tuple(r)
+        for r in train_bpe_merges(
+            docs, n_merges=12, batch=4, checkpoint_every=4
+        ).collect()
+    ]
+    auto = [
+        tuple(r)
+        for r in train_bpe_merges(
+            docs, n_merges=12, batch=4, checkpoint_every="auto"
+        ).collect()
+    ]
+    seq = [
+        tuple(r)
+        for r in train_bpe_merges(
+            docs, n_merges=12, batch=1, checkpoint_every="auto"
+        ).collect()
+    ]
+    assert auto == fixed == seq
