@@ -65,6 +65,8 @@ BNLJ_ALLOW = {
     # screen_embeddings-style observability the twins exist for
     "zwj_small_quantity_revenue_quarantine": 1,  # same 1-row reason
     # frame
+    "zwm_regional_volume_quarantine": 1,  # same 1-row reason frame
+    # (the r12 z13 snowflake twin)
 }
 
 # entries whose unpartitioned windows run over PROVABLY bounded dims
