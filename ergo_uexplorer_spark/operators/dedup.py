@@ -124,8 +124,14 @@ def shingle_sets(
         # lambda boundaries, so an inlined tokens() expression would be
         # re-split per shingle element (~10x slower at sf0.1)
         .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
-        .select("doc_id", F.explode(shingles(F.col("t"), n)).alias("s"))
-        .distinct()
+        # per-doc dedup happens INSIDE the row (array_distinct) — doc
+        # ids are unique, so (doc_id, s) is already globally distinct
+        # and the former .distinct() exchange+aggregate pair disappears
+        # from every downstream plan (r12 optimization, guide §2.4)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(F.col("t"), n))).alias("s"),
+        )
     )
 
 
@@ -142,9 +148,22 @@ def hashed_shingle_sets(
         _ensure_parallelism(docs)
         # token array materialized first — see shingle_sets
         .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
-        .select("doc_id", F.explode(shingles(F.col("t"), n)).alias("s"))
+        # hash every shingle in-array, dedupe in-array (collisions merge
+        # identically to the former post-explode .distinct()), explode
+        # last: doc ids are unique, so (doc_id, h) needs no distinct
+        # shuffle at all (r12 optimization, guide §2.4)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        shingles(F.col("t"), n), lambda s: portable_hash(s)
+                    )
+                )
+            ).alias("h"),
+        )
     )
-    return sh.select("doc_id", portable_hash(F.col("s")).alias("h")).distinct()
+    return sh
 
 
 def hashed_shingle_arrays(
@@ -959,10 +978,15 @@ def simhash(
     signature is a pure projection over the sums."""
     if not 1 <= bits <= 60:
         raise ValueError("bits must be in [1, 60] (portable_hash width)")
+    # per-doc token dedup in-array: doc ids are unique, so the exploded
+    # (doc_id, w) frame is already distinct — the former .distinct()
+    # exchange+aggregate pair is gone and the per-doc 60-sum aggregate
+    # below partial-aggregates MAP-SIDE straight off the scan, so the
+    # only exchange ships one 60-sum row per doc (r12, guide §2.3/2.4)
     tok = _ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.col(text_col))).alias("w"),
-    ).distinct()
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("w"),
+    )
     hm = tok.withColumn("hm", portable_hash(F.col("w")) % (1 << bits))
     aggs = [
         F.sum(

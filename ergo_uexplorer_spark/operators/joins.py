@@ -140,82 +140,67 @@ def resample_gap_fill(
     missing buckets carry the most recent observed values (`observed`
     marks real rows).
 
-    Distributed shape: the grid is sequence+explode off a per-key
-    min/max agg (grid size = span/bucket, data-bounded, never a global
-    cross join); the fill is one `last(ignorenulls)` window per key —
-    the same union-free forward-fill as `asof_join`, one shuffle on
-    (key). Leading gaps before a key's first observation stay null by
-    construction (nothing to carry).
+    Distributed shape (r12 optimization): ONE exchange on the key and
+    ONE sort. A single Window pass finds each observation's NEXT
+    bucket (lead) and the per-key span (unbounded min/max over the
+    same partitioning); each observed row then emits itself plus the
+    gap buckets up to (exclusive) the next observation via
+    sequence+explode — the LOCF carry is the emitting row itself, so
+    filled rows reproduce the most recent OBSERVED ROW's values
+    including genuine NULLs, and an observed row is never rewritten.
+    The former shape (per-key min/max agg → dense grid → left join →
+    IGNORE NULLS struct carry) computed the same rows with three more
+    exchanges and a join. Leading gaps before a key's first
+    observation stay absent by construction (the grid starts at the
+    first observation). Buckets must be unique per key (the resample
+    contract — upstream is a (key, bucket) aggregate).
 
-    Fill semantics match an ASOF self-join exactly (the zx3 oracle):
-    only grid-inserted rows are filled, and they carry the most recent
-    OBSERVED ROW's values — including a genuine NULL on that row. An
-    observed row is never rewritten (a `last(ignorenulls)` over the
-    raw column would fabricate a value on an observed-NULL row and
-    stamp it observed=true), which is why the carry wraps each
-    observed row's values in a struct: the struct is non-null whenever
-    the row was observed, so NULL values inside it survive the
-    ignorenulls carry."""
-    spans = df.groupBy(key_col).agg(
-        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    The grid is SPAN-bounded, not observation-count-bounded: one key
+    with two observations eons apart would ask sequence() for a
+    2^31+-element array (Spark hard limit) or OOM the task before the
+    explode. Fail fast inside the plan with a clear message instead —
+    the guard feeds the sequence bound itself, so column pruning can
+    never elide it. Raise `max_span` deliberately (or pre-bucket
+    coarser) for genuinely wider grids."""
+    w = Window.partitionBy(key_col).orderBy(F.asc("__b0"))
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    # the grid is SPAN-bounded, not observation-count-bounded: one key
-    # with two observations eons apart would ask sequence() for a
-    # 2^31+-element array (Spark hard limit) or OOM the task before the
-    # explode. Fail fast inside the plan with a clear message instead —
-    # the guard feeds the sequence bound itself, so column pruning can
-    # never elide it. Raise `max_span` deliberately (or pre-bucket
-    # coarser) for genuinely wider grids.
-    hi_checked = F.when(
-        F.col("__hi") - F.col("__lo") <= F.lit(max_span), F.col("__hi")
+    bucket_type = dict(df.dtypes)[bucket_col]
+    stepped = (
+        df.withColumnRenamed(bucket_col, "__b0")
+        .withColumn("__b1", F.lead("__b0").over(w))
+        .withColumn(
+            "__span", F.max("__b0").over(w_full) - F.min("__b0").over(w_full)
+        )
+    )
+    end_checked = F.when(
+        F.col("__span") <= F.lit(max_span),
+        F.coalesce(F.col("__b1") - F.lit(1), F.col("__b0")),
     ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit(
-                    "resample_gap_fill: bucket span for key "
-                ),
+                F.lit("resample_gap_fill: bucket span for key "),
                 F.col(key_col).cast("string"),
                 F.lit(" is "),
-                (F.col("__hi") - F.col("__lo")).cast("string"),
+                F.col("__span").cast("string"),
                 F.lit(
                     f" buckets (> max_span={max_span}); pre-bucket "
                     "coarser or raise max_span explicitly"
                 ),
             )
-        ).cast(dict(spans.dtypes)["__hi"])
+        ).cast(bucket_type)
     )
-    grid = spans.select(
+    return stepped.select(
         key_col,
-        F.explode(F.sequence(F.col("__lo"), hi_checked)).alias(
-            bucket_col
-        ),
-    )
-    joined = grid.join(
-        df.withColumn("__obs", F.lit(True)), [key_col, bucket_col], "left"
-    )
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(F.asc(bucket_col))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carry = F.last(
-        F.when(
-            F.col("__obs"),
-            F.struct(*[F.col(c).alias(c) for c in value_cols]),
-        ),
-        ignorenulls=True,
-    ).over(w)
-    out = joined.withColumn("__carry", carry)
-    for c in value_cols:
-        out = out.withColumn(
-            c,
-            F.when(F.col("__obs").isNotNull(), F.col(c)).otherwise(
-                F.col("__carry")[c]
-            ),
-        )
-    return (
-        out.withColumn("observed", F.coalesce(F.col("__obs"), F.lit(False)))
-        .drop("__obs", "__carry")
+        F.explode(F.sequence(F.col("__b0"), end_checked)).alias(bucket_col),
+        *value_cols,
+        F.col("__b0").alias("__b0"),
+    ).select(
+        key_col,
+        bucket_col,
+        *value_cols,
+        (F.col(bucket_col) == F.col("__b0")).alias("observed"),
     )
 
 
@@ -278,17 +263,39 @@ def linear_interpolate(
     division in DuckDB but truncation in Spark and the two only agree
     on non-negative operands. Exact int64 everywhere → engine-identical.
 
-    Distributed shape: grid = sequence+explode off the per-key span agg
-    (span-guarded like resample_gap_fill); neighbors come from ONE
-    last(ignorenulls) carry per direction (two window passes over the
-    same (key, bucket) sort — Catalyst reuses the exchange). Buckets
-    outside the observed range of a key don't exist by construction;
-    observed rows pass through untouched."""
-    spans = df.groupBy(key_col).agg(
-        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    Distributed shape (r12 optimization): ONE exchange on the key and
+    ONE sort — a single Window pass computes the NEXT observation
+    (lead) and the per-key span (unbounded min/max share the same
+    partitioning), then each observed row emits itself plus the gap
+    buckets up to the next observation via sequence+explode. The
+    former shape (dense grid built from a spans aggregate, left-joined
+    back, then two IGNORE NULLS carries) paid three more exchanges and
+    a join for the same rows — plan diff in plans/r12/zy3_*.txt.
+    Buckets must be unique per key (the resample contract — upstream
+    is a (key, bucket) aggregate); the span guard raises the same
+    max_span error as before, evaluated per key from the window span."""
+    w = Window.partitionBy(key_col).orderBy(F.asc("__b0"))
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    hi_checked = F.when(
-        F.col("__hi") - F.col("__lo") <= F.lit(max_span), F.col("__hi")
+    bucket_type = dict(df.dtypes)[bucket_col]
+    stepped = (
+        df.select(
+            key_col,
+            F.col(bucket_col).alias("__b0"),
+            F.col(value_col).alias("__v0"),
+        )
+        .withColumn("__b1", F.lead("__b0").over(w))
+        .withColumn("__v1", F.lead("__v0").over(w))
+        .withColumn(
+            "__span", F.max("__b0").over(w_full) - F.min("__b0").over(w_full)
+        )
+    )
+    # emit [b0, b1) per observed row (the last observation emits just
+    # itself); the guard raises BEFORE any oversized sequence allocates
+    end_checked = F.when(
+        F.col("__span") <= F.lit(max_span),
+        F.coalesce(F.col("__b1") - F.lit(1), F.col("__b0")),
     ).otherwise(
         F.raise_error(
             F.concat(
@@ -297,48 +304,33 @@ def linear_interpolate(
                 F.lit(" exceeds max_span="),
                 F.lit(str(max_span)),
             )
-        ).cast(dict(spans.dtypes)["__hi"])
+        ).cast(bucket_type)
     )
-    grid = spans.select(
-        key_col,
-        F.explode(F.sequence(F.col("__lo"), hi_checked)).alias(bucket_col),
-    )
-    joined = grid.join(
-        df.select(
-            key_col, bucket_col, F.col(value_col).alias("__v")
-        ).withColumn("__obs", F.lit(True)),
-        [key_col, bucket_col],
-        "left",
-    )
-    w_back = (
-        Window.partitionBy(key_col)
-        .orderBy(F.asc(bucket_col))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_fwd = (
-        Window.partitionBy(key_col)
-        .orderBy(F.asc(bucket_col))
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    obs_pt = F.when(
-        F.col("__obs"),
-        F.struct(F.col(bucket_col).alias("b"), F.col("__v").alias("v")),
-    )
-    out = (
-        joined.withColumn("__p", F.last(obs_pt, ignorenulls=True).over(w_back))
-        .withColumn("__n", F.first(obs_pt, ignorenulls=True).over(w_fwd))
-        .withColumn(
-            value_col,
-            F.when(F.col("__obs"), F.col("__v")).otherwise(
-                F.expr(
-                    f"(__p.v * (__n.b - {bucket_col}) + __n.v * "
-                    f"({bucket_col} - __p.b)) div (__n.b - __p.b)"
-                )
+    return (
+        stepped.select(
+            key_col,
+            "__b0",
+            "__v0",
+            "__b1",
+            "__v1",
+            F.explode(F.sequence(F.col("__b0"), end_checked)).alias(
+                bucket_col
             ),
         )
-        .withColumn("observed", F.coalesce(F.col("__obs"), F.lit(False)))
+        .select(
+            key_col,
+            bucket_col,
+            F.when(F.col(bucket_col) == F.col("__b0"), F.col("__v0"))
+            .otherwise(
+                F.expr(
+                    f"(__v0 * (__b1 - {bucket_col}) + __v1 * "
+                    f"({bucket_col} - __b0)) div (__b1 - __b0)"
+                )
+            )
+            .alias(value_col),
+            (F.col(bucket_col) == F.col("__b0")).alias("observed"),
+        )
     )
-    return out.select(key_col, bucket_col, value_col, "observed")
 
 
 def windowed_conversion(

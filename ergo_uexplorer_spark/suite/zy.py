@@ -172,6 +172,12 @@ def zy3_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.joins import linear_interpolate
 
     (orders,) = load(spark, sf_dir, "orders")
+    # repartition by the KEY alone before the (key, bucket) aggregate:
+    # hashpartitioning(o_custkey) satisfies the aggregate's clustering
+    # requirement AND the interpolation window's, so the whole entry
+    # runs on ONE exchange (the aggregation factor of (cust, month) on
+    # orders is ~1, so the lost map-side partial aggregation costs
+    # nothing at any scale — r12 plan diff: 4 Exchange → 1)
     b = (
         orders.select(
             "o_custkey",
@@ -180,6 +186,7 @@ def zy3_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             _cents(F.col("o_totalprice")).alias("cents"),
         )
+        .repartition("o_custkey")
         .groupBy("o_custkey", "bucket")
         .agg(F.sum("cents").cast("bigint").alias("cents"))
     )
