@@ -1865,6 +1865,173 @@ def _auto_hub_cap(hist: list, floor: int, ratio: int) -> int:
     return max(floor, ratio * median)
 
 
+_PAIRS_WEDGE_BUDGET_CONF = "spark.graft.pairs.localWedgeBudget"
+
+
+def _pair_count_local_arrow(
+    e: DataFrame,
+    min_pair: int,
+    min_left_degree: int | None = None,
+    with_degrees: bool = False,
+) -> DataFrame:
+    """Small-graph execution of the bipartite WEDGE pair count (shared
+    by `common_neighbor_links` and `stats.cooccurrence_pairs`): over a
+    (l, r) edge list, count for every unordered pair of LEFT nodes the
+    number of shared RIGHT neighbors, entirely in ONE Arrow task — the
+    same one-task posture as `_triangle_local_arrow`, gated by the
+    caller on measured wedge volume (Σ_r deg(r)²), never edge bytes.
+
+    Pure numpy: factorize both id columns to codes, dedupe (l, r)
+    (a NULL r keeps its own slot so LEFT degrees still count it, like
+    the distributed groupBy — NULL l rows are dropped, as the
+    distributed pair/degree joins drop them), optionally a-priori-prune
+    left nodes below `min_left_degree` (support is anti-monotone, the
+    market-basket prune), then expand each right block's i<j pairs in
+    bounded chunks and aggregate with one np.unique. Pair identity is
+    canonical in CODE space (min code, max code) — a bijection on
+    observed values, so the multiset of unordered VALUE pairs is exact;
+    the caller restores value order with least/greatest AFTER the id
+    restore cast (ints ride through strings here and "10" < "9"
+    lexicographically — the triangle-kernel lesson).
+
+    Output: (x, y, common[, deg_x, deg_y]) with (x, y) in code order;
+    `common` ≥ min_pair; degrees are per-left-node distinct-(l, r)-row
+    counts over the edge set as given (post hub-cap when the caller
+    capped). NULL rights never pair (the distributed equi-join
+    behaviour) but DO count toward degrees."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "x string, y string, common long"
+    if with_degrees:
+        out_schema += ", deg_x long, deg_y long"
+
+    def run(batches):
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if not len(pdf):
+            return
+        lc, ul = pd.factorize(pdf["l"], use_na_sentinel=True)
+        rc, ur = pd.factorize(pdf["r"], use_na_sentinel=True)
+        lc = lc.astype(np.int64)
+        rc = rc.astype(np.int64)
+        keep_l = lc >= 0
+        lc, rc = lc[keep_l], rc[keep_l]
+        n_l = max(len(ul), 1)
+        n_r1 = len(ur) + 1  # one extra slot so NULL r (code −1) survives
+        # distinct (l, r); the combined key is exact while n_l·(n_r+1)
+        # < 2^63 — guaranteed by the caller's broadcast-size gate
+        key = np.unique(lc * n_r1 + (rc + 1))
+        lc, rc = key // n_r1, key % n_r1 - 1
+        deg = np.bincount(lc, minlength=n_l).astype(np.int64)
+        if min_left_degree and min_left_degree > 1:
+            keep = deg[lc] >= min_left_degree
+            lc, rc = lc[keep], rc[keep]
+        pairable = rc >= 0
+        lcp, rcp = lc[pairable], rc[pairable]
+        order = np.argsort(rcp, kind="stable")
+        ls, rs = lcp[order], rcp[order]
+        m = len(rs)
+        if m:
+            new_blk = np.r_[True, rs[1:] != rs[:-1]]
+            blk_starts = np.flatnonzero(new_blk)
+            starts = blk_starts[np.cumsum(new_blk) - 1]
+            pj = np.arange(m) - starts  # row's position within its block
+            cum = np.cumsum(pj)
+            chunks = []
+            chunk_rows = 8_000_000
+            lo = 0
+            while lo < m:
+                base = int(cum[lo - 1]) if lo else 0
+                hi = int(np.searchsorted(cum, base + chunk_rows, "right"))
+                hi = min(max(hi, lo + 1), m)
+                cnt = pj[lo:hi]
+                tot = int(cnt.sum())
+                if tot:
+                    j_side = np.repeat(ls[lo:hi], cnt)
+                    lcum = np.cumsum(cnt) - cnt
+                    idx = np.repeat(starts[lo:hi], cnt) + (
+                        np.arange(tot) - np.repeat(lcum, cnt)
+                    )
+                    i_side = ls[idx]
+                    a = np.minimum(i_side, j_side)
+                    b = np.maximum(i_side, j_side)
+                    chunks.append(a * n_l + b)
+                lo = hi
+            keys = (
+                np.concatenate(chunks)
+                if chunks
+                else np.empty(0, dtype=np.int64)
+            )
+            uk, counts = np.unique(keys, return_counts=True)
+        else:
+            uk = np.empty(0, dtype=np.int64)
+            counts = np.empty(0, dtype=np.int64)
+        if min_pair and min_pair > 1:
+            sel = counts >= min_pair
+            uk, counts = uk[sel], counts[sel]
+        ca, cb = uk // n_l, uk % n_l
+        vals = np.asarray(ul, dtype=object)
+        cols = {
+            "x": pd.Series(vals[ca] if len(ca) else [], dtype=object),
+            "y": pd.Series(vals[cb] if len(cb) else [], dtype=object),
+            "common": pd.Series(counts, dtype="int64"),
+        }
+        if with_degrees:
+            cols["deg_x"] = pd.Series(
+                deg[ca] if len(ca) else [], dtype="int64"
+            )
+            cols["deg_y"] = pd.Series(
+                deg[cb] if len(cb) else [], dtype="int64"
+            )
+        yield pd.DataFrame(cols)
+
+    return e.coalesce(1).mapInPandas(run, out_schema)
+
+
+def _cast_bipartite_for_arrow(e: DataFrame):
+    """Per-column variant of `_cast_ids_for_arrow` for bipartite (l, r)
+    frames whose two id columns may carry different types: each integral
+    column round-trips through strings independently (Arrow nullable
+    int → float64 is lossy past 2^53), strings pass through, any other
+    type bails to the distributed path. `restore` casts the named
+    output columns back to the LEFT column's type (the only one that
+    appears in kernel output)."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    cols = []
+    types = [e.schema[c].dataType for c in e.columns]
+    for c, t in zip(e.columns, types):
+        if isinstance(t, StringType):
+            cols.append(F.col(c))
+        elif isinstance(t, integral):
+            cols.append(F.col(c).cast("string").alias(c))
+        else:
+            return None, None
+    lt = types[0]
+    if isinstance(lt, StringType):
+        return e.select(*cols), lambda df, out_cols: df
+
+    def restore(df: DataFrame, out_cols: list) -> DataFrame:
+        return df.select(
+            *[
+                F.col(c).cast(lt).alias(c) if c in out_cols else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    return e.select(*cols), restore
+
+
 def common_neighbor_links(
     edges: DataFrame,
     left_col: str,
@@ -1873,6 +2040,8 @@ def common_neighbor_links(
     max_right_degree: int | None = None,
     hub_guard: str = "auto",
     guard_stats: dict | None = None,
+    local_tier: bool | None = None,
+    tier_stats: dict | None = None,
 ) -> DataFrame:
     """Link prediction by common-neighbor counting over a bipartite
     graph → (node_a, node_b, common, deg_a, deg_b) for unordered left-
@@ -1931,6 +2100,7 @@ def common_neighbor_links(
     if not e.isStreaming:
         e = e.localCheckpoint(eager=True)
     cap = max_right_degree
+    hist = None
     if cap is None and hub_guard == "auto" and not e.isStreaming:
         sess = e.sparkSession
         floor = int(sess.conf.get(_HUB_FLOOR_CONF, "64"))
@@ -1983,6 +2153,63 @@ def common_neighbor_links(
         # so this re-pin is one cheap local pass)
         if not e.isStreaming:
             e = e.localCheckpoint(eager=True)
+    # ---- small-graph one-Arrow-task tier (r12): gate on measured ----
+    # WEDGE volume, never edge bytes — the z42 triangle posture. The
+    # auto hub-guard histogram already collected is reused for the
+    # probe (respecting the cap: capped-away hubs contribute nothing),
+    # so on the auto path the gate costs ZERO extra jobs; with an
+    # explicit cap / hub_guard='off' one Σdeg² aggregate runs over the
+    # checkpointed edge dim. At 100 TB the free materialized-size
+    # check refuses instantly and the distributed wedge join below is
+    # untouched. local == distributed is property-pinned (null
+    # endpoints, duplicate edges, string ids, ids past 2^53).
+    use_local = bool(local_tier)
+    wedge_vol = None
+    budget = int(
+        edges.sparkSession.conf.get(_PAIRS_WEDGE_BUDGET_CONF, "2000000")
+    )
+    if local_tier is None and not e.isStreaming and _fits_one_task(e):
+        if hist is not None:
+            wedge_vol = sum(
+                r["rd"] ** 2 * r["n_rights"]
+                for r in hist
+                if cap is None or r["rd"] <= cap
+            )
+        else:
+            row = (
+                e.groupBy("r")
+                .agg(F.count(F.lit(1)).alias("rd"))
+                .agg(F.sum(F.col("rd") * F.col("rd")).alias("w"))
+                .collect()
+            )
+            wedge_vol = row[0]["w"] if row else None
+        use_local = wedge_vol is not None and wedge_vol <= budget
+    if tier_stats is not None:
+        tier_stats.update(local=use_local, wedges=wedge_vol, budget=budget)
+    if use_local and not e.isStreaming:
+        e2, restore = _cast_bipartite_for_arrow(e)
+        if e2 is not None:
+            raw = _pair_count_local_arrow(
+                e2, min_pair=min_common, with_degrees=True
+            )
+            out = restore(raw, ["x", "y"])
+            # value order is restored AFTER the id cast-back: the pair
+            # is canonical in code space inside the kernel, and the
+            # degrees swap with their nodes
+            x_first = F.col("x") <= F.col("y")
+            return out.select(
+                F.least("x", "y").alias("node_a"),
+                F.greatest("x", "y").alias("node_b"),
+                "common",
+                F.when(x_first, F.col("deg_x"))
+                .otherwise(F.col("deg_y"))
+                .alias("deg_a"),
+                F.when(x_first, F.col("deg_y"))
+                .otherwise(F.col("deg_x"))
+                .alias("deg_b"),
+            )
+        if tier_stats is not None:
+            tier_stats["local"] = False
     deg = e.groupBy("l").agg(F.count(F.lit(1)).alias("deg"))
     a = e.select("r", F.col("l").alias("node_a"))
     b = e.select("r", F.col("l").alias("node_b"))
@@ -2002,15 +2229,47 @@ def common_neighbor_links(
     )
 
 
+def _checkpoint_size_estimate(df: DataFrame) -> int | None:
+    """Real cached bytes of a localCheckpoint-backed frame: a
+    checkpointed DataFrame's plan is a LogicalRDD whose Catalyst
+    sizeInBytes is UNKNOWN (Long.MaxValue), so `_plan_size_estimate`
+    returns None and a size gate would always refuse — the r12
+    optimization round found the `connected_components` local tier
+    dead on exactly this (its gate ran on the checkpointed pair table
+    and never fired). The checkpoint IS persisted, so the block
+    manager knows its true size: read it from getRDDStorageInfo via
+    the LogicalRDD's rdd id. Deserialized checkpoint rows are a few ×
+    larger than columnar bytes, so this errs conservative (refuses
+    sooner than a parquet-side estimate would). None when the frame is
+    not checkpoint-backed or the internal API drifts."""
+    try:
+        lp = df._jdf.queryExecution().analyzed()
+        if not lp.getClass().getName().endswith("LogicalRDD"):
+            return None
+        rid = lp.rdd().id()
+        sc = df.sparkSession.sparkContext
+        for info in sc._jsc.sc().getRDDStorageInfo():
+            if info.id() == rid:
+                size = int(info.memSize()) + int(info.diskSize())
+                return size if size > 0 else None
+    except Exception:  # noqa: BLE001 — py4j/internal API drift
+        return None
+    return None
+
+
 def _fits_one_task(e: DataFrame) -> bool:
     """Gate for the small-graph one-Arrow-task tier (shared by
     pagerank/k-hop/kcore/components): the MATERIALIZED edge table fits
     the broadcast budget — a graph that fits a broadcast fits one
     task. Callers must have materialized `e` (persist+count or
-    checkpoint) so the estimate is a real size, not a plan guess."""
+    checkpoint) so the estimate is a real size, not a plan guess; for
+    checkpoint-backed frames the real size comes from the block
+    manager (`_checkpoint_size_estimate`)."""
     if e.isStreaming:
         return False
     est = _plan_size_estimate(e)
+    if est is None:
+        est = _checkpoint_size_estimate(e)
     thr = _broadcast_threshold_bytes(e.sparkSession)
     return est is not None and 0 < est <= thr
 

@@ -8,6 +8,8 @@ hot-key report (MvStorage.scala:107-121) for fast-path reuse."""
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -526,6 +528,8 @@ def cooccurrence_pairs(
     basket_col: str,
     item_col: str,
     min_support: int,
+    local_tier: bool | None = None,
+    tier_stats: dict | None = None,
 ) -> DataFrame:
     """Frequent item PAIRS by basket co-occurrence → (item_a, item_b,
     n_baskets), support ≥ min_support — the market-basket / feature-
@@ -536,10 +540,79 @@ def cooccurrence_pairs(
     min_support are dropped BEFORE pairing — the wedge join then costs
     Σ|basket ∩ frequent|², not Σ|basket|². Distinct-first (multiset →
     set per basket), equi-join on the basket key, item_a < item_b for
-    one row per unordered pair."""
+    one row per unordered pair.
+
+    `local_tier=None` (default) auto-gates the small-graph one-Arrow-
+    task tier (the z42 `cooccurrence_triangles` posture): free
+    materialized-size check of the raw (item, basket) projection, then
+    a one-aggregate Σ per-basket-degree² probe against
+    `spark.graft.pairs.localWedgeBudget` (default 32M — a broadcast-
+    sized table can still carry a quadratic wedge load). When taken,
+    the WHOLE pipeline — distinct, a-priori prune, pair expansion,
+    support threshold — runs inside one Arrow kernel
+    (`graph._pair_count_local_arrow`); at 100 TB the size check
+    refuses instantly and the distributed join below is untouched.
+    Pass `tier_stats={}` to observe {"local", "wedges", "budget"};
+    False forces the distributed path (property-pinned equal)."""
+    from .graph import (
+        _PAIRS_WEDGE_BUDGET_CONF,
+        _broadcast_threshold_bytes,
+        _cast_bipartite_for_arrow,
+        _pair_count_local_arrow,
+        _plan_size_estimate,
+    )
+
+    e_raw = df.select(
+        F.col(item_col).alias("l"), F.col(basket_col).alias("r")
+    )
+    use_local = bool(local_tier)
+    wedge_vol = None
+    budget = int(
+        df.sparkSession.conf.get(_PAIRS_WEDGE_BUDGET_CONF, "2000000")
+    )
+    if local_tier is None and not e_raw.isStreaming:
+        # stage 1 is FREE (no job, no pin): the raw projection sits
+        # directly on the source scan, so Catalyst's optimized-plan
+        # size estimate is file-stat-based — at 100 TB this refuses
+        # instantly and the lazy distributed plan below is returned
+        # untouched. Only when the input is NOT provably huge (small
+        # estimate, or a stat-less local/checkpoint frame) does stage 2
+        # run: one Σ per-basket-count² probe job over RAW rows (an
+        # overestimate of the deduped wedge volume — conservative).
+        # Σd² ≤ budget itself bounds the edge list (Σd² ≥ Σd = rows),
+        # so a probe-accepted graph always fits the one Arrow task.
+        est = _plan_size_estimate(e_raw)
+        thr = _broadcast_threshold_bytes(df.sparkSession)
+        if est is None or 0 < est <= thr:
+            row = (
+                e_raw.groupBy("r")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .agg(F.sum(F.col("d") * F.col("d")).alias("w"))
+                .collect()
+            )
+            wedge_vol = row[0]["w"] if row else None
+            use_local = wedge_vol is not None and wedge_vol <= budget
+    if tier_stats is not None:
+        tier_stats.update(local=use_local, wedges=wedge_vol, budget=budget)
+    if use_local and not e_raw.isStreaming:
+        e2, restore = _cast_bipartite_for_arrow(e_raw)
+        if e2 is not None:
+            raw = _pair_count_local_arrow(
+                e2,
+                min_pair=min_support,
+                min_left_degree=min_support,
+                with_degrees=False,
+            )
+            return restore(raw, ["x", "y"]).select(
+                F.least("x", "y").alias("item_a"),
+                F.greatest("x", "y").alias("item_b"),
+                F.col("common").alias("n_baskets"),
+            )
+        if tier_stats is not None:
+            tier_stats["local"] = False
     its = (
-        df.select(
-            F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+        e_raw.select(
+            F.col("r").alias("b"), F.col("l").alias("i")
         ).distinct()
     )
     freq = (
@@ -687,12 +760,21 @@ def rfm_segments(
     Per entity: recency = latest activity ts (later ⇒ higher score),
     frequency = row count, monetary = Σ amount. Each dimension is
     scored into exact rank-based bins: score = (rank−1)·n_bins div n
-    + 1 with rank from `cumulative.ordered_prefix` over (value,
-    entity) — deterministic under ties, reproducible across engines
-    (unlike ntile over a driver-dependent partitioning), and never a
-    single-task global sort. Three range-shuffles over the ENTITY
-    dimension (already reduced from the fact table by the first
-    hash-agg), then one final hash-agg."""
+    + 1 with rank from `cumulative.ordered_prefix` — deterministic
+    under ties, reproducible across engines (unlike ntile over a
+    driver-dependent partitioning), and never a single-task global
+    sort.
+
+    r12 optimization: the three dimensions rank in ONE stacked pass
+    instead of three. The entity dim is unpivoted to (dim, value,
+    entity) — 3n narrow rows — and ranked by (dim, value, entity) in a
+    single `ordered_prefix` (one range shuffle + one offsets collect);
+    because every dim block holds exactly n rows, the per-dimension
+    rank is just global_rank − dim·n. One hash shuffle on the entity
+    pivots the three scores back onto one row. Same shuffled bytes as
+    the former three range passes, a third of the barriers/passes at
+    every scale; the per-dimension order (value, entity) is unchanged,
+    so scores are bit-identical."""
     from .cumulative import ordered_prefix
 
     per = df.groupBy(entity_col).agg(
@@ -700,24 +782,41 @@ def rfm_segments(
         F.count(F.lit(1)).alias("__f"),
         F.sum(F.col(amount_col).cast("long")).alias("__m"),
     )
-    # the entity dim feeds the count AND three rank passes — pin it once
-    # so the fact-table aggregation doesn't re-run per consumer
-    per = per.localCheckpoint(eager=True)
+    # the entity dim feeds the count AND the rank pass — pin it once
+    # so the fact-table aggregation doesn't re-run per consumer. Lazy
+    # checkpoint + count = ONE materializing job, not two (the count
+    # action is what persists the blocks)
+    per = per.localCheckpoint(eager=False)
     n = per.count()
 
-    def _score(d: DataFrame, col: str, out: str) -> DataFrame:
-        ranked = ordered_prefix(d, [col, entity_col], row_col="__rk")
-        return ranked.withColumn(
-            out,
-            F.expr(f"(__rk - 1) * {n_bins} div {n}").cast("long") + 1,
-        ).drop("__rk")
-
-    scored = _score(
-        _score(_score(per, "__r", "r_score"), "__f", "f_score"),
-        "__m",
-        "m_score",
+    stacked = reduce(
+        DataFrame.unionByName,
+        [
+            per.select(
+                F.lit(d).alias("__dim"),
+                F.col(c).alias("__val"),
+                F.col(entity_col),
+            )
+            for d, c in enumerate(("__r", "__f", "__m"))
+        ],
     )
-    return scored.groupBy("r_score", "f_score", "m_score").agg(
+    ranked = ordered_prefix(
+        stacked, ["__dim", "__val", entity_col], row_col="__rk"
+    )
+    scored_long = ranked.withColumn(
+        "__score",
+        F.expr(f"(__rk - 1 - __dim * {n}) * {n_bins} div {n}").cast("long")
+        + 1,
+    )
+    score_of = lambda d: F.max(  # noqa: E731 — one row per (entity, dim)
+        F.when(F.col("__dim") == d, F.col("__score"))
+    )
+    wide = scored_long.groupBy(entity_col).agg(
+        score_of(0).alias("r_score"),
+        score_of(1).alias("f_score"),
+        score_of(2).alias("m_score"),
+    )
+    return wide.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_entities")
     )
 

@@ -285,10 +285,19 @@ def test_connected_components_raises_on_non_convergence(spark):
 
     path_edges = [(i, i + 1) for i in range(8)]
     df = spark.createDataFrame(path_edges, "doc_a long, doc_b long")
+    # the raise contract belongs to the DISTRIBUTED loop: the one-task
+    # union-find tier has no round budget (it is exact regardless of
+    # diameter), and since r12 the gate actually fires on small inputs
+    # (checkpoint-backed sizes are now visible to it), so force the
+    # distributed path for the non-convergence pin
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=2)
+        connected_components(df, max_iter=2, local_tier=False)
     ok = connected_components(df, max_iter=20)
     assert {r["component"] for r in ok.collect()} == {0}
+    # the auto-gated tier on the same tiny graph is exact even at a
+    # round budget the distributed loop cannot meet
+    tiny = connected_components(df, max_iter=2)
+    assert {r["component"] for r in tiny.collect()} == {0}
 
 def test_motif_join_order_greedy_most_selective_first():
     """r4 verdict #4: positive motif terms chain by estimated cost —
