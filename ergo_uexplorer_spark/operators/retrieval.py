@@ -245,55 +245,75 @@ def retrieval_eval(
     queries are evaluated — `_bm25_prepare` pins the tf table for the
     UNION of all query terms plus the one-row (N, L) scalars, and each
     query then scores from that tiny pinned table (broadcast df dims,
-    TakeOrderedAndProject top-k). The global rank over the ≤k survivors
-    runs as one unpartitioned window over a ≤k-row input (bounded by
-    the parameter, never by data), and the relevance join broadcasts
-    the ≤k-row ranked side against the big labelled table. Per-term
-    document frequencies are identical whether computed per query or
-    over the union — df is a property of the term alone — so results
-    match the per-query `bm25_topk` exactly."""
-    from functools import reduce as _reduce
+    TakeOrderedAndProject top-k — per-partition heaps, never a per-query
+    sort of the matched docs). Per-term document frequencies are
+    identical whether computed per query or over the union — df is a
+    property of the term alone — so results match the per-query
+    `bm25_topk` exactly.
 
+    The per-query TAILS are fused (r12 optimization, guide §2.4/§3):
+    the tagged top-k unions (≤ n_queries·k rows by construction) feed
+    ONE window partitioned by query, ONE broadcast join against the
+    big labelled table, and ONE grouped aggregate — where the former
+    shape paid a relevance scan, a single-partition window, two
+    rebuilt broadcasts and a one-row aggregate PER QUERY (plan diff:
+    3 parquet scans → 1, 9 BroadcastExchange → 3, 3 Window → 1 for
+    the 3-query zw5 entry). Queries whose top-k is empty (no matching
+    doc) still emit their (query, 0, NULL, NULL, NULL) row via the
+    left join from the literal query-name frame — the same
+    agg-over-empty row the per-query loop produced."""
     all_terms = sorted({t for ts in queries.values() for t in ts})
     if not all_terms:
         raise ValueError("queries must contain at least one term")
     tf, dfreq, stats = _bm25_prepare(docs, all_terms, id_col, text_col)
 
-    outs = []
+    tops = []
     for qname, terms in queries.items():
+        # full dfreq on purpose: the equi-join on term restricts to
+        # `terms` anyway, and the now-identical broadcast subtree is
+        # built once and reused across every query branch
         top = _bm25_score_topk(
             tf.filter(F.col("term").isin(terms)),
-            dfreq.filter(F.col("term").isin(terms)),
+            dfreq,
             stats,
             k=k,
             id_col=id_col,
             scale=scale,
             exact=True,
         )
-        # Rank the ≤k survivors with ONE unpartitioned window: the
-        # input is bounded by the function parameter k (top-k output),
-        # so the single task holds ≤k rows by construction — the same
-        # provably-bounded sanction as the IVF probe-candidate ranks.
-        # The order key casts the digit-string score back to
-        # DECIMAL(38,0): ordering the string numerically via a double
-        # (what a generic negate would do) could merge distinct
-        # 38-digit scores that collide in 53-bit mantissa space.
-        w = Window.orderBy(
-            F.col("score").cast("decimal(38,0)").desc(), F.col(id_col)
-        )
-        ranked = top.select(
-            id_col, F.row_number().over(w).alias("rank")
-        )
-        j = relevance.join(F.broadcast(ranked), id_col)
-        rel = F.col("is_rel")
-        outs.append(
-            j.agg(
-                F.count(F.lit(1)).alias("n_topk"),
-                F.sum(rel.cast("long")).alias("n_rel"),
-                F.min(F.when(rel, F.col("rank"))).alias("first_rel_rank"),
-                F.sum(
-                    (rel & (F.col("rank") <= p_cut)).cast("long")
-                ).alias("rel_at_p"),
-            ).select(F.lit(qname).alias("query"), "*")
-        )
-    return _reduce(lambda a, b: a.unionByName(b), outs)
+        tops.append(top.select(F.lit(qname).alias("query"), id_col, "score"))
+    allk = reduce(lambda a, b: a.unionByName(b), tops)
+    # Rank survivors with ONE window partitioned by query: the input is
+    # bounded by n_queries·k (top-k outputs), so each task holds ≤k
+    # rows per query by construction — the same provably-bounded
+    # sanction as the IVF probe-candidate ranks. The order key casts
+    # the digit-string score back to DECIMAL(38,0): ordering the string
+    # numerically via a double (what a generic negate would do) could
+    # merge distinct 38-digit scores that collide in 53-bit mantissa
+    # space.
+    w = Window.partitionBy("query").orderBy(
+        F.col("score").cast("decimal(38,0)").desc(), F.col(id_col)
+    )
+    ranked = allk.select(
+        "query", id_col, F.row_number().over(w).alias("rank")
+    )
+    j = relevance.join(F.broadcast(ranked), id_col)
+    rel = F.col("is_rel")
+    agg = j.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_topk"),
+        F.sum(rel.cast("long")).alias("n_rel"),
+        F.min(F.when(rel, F.col("rank"))).alias("first_rel_rank"),
+        F.sum((rel & (F.col("rank") <= p_cut)).cast("long")).alias(
+            "rel_at_p"
+        ),
+    )
+    names = docs.sparkSession.createDataFrame(
+        [(q,) for q in queries], "query string"
+    )
+    return names.join(agg, "query", "left").select(
+        "query",
+        F.coalesce(F.col("n_topk"), F.lit(0)).cast("long").alias("n_topk"),
+        "n_rel",
+        "first_rel_rank",
+        "rel_at_p",
+    )
