@@ -1659,11 +1659,20 @@ def degree_assortativity_stats(
     here is EXACT and engine-identical. Big products surface as
     DECIMAL(38,0) digit strings (z41 convention).
 
-    Distributed shape: degrees are one groupBy over the symmetrized
-    edge list; each edge then picks up its two endpoint degrees via two
-    node-dim equi-joins (broadcastable — degree tables are node-sized);
-    the final agg is a scalar map-side-combined reduction. No
-    quadratic term anywhere."""
+    Distributed shape (r12): the symmetrized edge list is pinned with a
+    lazy checkpoint — the upstream edge generation (often an expensive
+    self-join, zy4) runs ONCE instead of once per reference; Catalyst
+    re-evaluates shared subtrees, so the former two-equi-join form paid
+    the edge build six times (pairs + both degree joins × the two-sided
+    union). Edge rows then traverse ONE broadcast join (pick up the
+    v-side degree) and are regrouped per u — Σ_edges f(ju, kv) =
+    Σ_u Σ_{v∈N(u)} f(d_u, d_v), exact integer regrouping — so the
+    per-u partial sums join the node-sized degree table and reduce to
+    the one-row answer. NULL semantics match the former inner-join
+    shape bit-for-bit: degrees count NULL-neighbor rows (groupBy keeps
+    the rows), but NULL-endpoint rows never PAIR (inner equi-joins
+    dropped them), hence the explicit both-ends-non-null filter on the
+    pair side only."""
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(
@@ -1671,18 +1680,32 @@ def degree_assortativity_stats(
         )
         .distinct()
     )
+    if not und.isStreaming:
+        und = und.localCheckpoint(eager=False)
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    du = deg.select(F.col("u"), F.col("d").alias("ju"))
+    if not und.isStreaming:
+        deg = deg.localCheckpoint(eager=False)
     dv = deg.select(F.col("u").alias("v"), F.col("d").alias("kv"))
-    pairs = und.join(du, "u").join(dv, "v")
+    per_u = (
+        und.filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .join(dv, "v")
+        .groupBy("u")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("kv").alias("skv"),
+            F.sum(F.col("kv") * F.col("kv")).alias("skv2"),
+        )
+        .join(deg, "u")
+    )
     big = lambda c: F.sum(c.cast("decimal(38,0)")).cast("decimal(38,0)")
-    return pairs.agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum("ju").cast("bigint").alias("sum_j"),
-        F.sum("kv").cast("bigint").alias("sum_k"),
-        big(F.col("ju") * F.col("kv")).cast("string").alias("sum_jk"),
-        big(F.col("ju") * F.col("ju")).cast("string").alias("sum_j2"),
-        big(F.col("kv") * F.col("kv")).cast("string").alias("sum_k2"),
+    d = F.col("d")
+    return per_u.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("m"),
+        F.sum(d * F.col("cnt")).cast("bigint").alias("sum_j"),
+        F.sum("skv").cast("bigint").alias("sum_k"),
+        big(d * F.col("skv")).cast("string").alias("sum_jk"),
+        big(d * d * F.col("cnt")).cast("string").alias("sum_j2"),
+        big(F.col("skv2")).cast("string").alias("sum_k2"),
     )
 
 

@@ -155,3 +155,44 @@ def test_cooccurrence_pairs_gate_refusal(spark):
         assert out.count() == 40 * 39 // 2
     finally:
         spark.conf.unset("spark.graft.pairs.localWedgeBudget")
+
+
+def test_assortativity_regrouped_equals_edge_join_form(spark):
+    """degree_assortativity_stats (r12 per-node regrouping + pinned
+    symmetrized edge list) must match the former two-equi-join edge
+    form on hostile inputs: NULL endpoints (degrees count NULL-neighbor
+    rows, pairs never include them), self-loops, duplicate edges."""
+    random.seed(12)
+    rows = [(random.randint(0, 30), random.randint(0, 30)) for _ in range(200)]
+    rows += rows[:20] + [(5, 5), (None, 3), (9, None), (None, None)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+
+    got = G.degree_assortativity_stats(e).collect()[0]
+
+    # reference: the former shape, computed literally
+    und = (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        und.join(deg.select("u", F.col("d").alias("ju")), "u")
+        .join(deg.select(F.col("u").alias("v"), F.col("d").alias("kv")), "v")
+    )
+    big = lambda c: F.sum(c.cast("decimal(38,0)")).cast("decimal(38,0)")
+    exp = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("ju").cast("bigint").alias("sum_j"),
+        F.sum("kv").cast("bigint").alias("sum_k"),
+        big(F.col("ju") * F.col("kv")).cast("string").alias("sum_jk"),
+        big(F.col("ju") * F.col("ju")).cast("string").alias("sum_j2"),
+        big(F.col("kv") * F.col("kv")).cast("string").alias("sum_k2"),
+    ).collect()[0]
+    assert tuple(got) == tuple(exp)
+
+
+def test_assortativity_empty_edges(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    row = G.degree_assortativity_stats(e).collect()[0]
+    assert row.m == 0 and row.sum_j is None and row.sum_jk is None
