@@ -1465,8 +1465,15 @@ def lsh_topk(
         F.col(vec_col).alias("nv"),
         # corpus side is the big scan → Arrow-batched bucket; the query
         # side keeps the HOF margins (it needs the VALUES for probe
-        # ordering, and it is |queries|-sized)
-        _bucket_vectorized(F.col(vec_col)).alias("bucket"),
+        # ordering, and it is |queries|-sized). coalesce(-1): the join's
+        # injected isnotnull(bucket) otherwise splits the UDF into TWO
+        # ArrowEvalPython nodes (one for the filter, one for the output)
+        # — a provably-true null screen the optimizer then removes.
+        # -1 is outside the 0..2^LSH_PLANES-1 query-bucket range, so a
+        # hypothetical null row still never matches.
+        F.coalesce(
+            _bucket_vectorized(F.col(vec_col)), F.lit(-1)
+        ).alias("bucket"),
     )
     scored = (
         F.broadcast(q)

@@ -140,14 +140,21 @@ def zyb2_decile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "period",
         F.expr("(__rs - 1) * 10 div __ns + 1").cast("long").alias("dec"),
     )
-    p1 = d.filter(F.col("period") == "p1").select(
-        "o_custkey", F.col("dec").alias("dec_p1")
-    )
-    p2 = d.filter(F.col("period") == "p2").select(
-        "o_custkey", F.col("dec").alias("dec_p2")
-    )
+    # (o_custkey, period) is unique after the aggregate, so the former
+    # p1⋈p2 self-join (which re-evaluated the whole rank DAG per side)
+    # collapses to one per-customer pivot pass; inner-join semantics =
+    # keep customers present in BOTH periods.
     return (
-        p1.join(p2, "o_custkey")
+        d.groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("period") == "p1", F.col("dec"))).alias(
+                "dec_p1"
+            ),
+            F.max(F.when(F.col("period") == "p2", F.col("dec"))).alias(
+                "dec_p2"
+            ),
+        )
+        .filter(F.col("dec_p1").isNotNull() & F.col("dec_p2").isNotNull())
         .groupBy("dec_p1", "dec_p2")
         .agg(F.count(F.lit(1)).alias("n_custs"))
     )
