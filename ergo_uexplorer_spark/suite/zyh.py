@@ -180,14 +180,29 @@ def zyh2_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sigb, "doc_b")
         .select("doc_a", "doc_b", agree.alias("est12"))
     )
-    touched = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    # Exact sufficient statistics CANDIDATE-SCOPED (r12): the former
+    # path ran the full threshold-0 inverted-index pair join over every
+    # TOUCHED doc (all pairs sharing >=1 shingle hash, Σ_h C(df_h, 2)
+    # intermediate rows) and then semi-joined the candidate set away.
+    # Walking cand → its doc_a shingles → equi-join on (doc_b, h)
+    # computes the same shared-count per candidate pair with a
+    # |cand|·|set| intermediate instead; pairs with no shared hash
+    # produce no rows, exactly the inner pairs0 join's drop semantics.
+    # na/nb are per-doc set sizes, unaffected by the former semi-filter.
+    shared = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
-    exact = D.jaccard_pairs(
-        sh.join(touched, "doc_id", "left_semi"), 0, 1, elem_col="h"
-    ).join(cand, ["doc_a", "doc_b"], "left_semi")
+    ncount = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nn"))
+    exact = shared.join(
+        ncount.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na")),
+        "doc_a",
+    ).join(
+        ncount.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb")),
+        "doc_b",
+    )
     out = est.join(exact, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "est12", "shared", "na", "nb"
     )
