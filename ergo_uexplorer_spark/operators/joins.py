@@ -199,8 +199,20 @@ def resample_gap_fill(
     ).select(
         key_col,
         bucket_col,
-        *value_cols,
-        (F.col(bucket_col) == F.col("__b0")).alias("observed"),
+        # NULL-key groups reproduce the former grid-LEFT-JOIN shape:
+        # a NULL equi-key never matches, so their grid rows carry NULL
+        # values and observed=false (coalesce(__obs, false) in the old
+        # shape) — the window partitioning above WOULD treat NULL as a
+        # real group, which is the divergence the r12 dirty sweep
+        # caught on the interpolation twin.
+        *[
+            F.when(F.col(key_col).isNotNull(), F.col(c)).alias(c)
+            for c in value_cols
+        ],
+        (
+            F.col(key_col).isNotNull()
+            & (F.col(bucket_col) == F.col("__b0"))
+        ).alias("observed"),
     )
 
 
@@ -320,15 +332,29 @@ def linear_interpolate(
         .select(
             key_col,
             bucket_col,
-            F.when(F.col(bucket_col) == F.col("__b0"), F.col("__v0"))
-            .otherwise(
+            # NULL-key groups reproduce the former grid-LEFT-JOIN
+            # shape: a NULL equi-key never matches, so their grid rows
+            # carry NULL value and observed=false (the window
+            # partitioning above WOULD treat NULL as a real group —
+            # that divergence is exactly what the r12 dirty sweep
+            # caught vs the join-formulated oracle).
+            F.when(
+                F.col(key_col).isNotNull()
+                & (F.col(bucket_col) == F.col("__b0")),
+                F.col("__v0"),
+            )
+            .when(
+                F.col(key_col).isNotNull(),
                 F.expr(
                     f"(__v0 * (__b1 - {bucket_col}) + __v1 * "
                     f"({bucket_col} - __b0)) div (__b1 - __b0)"
-                )
+                ),
             )
             .alias(value_col),
-            (F.col(bucket_col) == F.col("__b0")).alias("observed"),
+            (
+                F.col(key_col).isNotNull()
+                & (F.col(bucket_col) == F.col("__b0"))
+            ).alias("observed"),
         )
     )
 

@@ -1037,8 +1037,15 @@ def zx3_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.joins import resample_gap_fill
 
     (events,) = load(spark, sf_dir, "events")
+    # ts IS NOT NULL mirrors the oracle's WHERE and is load-bearing:
+    # the former grid-join shape let Catalyst infer isnotnull(bucket)
+    # below this aggregate, pruning null-ts rows BEFORE the ANSI money
+    # cast; the r12 join-free shape lost that inferred filter, so a
+    # null-ts row carrying NaN money crashed the cast where the oracle
+    # (which filters first) computes (dirty-sweep catch, r12).
     obs = (
-        events.select(
+        events.where(F.col("ts").isNotNull())
+        .select(
             "event_type",
             F.expr("ts div 3600000000000").alias("bucket"),
             _cents(F.col("value")).alias("c"),

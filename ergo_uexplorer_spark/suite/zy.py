@@ -177,9 +177,17 @@ def zy3_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # requirement AND the interpolation window's, so the whole entry
     # runs on ONE exchange (the aggregation factor of (cust, month) on
     # orders is ~1, so the lost map-side partial aggregation costs
-    # nothing at any scale — r12 plan diff: 4 Exchange → 1)
+    # nothing at any scale — r12 plan diff: 2 shuffle Exchanges +
+    # 1 BroadcastExchange + join → 1 shuffle Exchange)
+    # o_orderdate IS NOT NULL mirrors the oracle's WHERE and is
+    # load-bearing: the former grid-join shape let Catalyst infer
+    # isnotnull(bucket) below the aggregate, pruning null-date rows
+    # BEFORE the ANSI money cast; the r12 join-free shape lost that
+    # inferred filter, so a null-date row carrying NaN money crashed
+    # the cast where the oracle computes (dirty-sweep catch, r12).
     b = (
-        orders.select(
+        orders.where(F.col("o_orderdate").isNotNull())
+        .select(
             "o_custkey",
             (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
                 "bucket"

@@ -269,6 +269,29 @@ def test_resample_gap_fill_preserves_observed_nulls(spark):
     assert rows[("a", 4)] == (9, True)
 
 
+def test_resample_gap_fill_null_key_join_miss(spark):
+    """NULL-key rows reproduce the grid-LEFT-JOIN formulation: a NULL
+    equi-key never matches, so every NULL-key grid row carries NULL
+    values and observed=false — even the buckets where the NULL-key
+    group has observations (r12 dirty-sweep catch: the window-based
+    rewrite treated NULL as a real partition)."""
+    from ergo_uexplorer_spark.operators.joins import resample_gap_fill
+
+    obs = spark.createDataFrame(
+        [(None, 1, 5), (None, 3, 7), ("a", 2, 9)],
+        "k string, bucket long, v long",
+    )
+    rows = {
+        (r["k"], r["bucket"]): (r["v"], r["observed"])
+        for r in resample_gap_fill(obs, "k", "bucket", ["v"]).collect()
+    }
+    assert rows[(None, 1)] == (None, False)
+    assert rows[(None, 2)] == (None, False)
+    assert rows[(None, 3)] == (None, False)
+    assert rows[("a", 2)] == (9, True)
+    assert len(rows) == 4
+
+
 def test_boxes_with_assets_probe_equals_join(tables):
     """probe_ids=True (the interactive B-tree-probe strategy, r11) must
     return exactly the plain-join result — pre-filtering assets to the

@@ -91,6 +91,27 @@ def test_linear_interpolate_exact_lerp(spark):
     assert len(out) == 7
 
 
+def test_linear_interpolate_null_key_join_miss(spark):
+    """NULL-key rows reproduce the grid-LEFT-JOIN formulation (and the
+    zy3 oracle): a NULL equi-key never matches, so every NULL-key grid
+    row carries NULL value and observed=false — no LOCF carry, no lerp
+    (r12 dirty-sweep catch: the window-based rewrite treated NULL as a
+    real partition and marked its observations observed=true)."""
+    df = spark.createDataFrame(
+        [(None, 0, 10), (None, 2, 30), (1, 5, 7)],
+        "k long, b long, v long",
+    )
+    out = {
+        (r.k, r.b): (r.v, r.observed)
+        for r in linear_interpolate(df, "k", "b", "v").collect()
+    }
+    assert out[(None, 0)] == (None, False)
+    assert out[(None, 1)] == (None, False)  # no lerp across NULL key
+    assert out[(None, 2)] == (None, False)
+    assert out[(1, 5)] == (7, True)
+    assert len(out) == 4
+
+
 def test_linear_interpolate_span_guard(spark):
     df = spark.createDataFrame(
         [(1, 0, 1), (1, 10**10, 2)], "k long, b long, v long"
