@@ -2188,8 +2188,18 @@ def common_neighbor_links(
     # endpoints, duplicate edges, string ids, ids past 2^53).
     use_local = bool(local_tier)
     wedge_vol = None
+    # Default re-measured in r12 (clean A/B on a checkpointed edge
+    # frame, best-of-3, 32 cores): the one-task kernel beat the
+    # distributed wedge join at EVERY probed volume — 3.9M wedges
+    # 1.46 s vs 2.41 s, 6.8M 1.59 vs 2.69, 10.5M 1.62 vs 2.47,
+    # 18.6M 1.72 vs 3.21 — so the budget sits at the largest
+    # evidence-backed point (16M < 18.6M), not the old 2M (which was
+    # measured with the upstream pipeline accidentally serialized
+    # into the kernel's coalesce(1)). Σd² ≥ edge rows, so an accepted
+    # graph is ≤16M edge rows in the one task; the broadcast-size
+    # check above still refuses first at 100 TB.
     budget = int(
-        edges.sparkSession.conf.get(_PAIRS_WEDGE_BUDGET_CONF, "2000000")
+        edges.sparkSession.conf.get(_PAIRS_WEDGE_BUDGET_CONF, "16000000")
     )
     if local_tier is None and not e.isStreaming and _fits_one_task(e):
         if hist is not None:

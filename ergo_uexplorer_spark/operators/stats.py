@@ -546,7 +546,7 @@ def cooccurrence_pairs(
     task tier (the z42 `cooccurrence_triangles` posture): free
     materialized-size check of the raw (item, basket) projection, then
     a one-aggregate Σ per-basket-degree² probe against
-    `spark.graft.pairs.localWedgeBudget` (default 32M — a broadcast-
+    `spark.graft.pairs.localWedgeBudget` (default 16M — a broadcast-
     sized table can still carry a quadratic wedge load). When taken,
     the WHOLE pipeline — distinct, a-priori prune, pair expansion,
     support threshold — runs inside one Arrow kernel
@@ -568,7 +568,7 @@ def cooccurrence_pairs(
     use_local = bool(local_tier)
     wedge_vol = None
     budget = int(
-        df.sparkSession.conf.get(_PAIRS_WEDGE_BUDGET_CONF, "2000000")
+        df.sparkSession.conf.get(_PAIRS_WEDGE_BUDGET_CONF, "16000000")
     )
     if local_tier is None and not e_raw.isStreaming:
         # stage 1 is FREE (no job, no pin): the raw projection sits
@@ -584,6 +584,19 @@ def cooccurrence_pairs(
         est = _plan_size_estimate(e_raw)
         thr = _broadcast_threshold_bytes(df.sparkSession)
         if est is None or 0 < est <= thr:
+            # pin the stage-1-bounded projection before the probe:
+            # probe, kernel AND the distributed fallback all re-read
+            # these rows, and without the pin each re-executed the
+            # source scan (r12: auto path 3.6 s vs 1.6 s forced-local
+            # at sf0.1 — the delta was exactly this double scan). One
+            # 2-column parallel materialization, only when the size
+            # estimate is KNOWN ≤ broadcast threshold — est None means
+            # a stat-less local/checkpoint frame: already materialized
+            # upstream (cheap to re-read) and of UNKNOWN size, so
+            # never eagerly pinned here. The 100 TB path never reaches
+            # here (stage 1 refuses on file stats).
+            if est is not None:
+                e_raw = e_raw.localCheckpoint(eager=True)
             row = (
                 e_raw.groupBy("r")
                 .agg(F.count(F.lit(1)).alias("d"))
