@@ -360,11 +360,8 @@ def _plan_size_estimate(df: DataFrame) -> int | None:
         return None
 
 
-def _broadcast_threshold_bytes(spark: SparkSession) -> int:
-    """spark.sql.autoBroadcastJoinThreshold in bytes (-1 → 0: disabled)."""
-    raw = str(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    ).strip().lower()
+def _parse_size_bytes(raw: str, default: int) -> int:
+    raw = str(raw).strip().lower()
     units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     num, mult = raw, 1
     for suffix in ("kb", "mb", "gb", "tb", "b", "k", "m", "g", "t"):
@@ -374,7 +371,42 @@ def _broadcast_threshold_bytes(spark: SparkSession) -> int:
     try:
         return max(0, int(num) * mult)
     except ValueError:
-        return 10 << 20
+        return default
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """spark.sql.autoBroadcastJoinThreshold in bytes (-1 → 0: disabled)."""
+    return _parse_size_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"),
+        10 << 20,
+    )
+
+
+_LOCAL_TIER_MAX_BYTES_CONF = "spark.graft.localTier.maxBytes"
+
+
+def _local_tier_max_bytes(spark: SparkSession) -> int:
+    """Byte gate for the small-graph one-Arrow-task tiers (pagerank /
+    k-hop / k-core / components / triangle / pair kernels): the
+    largest MATERIALIZED graph the whole-graph kernel will ingest as
+    ONE task. Decoupled from autoBroadcastJoinThreshold in r12:
+    that conf models SHIPPING a join build side to every executor;
+    this one models a single task scanning the graph once — a
+    different cost with a much higher knee. Measured on local[32]
+    at sf0.1 (interleaved A/B, best-of-3): the 599k-edge k-core peel
+    runs 4.6 s one-task vs 8.3 s distributed, the 2.7M-edge 4-hop
+    BFS 3.1 s vs 6.4 s — the distributed loops pay per-round
+    scheduled stages for near-empty tasks, a latency that only grows
+    on a busy cluster. Default 64 MB: ids ride to the kernel as
+    strings (≈4× pandas expansion), so the one task peaks at a few
+    hundred MB — inside any standard executor; a 100 TB-derived
+    graph is GBs of edges and refuses here exactly as it refused the
+    broadcast gate. Set the conf lower for memory-tight executors
+    (0 disables every local tier)."""
+    return _parse_size_bytes(
+        spark.conf.get(_LOCAL_TIER_MAX_BYTES_CONF, "67108864"),
+        64 << 20,
+    )
 
 
 def _order_motif_terms(
@@ -721,7 +753,7 @@ def pagerank_int(
     e.count()
     if broadcast_tables is None and stats is None and not e.isStreaming:
         est = _plan_size_estimate(e)
-        thr0 = _broadcast_threshold_bytes(edges.sparkSession)
+        thr0 = _local_tier_max_bytes(edges.sparkSession)
         if est is not None and 0 < est <= thr0:
             from pyspark.sql.types import (
                 ByteType,
@@ -2188,18 +2220,20 @@ def common_neighbor_links(
     # endpoints, duplicate edges, string ids, ids past 2^53).
     use_local = bool(local_tier)
     wedge_vol = None
-    # Default re-measured in r12 (clean A/B on a checkpointed edge
-    # frame, best-of-3, 32 cores): the one-task kernel beat the
-    # distributed wedge join at EVERY probed volume — 3.9M wedges
-    # 1.46 s vs 2.41 s, 6.8M 1.59 vs 2.69, 10.5M 1.62 vs 2.47,
-    # 18.6M 1.72 vs 3.21 — so the budget sits at the largest
-    # evidence-backed point (16M < 18.6M), not the old 2M (which was
-    # measured with the upstream pipeline accidentally serialized
-    # into the kernel's coalesce(1)). Σd² ≥ edge rows, so an accepted
-    # graph is ≤16M edge rows in the one task; the broadcast-size
-    # check above still refuses first at 100 TB.
+    # Default re-measured in r12 on GENUINE entries (interleaved
+    # same-session A/B, tier flipped via this conf): at 3.0M wedges
+    # the one-task kernel wins ~2× (zya6 1.6 s vs 3.0+ s), at 18.6M
+    # it LOSES ~1.4× (zya8 5.9-6.9 s vs 4.0-4.9 s distributed) —
+    # even though a synthetic sweep on a pre-pinned edge frame had
+    # the kernel "winning" at every volume up to 18.6M (SCALE.md
+    # records both and the lesson: pinned-frame sweeps over-credit
+    # the kernel; only genuine-entry A/B arbitrates). 4M sits above
+    # the measured 3.0M win with margin and below the un-evidenced
+    # mid-band. Σd² ≥ edge rows, so an accepted graph is ≤4M edge
+    # rows in the one task; the localTier.maxBytes size check above
+    # still refuses first at 100 TB.
     budget = int(
-        edges.sparkSession.conf.get(_PAIRS_WEDGE_BUDGET_CONF, "16000000")
+        edges.sparkSession.conf.get(_PAIRS_WEDGE_BUDGET_CONF, "4000000")
     )
     if local_tier is None and not e.isStreaming and _fits_one_task(e):
         if hist is not None:
@@ -2300,10 +2334,16 @@ def _fits_one_task(e: DataFrame) -> bool:
     manager (`_checkpoint_size_estimate`)."""
     if e.isStreaming:
         return False
-    est = _plan_size_estimate(e)
+    # exact cached bytes FIRST: a checkpoint-backed frame's Catalyst
+    # stats are a per-row default guess (~2^40 observed — large but
+    # under the 2^62 sanity filter, so it silently shadowed the real
+    # size and kept this gate refusing 50 MB graphs; r12 final
+    # session). The block-manager number is the truth when present;
+    # the plan estimate covers persisted/scan-backed frames.
+    est = _checkpoint_size_estimate(e)
     if est is None:
-        est = _checkpoint_size_estimate(e)
-    thr = _broadcast_threshold_bytes(e.sparkSession)
+        est = _plan_size_estimate(e)
+    thr = _local_tier_max_bytes(e.sparkSession)
     return est is not None and 0 < est <= thr
 
 
@@ -2460,13 +2500,13 @@ def kcore(
     # driver latency on local mode regardless of data size)
     single = e.count() <= 100_000
     if local_tier is None:
-        # the one-task tier is gated on BYTES (the broadcast budget —
+        # the one-task tier is gated on BYTES (the local-tier budget —
         # mirrored edges ≈ 2× the cached one-direction table), not the
         # stricter 100k single-partition row gate: a 500k-edge peel is
         # still ~15 MB — trivially one task's work, while the
         # distributed loop pays per-round scheduled jobs for it
         est = _plan_size_estimate(one)
-        thr = _broadcast_threshold_bytes(edges.sparkSession)
+        thr = _local_tier_max_bytes(edges.sparkSession)
         local_tier = est is not None and 0 < est * 2 <= thr
     one.unpersist(blocking=False)  # e is materialized; cache served
     if local_tier:

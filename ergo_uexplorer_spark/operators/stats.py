@@ -546,7 +546,7 @@ def cooccurrence_pairs(
     task tier (the z42 `cooccurrence_triangles` posture): free
     materialized-size check of the raw (item, basket) projection, then
     a one-aggregate Σ per-basket-degree² probe against
-    `spark.graft.pairs.localWedgeBudget` (default 16M — a broadcast-
+    `spark.graft.pairs.localWedgeBudget` (default 4M — a broadcast-
     sized table can still carry a quadratic wedge load). When taken,
     the WHOLE pipeline — distinct, a-priori prune, pair expansion,
     support threshold — runs inside one Arrow kernel
@@ -556,8 +556,8 @@ def cooccurrence_pairs(
     False forces the distributed path (property-pinned equal)."""
     from .graph import (
         _PAIRS_WEDGE_BUDGET_CONF,
-        _broadcast_threshold_bytes,
         _cast_bipartite_for_arrow,
+        _local_tier_max_bytes,
         _pair_count_local_arrow,
         _plan_size_estimate,
     )
@@ -568,7 +568,7 @@ def cooccurrence_pairs(
     use_local = bool(local_tier)
     wedge_vol = None
     budget = int(
-        df.sparkSession.conf.get(_PAIRS_WEDGE_BUDGET_CONF, "16000000")
+        df.sparkSession.conf.get(_PAIRS_WEDGE_BUDGET_CONF, "4000000")
     )
     if local_tier is None and not e_raw.isStreaming:
         # stage 1 is FREE (no job, no pin): the raw projection sits
@@ -582,7 +582,7 @@ def cooccurrence_pairs(
         # Σd² ≤ budget itself bounds the edge list (Σd² ≥ Σd = rows),
         # so a probe-accepted graph always fits the one Arrow task.
         est = _plan_size_estimate(e_raw)
-        thr = _broadcast_threshold_bytes(df.sparkSession)
+        thr = _local_tier_max_bytes(df.sparkSession)
         if est is None or 0 < est <= thr:
             # pin the stage-1-bounded projection before the probe:
             # probe, kernel AND the distributed fallback all re-read
@@ -590,7 +590,7 @@ def cooccurrence_pairs(
             # source scan (r12: auto path 3.6 s vs 1.6 s forced-local
             # at sf0.1 — the delta was exactly this double scan). One
             # 2-column parallel materialization, only when the size
-            # estimate is KNOWN ≤ broadcast threshold — est None means
+            # estimate is KNOWN ≤ the local-tier budget — est None means
             # a stat-less local/checkpoint frame: already materialized
             # upstream (cheap to re-read) and of UNKNOWN size, so
             # never eagerly pinned here. The 100 TB path never reaches
