@@ -705,6 +705,42 @@ def test_near_dup_bucketed_subset_and_recall(spark):
     assert (0, 1) in fast  # the planted near-dup survives bucketing
 
 
+def test_simhash_arrow_kernel_equals_agg_twin(spark, monkeypatch):
+    """The r12 Arrow signature kernel is bit-identical to the historical
+    explode + conditional-sum groupBy (`_simhash_agg`) on a hostile
+    corpus — NULL text, empty text, whitespace-only, single token,
+    unicode, and a long doc — at both signature widths, and the
+    multi-chunk kernel path (chunk cap shrunk to 7 tokens) agrees with
+    the single-chunk one."""
+    from ergo_uexplorer_spark.operators import dedup as D
+
+    docs = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "one"),
+        (4, "alpha beta gamma delta"),
+        (5, "ALPHA beta GAMMA delta"),  # same token set as 4
+        (6, "naïve café χ ψ ω 北京 🚀 mixed"),
+        (7, " ".join(f"tok{i}" for i in range(97))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for bits in (32, 60):
+        want = sorted(
+            tuple(r) for r in D._simhash_agg(df, bits=bits).collect()
+        )
+        got = sorted(tuple(r) for r in D.simhash(df, bits=bits).collect())
+        assert got == want, f"kernel != agg twin at bits={bits}"
+        # docs 0–2 have no tokens: absent from BOTH forms
+        ids = {t[0] for t in got}
+        assert ids == {3, 4, 5, 6, 7}
+        assert dict(got)[4] == dict(got)[5]
+    monkeypatch.setattr(D, "SIMHASH_KERNEL_CHUNK_VALS", 7)
+    chunked = sorted(tuple(r) for r in D.simhash(df, bits=60).collect())
+    monkeypatch.undo()
+    assert chunked == sorted(tuple(r) for r in D.simhash(df, bits=60).collect())
+
+
 def test_simhash_identical_docs_zero_hamming(spark):
     docs = [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
             (2, "totally different words entirely")]
