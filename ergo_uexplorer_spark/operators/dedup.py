@@ -1224,6 +1224,16 @@ def duplicate_spans(
     )
     grams = grams.join(rare, "h", "left_semi")
     a, b = grams.alias("a"), grams.alias("b")
+    # No post-join distinct: (doc_id, pos) is unique in `grams` by
+    # construction (posexplode of one array per doc; doc ids unique —
+    # the same sanction as the in-array shingle dedup), and each
+    # (doc_a, pa) row carries exactly ONE h, so every (doc_a, doc_b,
+    # pa, pb) output row arises from exactly one a-row × b-row match —
+    # the join output is already distinct, and the former `.distinct()`
+    # was one full exchange + two hash aggregates over the fattest
+    # intermediate of the whole pipeline (guide §2.4: "a distinct on
+    # data that is already unique"). The oracle keeps SELECT DISTINCT —
+    # semantically identical on unique rows.
     matches = (
         a.join(
             b,
@@ -1236,7 +1246,6 @@ def duplicate_spans(
             F.col("a.pos").alias("pa"),
             F.col("b.pos").alias("pb"),
         )
-        .distinct()
         .withColumn("diag", F.col("pa") - F.col("pb"))
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")

@@ -469,6 +469,32 @@ def test_duplicate_spans_finds_planted_passage(spark):
     assert j.count() == 0
 
 
+def test_duplicate_spans_repeated_gram_within_doc(spark):
+    """Every (pos_a, pos_b) match of a gram that REPEATS inside a doc is
+    its own island row — pins that the r12 removal of the post-join
+    distinct changed nothing (the join output was already unique): a
+    passage pasted twice into doc 0 yields two runs against doc 1, each
+    with the exact offsets, and run counting never double-counts."""
+    from ergo_uexplorer_spark.operators.dedup import duplicate_spans
+
+    passage = " ".join(f"p{i}" for i in range(12))  # 12 shared tokens
+    filler = " ".join(f"f{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (0, passage + " " + filler + " " + passage),  # pasted twice
+            (1, passage),
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        (s["start_a"], s["start_b"], s["run_len"])
+        for s in duplicate_spans(docs, n=6, min_run=5).collect()
+    )
+    # 12 tokens → 7 consecutive 6-grams per copy; copies start at
+    # tokens 0 and 22 of doc 0, both matching doc 1's tokens at 0
+    assert spans == [(0, 0, 7), (22, 0, 7)]
+
+
 def test_count_min_sketch_invariants(spark):
     """CMS never under-counts (est ≥ exact for every key), the sketch is
     fixed-size (≤ depth × width counters), and total per-row mass equals
