@@ -123,6 +123,26 @@ def bm25_topk(
     )
 
 
+_DEC38 = "decimal(38,0)"
+
+
+def _bm25_exact_contrib(scale: int):
+    """The exact integer BM25-odds per-(doc, term) contribution column —
+    shared by the single-query top-k and the fused multi-query eval so
+    the two scoring paths cannot drift."""
+    idf = F.expr(
+        f"(CAST(2 * (__n - __df) + 1 AS {_DEC38}) * {scale})"
+        f" div (2 * __df + 1)"
+    )
+    sat = F.expr(
+        f"(CAST({scale} AS {_DEC38}) * 22 * __tf * __l)"
+        f" div (CAST(10 AS {_DEC38}) * __tf * __l"
+        f" + CAST(3 AS {_DEC38}) * __l"
+        f" + CAST(9 AS {_DEC38}) * __dl * __n)"
+    )
+    return (idf.cast(_DEC38) * sat.cast(_DEC38)).cast(_DEC38)
+
+
 def _bm25_score_topk(
     tf: DataFrame,
     dfreq: DataFrame,
@@ -137,21 +157,10 @@ def _bm25_score_topk(
         .join(F.broadcast(stats))
     )
     if exact:
-        dec = "decimal(38,0)"
-        idf = F.expr(
-            f"(CAST(2 * (__n - __df) + 1 AS {dec}) * {scale})"
-            f" div (2 * __df + 1)"
-        )
-        sat = F.expr(
-            f"(CAST({scale} AS {dec}) * 22 * __tf * __l)"
-            f" div (CAST(10 AS {dec}) * __tf * __l"
-            f" + CAST(3 AS {dec}) * __l"
-            f" + CAST(9 AS {dec}) * __dl * __n)"
-        )
-        contrib = (
-            idf.cast(dec) * sat.cast(dec)
-        ).cast(dec)
-        agg = scored.withColumn("__c", contrib).groupBy(id_col).agg(
+        dec = _DEC38
+        agg = scored.withColumn(
+            "__c", _bm25_exact_contrib(scale)
+        ).groupBy(id_col).agg(
             F.sum("__c").cast(dec).alias("__score")
         )
         top = agg.orderBy(F.col("__score").desc(), F.col(id_col).asc()).limit(k)
@@ -258,30 +267,61 @@ def retrieval_eval(
     shape paid a relevance scan, a single-partition window, two
     rebuilt broadcasts and a one-row aggregate PER QUERY (plan diff:
     3 parquet scans → 1, 9 BroadcastExchange → 3, 3 Window → 1 for
-    the 3-query zw5 entry). Queries whose top-k is empty (no matching
-    doc) still emit their (query, 0, NULL, NULL, NULL) row via the
-    left join from the literal query-name frame — the same
+    the 3-query zw5 entry). The per-query HEADS are fused too (second
+    r12 step): one (query, term)-joined aggregate scores every query
+    in a single pass over the pinned tf table (see the inline comment
+    for the equality argument), so only the scale-safe per-query
+    top-k heaps remain per-query. Queries whose top-k is empty (no
+    matching doc) still emit their (query, 0, NULL, NULL, NULL) row
+    via the left join from the literal query-name frame — the same
     agg-over-empty row the per-query loop produced."""
     all_terms = sorted({t for ts in queries.values() for t in ts})
     if not all_terms:
         raise ValueError("queries must contain at least one term")
     tf, dfreq, stats = _bm25_prepare(docs, all_terms, id_col, text_col)
 
+    # Score EVERY query in ONE aggregate (second r12 fusion step): the
+    # (query, term) membership is a tiny literal dim broadcast into the
+    # pinned tf table — a term shared by two queries fans its tf rows
+    # out once per query, and groupBy(query, id) then sums exactly the
+    # rows the former per-query `tf.filter(term.isin(terms))` branches
+    # aggregated separately (per-query equality is the associativity of
+    # the exact DECIMAL sum — no float reorder hazard). The scored
+    # table is ≤ |queries|·|matched docs| rows, checkpointed so the
+    # per-query TakeOrdered branches below read a materialized dim
+    # instead of each re-running the join+aggregate (the former shape
+    # paid 3 aggregate pipelines + rebuilt broadcasts). The top-k
+    # itself stays one TakeOrderedAndProject PER query — per-partition
+    # heaps, never a single-task sort of a query's matched docs — and
+    # (score desc, id asc) is a TOTAL order, so the fused branches
+    # return bit-identical rows to the per-query form.
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(
+        [(q, t) for q, terms in queries.items() for t in terms],
+        "query string, term string",
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .withColumn("__c", _bm25_exact_contrib(scale))
+        .groupBy("query", id_col)
+        .agg(F.sum("__c").cast(_DEC38).alias("__score"))
+    )
+    if not scored.isStreaming:
+        scored = scored.localCheckpoint(eager=True)
     tops = []
-    for qname, terms in queries.items():
-        # full dfreq on purpose: the equi-join on term restricts to
-        # `terms` anyway, and the now-identical broadcast subtree is
-        # built once and reused across every query branch
-        top = _bm25_score_topk(
-            tf.filter(F.col("term").isin(terms)),
-            dfreq,
-            stats,
-            k=k,
-            id_col=id_col,
-            scale=scale,
-            exact=True,
+    for qname in queries:
+        top = (
+            scored.filter(F.col("query") == qname)
+            .orderBy(F.col("__score").desc(), F.col(id_col).asc())
+            .limit(k)
         )
-        tops.append(top.select(F.lit(qname).alias("query"), id_col, "score"))
+        tops.append(
+            top.select(
+                "query", id_col, F.col("__score").cast("string").alias("score")
+            )
+        )
     allk = reduce(lambda a, b: a.unionByName(b), tops)
     # Rank survivors with ONE window partitioned by query: the input is
     # bounded by n_queries·k (top-k outputs), so each task holds ≤k
@@ -310,7 +350,10 @@ def retrieval_eval(
     names = docs.sparkSession.createDataFrame(
         [(q,) for q in queries], "query string"
     )
-    return names.join(agg, "query", "left").select(
+    # agg is ≤ one row per query by construction (groupBy("query") of a
+    # ≤ n_queries·k-row input) — broadcast it so the final left join
+    # never sort-merges two exchanges for a dim-sized frame
+    return names.join(F.broadcast(agg), "query", "left").select(
         "query",
         F.coalesce(F.col("n_topk"), F.lit(0)).cast("long").alias("n_topk"),
         "n_rel",

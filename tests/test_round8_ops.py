@@ -247,6 +247,57 @@ def test_retrieval_eval_hand_computed(spark):
     assert out["qc"]["first_rel_rank"] is None
 
 
+def test_retrieval_eval_fused_equals_per_query_bm25(spark):
+    """The r12 one-aggregate multi-query scoring is bit-identical to
+    running bm25_topk per query: same hostile fixture — terms SHARED
+    across queries (the fan-out path), exact score TIES broken by id,
+    a query with no matching doc, duplicate-free — metrics recomputed
+    from the per-query rankings must equal retrieval_eval's row."""
+    from ergo_uexplorer_spark.operators.retrieval import (
+        bm25_topk,
+        retrieval_eval,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana"),
+            (1, "apple banana"),  # exact tie with doc 0 on any query
+            (2, "banana cherry cherry"),
+            (3, "cherry"),
+            (4, "date date date"),
+        ],
+        "doc_id long, text string",
+    )
+    rel_rows = [(0, True), (1, False), (2, True), (3, False), (4, True)]
+    relevance = spark.createDataFrame(rel_rows, "doc_id long, is_rel boolean")
+    queries = {
+        "q_ab": ["apple", "banana"],
+        "q_bc": ["banana", "cherry"],  # shares 'banana' with q_ab
+        "q_none": ["zebra"],  # matches nothing
+    }
+    k, p_cut = 3, 2
+    got = {
+        r["query"]: r
+        for r in retrieval_eval(docs, queries, relevance, k=k, p_cut=p_cut).collect()
+    }
+    is_rel = dict(rel_rows)
+    for qname, terms in queries.items():
+        ranked = [
+            r["doc_id"] for r in bm25_topk(docs, terms, k=k).collect()
+        ]
+        n_topk = len(ranked)
+        n_rel = sum(1 for d in ranked if is_rel[d])
+        first = next(
+            (i + 1 for i, d in enumerate(ranked) if is_rel[d]), None
+        )
+        rel_p = sum(1 for i, d in enumerate(ranked) if is_rel[d] and i < p_cut)
+        row = got[qname]
+        assert row["n_topk"] == n_topk, qname
+        assert (row["n_rel"] or 0) == (n_rel if n_topk else 0), qname
+        assert row["first_rel_rank"] == (first if n_topk else None), qname
+        assert (row["rel_at_p"] or 0) == (rel_p if n_topk else 0), qname
+
+
 def test_k_hop_demoted_path_equals_broadcast_path(spark):
     """Force the shuffled fallback (gate=0: no broadcast frontier, no
     broadcast visited, lazy src-repartitioned edge build) and assert it
