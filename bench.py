@@ -48,14 +48,32 @@ def _bench_chain_ingest(spark) -> float:
     forced end-to-end; BASELINE.md target ≈258 blocks/s single-node.
     `cache='raw'` persists the decoded block rows so gzip+Jackson runs
     once for the whole gold fan-out (r5 A/B best-of-2: raw 4.5 s vs
-    silver 6.0 s); the cache is released before returning."""
+    silver 6.0 s); the cache is released before returning.
+
+    The three gold sinks are INDEPENDENT jobs off the shared raw cache,
+    so they run from a small thread pool (guide §2.6 — actions are only
+    sequential because driver code calls them sequentially): the next
+    sink's tasks back-fill executors freed by the previous sink's tail.
+    The timed quantity is unchanged — wall-clock from ingest start until
+    ALL THREE tables are fully materialized (same work, same methodology;
+    concurrent cache fills are per-partition-locked, so gzip+Jackson
+    still runs exactly once). Declared in OPTIMIZATION_r12.md; measured
+    same-session interleaved A/B: sequential 4.68 s vs overlapped
+    3.35 s best-of-3."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ergo_uexplorer_spark.pipeline import ingest_blocks
 
     path = _chain_fixture()
     t0 = time.perf_counter()
     tables = ingest_blocks(spark, path, cache="raw")
-    for t in ("blocks", "utxo", "address_stats"):
+
+    def _sink(t: str) -> None:
+        spark.sparkContext.setJobDescription(f"chain_ingest sink: {t}")
         tables[t].write.format("noop").mode("overwrite").save()
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_sink, ("blocks", "utxo", "address_stats")))
     dt = time.perf_counter() - t0
     tables["raw"].unpersist(blocking=False)
     return dt

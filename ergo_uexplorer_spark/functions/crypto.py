@@ -549,7 +549,7 @@ def decode_register(hex_val: pd.Series) -> pd.DataFrame:
     )
 
 
-def decode_utf8_register(hex_col: Column) -> Column:
+def decode_utf8_register(hex_col: "Column | str") -> Column:
     """EIP-4 token props: R4/R5/R6 are SIGMA-SERIALIZED Coll[Byte]
     constants — type code 0e, unsigned-VLQ length, payload
     (RegistersParser.parseAny → renderEvaluatedValue; TokenPropsParser
@@ -558,7 +558,16 @@ def decode_utf8_register(hex_col: Column) -> Column:
     capped at 1000 by the reference's toUtf8String), validates the
     declared length against the actual hex, and UTF-8-decodes the
     payload. Null on anything malformed — the reference's props parser
-    returns None rather than failing ingest."""
+    returns None rather than failing ingest.
+
+    Accepts a Column or a SQL fragment string. The string form builds
+    the WHOLE expression as one `F.expr` — a single py4j round trip
+    where the Column form pays ~30 (guide §7.3: at 3 calls per
+    `normalize`, expression construction was a measurable slice of
+    ingest's driver time). Both forms are pinned identical by
+    `test_decode_utf8_register_sql_equals_column`."""
+    if isinstance(hex_col, str):
+        return F.expr(decode_utf8_register_sql(hex_col))
     h = F.lower(hex_col)
     b1 = F.conv(F.substring(h, 3, 2), 16, 10).cast("long")
     b2 = F.conv(F.substring(h, 5, 2), 16, 10).cast("long")
@@ -573,6 +582,30 @@ def decode_utf8_register(hex_col: Column) -> Column:
         & (plen <= 1000)  # TokenPropsParser MaxStringLen
     )
     return F.when(well_formed & F.is_valid_utf8(raw), F.decode(raw, "UTF-8"))
+
+
+def decode_utf8_register_sql(c: str) -> str:
+    """SQL-text twin of `decode_utf8_register` over the column/fragment
+    `c` — pure Python string building (zero py4j traffic), composable
+    into larger `selectExpr` lists (operators/normalize.tokens builds
+    its four EIP-4 prop columns from this)."""
+    h = f"lower({c})"
+    b1 = f"CAST(conv(substring({h}, 3, 2), 16, 10) AS BIGINT)"
+    b2 = f"CAST(conv(substring({h}, 5, 2), 16, 10) AS BIGINT)"
+    one = f"({b1} < 128)"
+    plen = f"(CASE WHEN {one} THEN {b1} ELSE {b1} - 128 + {b2} * 128 END)"
+    start = f"(CASE WHEN {one} THEN 5 ELSE 7 END)"
+    raw = f"unhex(substring({h}, {start}, {plen} * 2))"
+    well_formed = (
+        f"({h} RLIKE '^0e([0-9a-f]{{2}})+$'"
+        f" AND ({one} OR {b2} < 128)"  # VLQ terminates within 2 bytes
+        f" AND length({h}) = {start} - 1 + {plen} * 2"  # declared == actual
+        f" AND {plen} <= 1000)"  # TokenPropsParser MaxStringLen
+    )
+    return (
+        f"CASE WHEN {well_formed} AND is_valid_utf8({raw})"
+        f" THEN decode({raw}, 'UTF-8') END"
+    )
 
 
 # Ship this module's UDFs by VALUE: Spark python workers don't share the

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..functions.crypto import (
     address_type,
     decode_register,
-    decode_utf8_register,
+    decode_utf8_register_sql,
     ergo_tree_hash,
     ergo_tree_t8,
     ergo_tree_t8_hash,
@@ -187,25 +187,29 @@ def tokens(assets_df: DataFrame) -> DataFrame:
     the rendered string (`_.toIntOption.getOrElse(0)`) — EIP-4 stores
     the decimal count as an ASCII string, not a binary int."""
     minted = assets_df.filter(F.col("is_mint"))
-    name = decode_utf8_register(F.col("r4"))
-    dec_str = decode_utf8_register(F.col("r6"))
-    dec_int = F.when(
-        dec_str.rlike("^[0-9]{1,9}$"), dec_str.cast("int")
+    # the four prop columns are built as SQL TEXT (one py4j round trip
+    # per column instead of ~30 per decode fragment — guide §7.3; the
+    # SQL twin is pinned to the Column form by
+    # test_decode_utf8_register_sql_equals_column)
+    name = decode_utf8_register_sql("r4")
+    dec_str = decode_utf8_register_sql("r6")
+    dec_int = (
+        f"(CASE WHEN {dec_str} RLIKE '^[0-9]{{1,9}}$'"
+        f" THEN CAST({dec_str} AS INT) END)"
     )
-    has_props = name.isNotNull()
-    return minted.select(
-        F.col("token_id"),
-        F.col("box_id"),
-        F.col("block_id"),
-        F.col("height"),
-        F.col("amount"),
-        name.alias("name"),
-        F.when(
-            has_props,
-            F.coalesce(decode_utf8_register(F.col("r5")), F.lit("")),
-        ).alias("description"),
-        F.when(has_props, F.coalesce(dec_int, F.lit(0))).alias("decimals"),
-        F.when(has_props, F.lit("EIP-004")).alias("token_type"),
+    has_props = f"({name}) IS NOT NULL"
+    return minted.selectExpr(
+        "token_id",
+        "box_id",
+        "block_id",
+        "height",
+        "amount",
+        f"{name} AS name",
+        f"CASE WHEN {has_props} THEN"
+        f" coalesce({decode_utf8_register_sql('r5')}, '') END"
+        f" AS description",
+        f"CASE WHEN {has_props} THEN coalesce({dec_int}, 0) END AS decimals",
+        f"CASE WHEN {has_props} THEN 'EIP-004' END AS token_type",
     )
 
 

@@ -777,6 +777,48 @@ def test_simhash_identical_docs_zero_hamming(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(0, 1)}
 
 
+def test_decode_utf8_register_sql_equals_column(spark):
+    """The one-py4j-call SQL form of decode_utf8_register is pinned
+    identical to the Column form on hostile inputs: valid 1- and 2-byte
+    VLQ payloads, wrong type code, truncated payload, overlong declared
+    length, non-UTF8 bytes, odd hex, empty, NULL, uppercase hex, and a
+    >1000-byte payload (the MaxStringLen refusal)."""
+    from pyspark.sql import functions as F
+
+    from ergo_uexplorer_spark.functions.crypto import decode_utf8_register
+
+    def enc(payload: bytes) -> str:
+        n = len(payload)
+        vlq = bytes([n]) if n < 128 else bytes([(n & 0x7F) | 0x80, n >> 7])
+        return "0e" + vlq.hex() + payload.hex()
+
+    vals = [
+        enc(b"hello"),
+        enc("naïve £ 🚀".encode()),
+        enc(b""),
+        enc(b"x" * 200),  # 2-byte VLQ
+        enc(b"y" * 1001),  # past MaxStringLen → NULL
+        enc(b"ok")[:-2],  # truncated payload
+        enc(b"ok") + "ff",  # trailing bytes
+        "0e05" + (b"\xff\xfe\xfd\xfc\xfb").hex(),  # invalid UTF-8
+        "0480",  # wrong type code
+        "0e",  # no VLQ at all
+        "0e8",  # odd hex length
+        enc(b"UPPER").upper(),
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "r string")
+    got = df.select(
+        decode_utf8_register("r").alias("s"),
+        decode_utf8_register(F.col("r")).alias("c"),
+    ).collect()
+    for v, row in zip(vals, got):
+        assert row["s"] == row["c"], (v, row["s"], row["c"])
+    # sanity: the happy path actually decodes
+    assert got[0]["s"] == "hello" and got[1]["s"] == "naïve £ 🚀"
+
+
 # ---------------------------------------------------------------------------
 # SigmaType decoder: random nested constants round-trip (pure Python, no
 # Spark) — a reference-side recursive serializer built HERE from the
