@@ -267,6 +267,14 @@ def test_k_hop_local_arrow_equals_distributed(spark):
           (None, "a")], "src string, dst string", ["a"], 3),
         (_rand_edges(rng, 300, 40), "src long, dst long", [0, 1, 99], 4),
         ([("x", "y")], "src string, dst string", ["zz"], 2),
+        # ids past 2^53 + a null and a duplicate seed: the r12 int64
+        # mapInArrow kernel must stay exact where pandas float64 would
+        # round (2**53 + 1 == 2.0**53 in float)
+        ([(2**53 + 1, 2**53 + 3), (2**53 + 3, 2**53 + 5),
+          (2**53 + 1, None), (None, 2**53 + 1)],
+         "src long, dst long", [2**53 + 1, 2**53 + 1, None], 3),
+        # narrow integral ids exercise the upcast + cast-back lane
+        ([(1, 2), (2, 3), (3, None)], "src int, dst int", [1], 3),
     ]
     for rows, schema, starts, k in cases:
         edges = spark.createDataFrame(rows, schema)
