@@ -2540,6 +2540,87 @@ def _kcore_local_arrow(e: DataFrame, k: int, max_rounds: int) -> DataFrame:
     return e.coalesce(1).mapInPandas(run, schema)
 
 
+def _kcore_local_arrow_int(e: DataFrame, k: int, max_rounds: int) -> DataFrame:
+    """Integral-id twin of `_kcore_local_arrow` (r12, the k-hop int-
+    kernel posture): the mirrored edge table crosses the boundary as
+    EXACT int64 Arrow arrays via `mapInArrow` — no string cast of the
+    whole table, no multi-million-object factorize; dense node codes
+    come from one `np.unique(return_inverse)` over int64. Null
+    semantics identical: nulls share one sentinel code that counts
+    toward round-1 degrees but never survives a restriction. A 0
+    injected by fill_null can create a spurious unique, but its code is
+    never referenced by any row (null positions are remapped to the
+    sentinel), so its degree stays 0 and `deg >= 1` excludes it —
+    exactly the existing zero-degree-nodes-are-never-members rule."""
+    import numpy as np
+    import pyarrow as pa
+
+    schema = "v long, deg long"
+
+    def run(batches):
+        bl = list(batches)
+        if not bl:
+            return
+        t = pa.Table.from_batches(bl)
+        m = t.num_rows
+        if m == 0:
+            return
+        a_c, b_c = t.column("a"), t.column("b")
+        null_mask = np.concatenate(
+            [
+                pa.compute.is_null(a_c).to_numpy(zero_copy_only=False),
+                pa.compute.is_null(b_c).to_numpy(zero_copy_only=False),
+            ]
+        )
+        vals = np.concatenate(
+            [
+                a_c.fill_null(0).to_numpy(zero_copy_only=False),
+                b_c.fill_null(0).to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+        uniques, codes = np.unique(vals, return_inverse=True)
+        n_real = len(uniques)
+        null_idx = n_real
+        codes = np.where(null_mask, null_idx, codes)
+        a_idx, b_idx = codes[:m], codes[m:]
+        n = n_real + 1
+        alive = np.ones(m, dtype=bool)
+        prev = None
+        for _ in range(max_rounds):
+            deg = np.bincount(a_idx[alive], minlength=n).astype(np.int64)
+            surv = (deg >= k) & (deg >= 1)
+            n_surv = int(surv.sum())
+            if n_surv == prev or n_surv == 0:
+                vs = np.flatnonzero(surv)
+                ids = [
+                    None if v == null_idx else int(uniques[v]) for v in vs
+                ]
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "v": pa.array(ids, pa.int64()),
+                        "deg": pa.array(
+                            [int(x) for x in deg[vs]], pa.int64()
+                        ),
+                    }
+                )
+                return
+            prev = n_surv
+            surv_join = surv.copy()
+            surv_join[null_idx] = False
+            alive = (
+                alive
+                & surv_join[a_idx]
+                & surv_join[b_idx]
+                & (a_idx != null_idx)
+                & (b_idx != null_idx)
+            )
+        yield pa.RecordBatch.from_pydict(
+            {"v": pa.array([None], pa.int64()), "deg": pa.array([-1], pa.int64())}
+        )
+
+    return e.coalesce(1).mapInArrow(run, schema)
+
+
 def kcore(
     edges: DataFrame,
     k: int,
@@ -2599,6 +2680,35 @@ def kcore(
         local_tier = est is not None and 0 < est * 2 <= thr
     one.unpersist(blocking=False)  # e is materialized; cache served
     if local_tier:
+        from pyspark.sql.types import (
+            ByteType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+
+        id_t = e.schema["a"].dataType
+        if isinstance(id_t, (ByteType, ShortType, IntegerType, LongType)):
+            e_long = (
+                e
+                if isinstance(id_t, LongType)
+                else e.select(
+                    F.col("a").cast("long").alias("a"),
+                    F.col("b").cast("long").alias("b"),
+                )
+            )
+            out = _kcore_local_arrow_int(
+                e_long, k, max_rounds
+            ).localCheckpoint(eager=True)
+            if out.filter(F.col("deg") < 0).limit(1).count():
+                raise RuntimeError(
+                    f"k-core did not converge within {max_rounds} rounds"
+                    " — raise max_rounds (a truncated peel would return"
+                    " a core SUPERSET)"
+                )
+            if isinstance(id_t, LongType):
+                return out
+            return out.select(F.col("v").cast(id_t).alias("v"), "deg")
         e2, restore = _cast_ids_for_arrow(e)
         if e2 is not None:
             out = _kcore_local_arrow(e2, k, max_rounds).localCheckpoint(

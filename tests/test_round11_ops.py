@@ -307,6 +307,11 @@ def test_kcore_local_arrow_equals_distributed(spark):
         [(i, (i + 1) % 5) for i in range(5)] + [(0, 2), (1, 3)],
         _rand_edges(rng, 400, 30),
         [("p", "q"), ("q", "r"), ("r", "p"), ("p", None)],
+        # ids past 2^53 + a real 0 alongside nulls (the r12 int64
+        # kernel fills nulls with 0 before np.unique — the sentinel
+        # remap must keep a GENUINE node 0 distinct from null)
+        [(2**53 + 1, 2**53 + 3), (2**53 + 3, 2**53 + 1),
+         (2**53 + 1, 0), (0, 2**53 + 1), (0, None), (None, 0)],
     ]
     for rows in cases:
         schema = (
