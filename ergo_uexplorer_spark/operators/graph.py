@@ -2035,32 +2035,65 @@ def _pair_count_local_arrow(
     canonical in CODE space (min code, max code) — a bijection on
     observed values, so the multiset of unordered VALUE pairs is exact;
     the caller restores value order with least/greatest AFTER the id
-    restore cast (ints ride through strings here and "10" < "9"
-    lexicographically — the triangle-kernel lesson).
+    restore cast (string ids factorize in appearance order, so code
+    order is not value order — the triangle-kernel lesson).
 
     Output: (x, y, common[, deg_x, deg_y]) with (x, y) in code order;
     `common` ≥ min_pair; degrees are per-left-node distinct-(l, r)-row
     counts over the edge set as given (post hub-cap when the caller
     capped). NULL rights never pair (the distributed equi-join
-    behaviour) but DO count toward degrees."""
-    import numpy as np
-    import pandas as pd
+    behaviour) but DO count toward degrees.
 
-    out_schema = "x string, y string, common long"
+    r12: runs via `mapInArrow` with PER-COLUMN decoding — integral id
+    columns cross as exact int64 Arrow arrays (codes from one
+    `np.unique(return_inverse)`, no 2^53 hazard, no string cast of the
+    edge table), string columns factorize as before; the two columns
+    may mix types freely. A fill_null-injected spurious unique only
+    widens the code space by one unused slot (null codes are remapped
+    to −1 before any use), so pair keys and degree bincounts are
+    untouched. Output ids are typed by the LEFT column (long for
+    integral input — the caller's restore only down-casts narrow
+    ints)."""
+    import numpy as np
+    import pyarrow as pa
+
+    left_integral = e.schema["l"].dataType.simpleString() in (
+        "tinyint",
+        "smallint",
+        "int",
+        "bigint",
+    )
+    out_t = "bigint" if left_integral else "string"
+    out_schema = f"x {out_t}, y {out_t}, common long"
     if with_degrees:
         out_schema += ", deg_x long, deg_y long"
 
+    def _codes(arr: "pa.ChunkedArray"):
+        """(codes int64 with −1 for NULL, uniques) for one id column."""
+        null = pa.compute.is_null(arr).to_numpy(zero_copy_only=False)
+        if pa.types.is_integer(arr.type):
+            vals = (
+                arr.fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            uniques, inv = np.unique(vals, return_inverse=True)
+            codes = np.where(null, -1, inv).astype(np.int64)
+            return codes, uniques
+        import pandas as pd
+
+        codes, uniques = pd.factorize(arr.to_pandas(), use_na_sentinel=True)
+        return codes.astype(np.int64), np.asarray(uniques, dtype=object)
+
     def run(batches):
-        parts = list(batches)
-        if not parts:
+        bl = list(batches)
+        if not bl:
             return
-        pdf = pd.concat(parts, ignore_index=True)
-        if not len(pdf):
+        t = pa.Table.from_batches(bl)
+        if t.num_rows == 0:
             return
-        lc, ul = pd.factorize(pdf["l"], use_na_sentinel=True)
-        rc, ur = pd.factorize(pdf["r"], use_na_sentinel=True)
-        lc = lc.astype(np.int64)
-        rc = rc.astype(np.int64)
+        lc, ul = _codes(t.column("l"))
+        rc, ur = _codes(t.column("r"))
         keep_l = lc >= 0
         lc, rc = lc[keep_l], rc[keep_l]
         n_l = max(len(ul), 1)
@@ -2117,32 +2150,43 @@ def _pair_count_local_arrow(
             sel = counts >= min_pair
             uk, counts = uk[sel], counts[sel]
         ca, cb = uk // n_l, uk % n_l
-        vals = np.asarray(ul, dtype=object)
+        if left_integral:
+            xs = pa.array(ul[ca] if len(ca) else [], pa.int64())
+            ys = pa.array(ul[cb] if len(cb) else [], pa.int64())
+        else:
+            vals = np.asarray(ul, dtype=object)
+            xs = pa.array(
+                list(vals[ca]) if len(ca) else [], pa.string()
+            )
+            ys = pa.array(
+                list(vals[cb]) if len(cb) else [], pa.string()
+            )
         cols = {
-            "x": pd.Series(vals[ca] if len(ca) else [], dtype=object),
-            "y": pd.Series(vals[cb] if len(cb) else [], dtype=object),
-            "common": pd.Series(counts, dtype="int64"),
+            "x": xs,
+            "y": ys,
+            "common": pa.array(counts, pa.int64()),
         }
         if with_degrees:
-            cols["deg_x"] = pd.Series(
-                deg[ca] if len(ca) else [], dtype="int64"
+            cols["deg_x"] = pa.array(
+                deg[ca] if len(ca) else [], pa.int64()
             )
-            cols["deg_y"] = pd.Series(
-                deg[cb] if len(cb) else [], dtype="int64"
+            cols["deg_y"] = pa.array(
+                deg[cb] if len(cb) else [], pa.int64()
             )
-        yield pd.DataFrame(cols)
+        yield pa.RecordBatch.from_pydict(cols)
 
-    return e.coalesce(1).mapInPandas(run, out_schema)
+    return e.coalesce(1).mapInArrow(run, out_schema)
 
 
 def _cast_bipartite_for_arrow(e: DataFrame):
     """Per-column variant of `_cast_ids_for_arrow` for bipartite (l, r)
-    frames whose two id columns may carry different types: each integral
-    column round-trips through strings independently (Arrow nullable
-    int → float64 is lossy past 2^53), strings pass through, any other
-    type bails to the distributed path. `restore` casts the named
-    output columns back to the LEFT column's type (the only one that
-    appears in kernel output)."""
+    frames whose two id columns may carry different types: since the
+    pair kernel reads exact int64 via `mapInArrow` (r12 — no pandas
+    float64 lossiness, so no string round-trip), integral columns only
+    UPCAST to long (lossless), strings pass through, any other type
+    bails to the distributed path. `restore` casts the named output
+    columns back to the LEFT column's type (the only one that appears
+    in kernel output) when it was a narrower integral."""
     from pyspark.sql.types import (
         ByteType,
         IntegerType,
@@ -2155,14 +2199,14 @@ def _cast_bipartite_for_arrow(e: DataFrame):
     cols = []
     types = [e.schema[c].dataType for c in e.columns]
     for c, t in zip(e.columns, types):
-        if isinstance(t, StringType):
+        if isinstance(t, (StringType, LongType)):
             cols.append(F.col(c))
         elif isinstance(t, integral):
-            cols.append(F.col(c).cast("string").alias(c))
+            cols.append(F.col(c).cast("long").alias(c))
         else:
             return None, None
     lt = types[0]
-    if isinstance(lt, StringType):
+    if isinstance(lt, (StringType, LongType)):
         return e.select(*cols), lambda df, out_cols: df
 
     def restore(df: DataFrame, out_cols: list) -> DataFrame:

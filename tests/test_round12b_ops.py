@@ -70,6 +70,16 @@ def test_pair_tier_links_string_and_big_ids(spark):
     ) == _rows(
         G.common_neighbor_links(big, "l", "r", min_common=1, local_tier=False)
     )
+    # mixed column types: string left ids over integral right ids (the
+    # r12 mapInArrow kernel decodes each column independently)
+    mixed = df.selectExpr("cast(l as string) l", "r")
+    assert _rows(
+        G.common_neighbor_links(mixed, "l", "r", min_common=2)
+    ) == _rows(
+        G.common_neighbor_links(
+            mixed, "l", "r", min_common=2, local_tier=False
+        )
+    )
 
 
 def test_pair_tier_gate_refuses_high_wedge_volume(spark):
