@@ -602,21 +602,29 @@ def _seq_norm(vec: list[float]) -> float:
 _LIT_CACHE: dict = {}
 
 
-def _memo_expr(key: tuple, text_fn) -> Column:
-    """Parse-once cache for the big literal arrays: `F.expr` over a
-    ~170 KB centroid string costs ~1 s of driver time per call, and one
-    ANN query builds several (corpus + probe sides, 8 PQ codebooks × 2).
-    Columns wrap immutable unresolved JVM expressions, so they are safe
-    to reuse across queries; the cache key includes the JVM's identity
-    (via the active SparkContext) so a restarted gateway re-parses
-    instead of dereferencing stale py4j handles."""
+def _memo_expr(key: tuple, build_fn) -> Column:
+    """Build-once cache for the big literal arrays: one ANN query embeds
+    several (corpus + probe sides, 8 PQ codebooks × 2), and building
+    them repeatedly costs driver time. Columns wrap immutable unresolved
+    JVM expressions, so they are safe to reuse across queries; the cache
+    key includes the JVM's identity (via the active SparkContext) so a
+    restarted gateway rebuilds instead of dereferencing stale py4j
+    handles. `build_fn` returns the Column directly (r12: the builders
+    construct CreateArray/CreateNamedStruct trees whose inner vectors
+    are COMPACT `F.lit` array literals — one Literal node per vector
+    instead of one node per element. The tree stays foldable, so the
+    optimizer still collapses it to a single Literal before execution
+    exactly as the old parsed-text form did; what changes is the
+    driver-side tree size every plan operation re-walks: the 128×64
+    centroid array fell from ~9k to ~1.2k nodes, and a single select
+    embedding it from ~2.1 s to ~0.25 s)."""
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
     full_key = (id(sc._jsc) if sc is not None else None, *key)
     col = _LIT_CACHE.get(full_key)
     if col is None:
-        col = F.expr(text_fn())
+        col = build_fn()
         _LIT_CACHE[full_key] = col
     return col
 
@@ -628,20 +636,24 @@ def _cents_lit(centroids: list[list[float]]) -> Column:
     over this array — one expression tree evaluated n_centroids times at
     runtime — instead of n_centroids inlined cosine folds, which at 128
     cells made analysis + codegen the dominant cost (~40 s per query).
-    Built as ONE parsed SQL expression — per-element `F.lit` calls cost
-    a py4j round trip each (~6 s for 128×64 literals); a single parse of
-    the generated text is milliseconds. `D`-suffixed literals parse via
-    Double.parseDouble, the same nearest-double as the Python repr."""
-    def build() -> str:
-        parts = ", ".join(
-            "named_struct('cell', {}, 'cv', array({}), 'cn', {!r}D)".format(
-                ci,
-                ", ".join(f"{float(v)!r}D" for v in cent),
-                _seq_norm(cent),
-            )
-            for ci, cent in enumerate(centroids)
+    Each centroid vector is ONE compact `F.lit` array literal (r12 —
+    see _memo_expr: per-element literals made the embedded tree so
+    large that every later plan operation on the query paid seconds of
+    driver time); the struct/array wrappers stay foldable Column nodes
+    so the optimizer still collapses the whole thing to a single
+    Literal before execution. F.lit carries the Python float verbatim
+    (same nearest-double as the former repr+parseDouble round-trip)."""
+    def build() -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(ci).alias("cell"),
+                    F.lit([float(v) for v in cent]).alias("cv"),
+                    F.lit(_seq_norm(cent)).alias("cn"),
+                )
+                for ci, cent in enumerate(centroids)
+            ]
         )
-        return f"array({parts})"
 
     return _memo_expr(
         ("cents", tuple(tuple(c) for c in centroids)), build
@@ -971,14 +983,16 @@ def _pq_cb_lit(m: int, codebooks=None) -> Column:
     fixed seeded books (e.g. k-means-trained / residual-trained)."""
     books = PQ_CODEBOOKS if codebooks is None else codebooks
 
-    def build() -> str:
-        parts = ", ".join(
-            "named_struct('k', {}, 'cv', array({}))".format(
-                k, ", ".join(f"{float(v)!r}D" for v in cv)
-            )
-            for k, cv in enumerate(books[m])
+    def build() -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    F.lit([float(v) for v in cv]).alias("cv"),
+                )
+                for k, cv in enumerate(books[m])
+            ]
         )
-        return f"array({parts})"
 
     # Memo key is the full value tuple, not hash(key_books): a hash
     # collision between two trained codebooks would silently reuse the
@@ -1137,12 +1151,8 @@ def _rot_lit(R: list[list[float]]) -> Column:
         for j in range(len(R[0]))
     )
 
-    def build() -> str:
-        parts = ", ".join(
-            "array({})".format(", ".join(f"{v!r}D" for v in c))
-            for c in cols
-        )
-        return f"array({parts})"
+    def build() -> Column:
+        return F.lit([list(c) for c in cols])
 
     return _memo_expr(("opqrot", cols), build)
 
