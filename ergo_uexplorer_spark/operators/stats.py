@@ -637,6 +637,16 @@ def cooccurrence_pairs(
     pruned = its.join(F.broadcast(freq), "i", "left_semi")
     a = pruned.select("b", F.col("i").alias("item_a"))
     bdf = pruned.select("b", F.col("i").alias("item_b"))
+    if wedge_vol:
+        # measured fan-out: the pair join emits ≤ wedge_vol rows from a
+        # tiny input — repartition by the basket key so AQE's
+        # input-byte coalescing can't serialize the explosion into one
+        # task (the zya8 fix, graph._fanout_partitions)
+        from .graph import _fanout_partitions
+
+        n_w = _fanout_partitions(df.sparkSession, wedge_vol)
+        a = a.repartition(n_w, "b")
+        bdf = bdf.repartition(n_w, "b")
     return (
         a.join(bdf, "b")
         .filter(F.col("item_a") < F.col("item_b"))

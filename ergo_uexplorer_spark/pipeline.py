@@ -22,6 +22,50 @@ from .operators.utxo import address_stats, utxo
 from .sources.blocks import read_blocks
 
 
+def materialize_tables(
+    tables: dict[str, DataFrame],
+    names: tuple[str, ...] = ("blocks", "utxo", "address_stats"),
+    writer=None,
+    concurrent: bool = True,
+) -> None:
+    """Materialize INDEPENDENT gold outputs of one ingest, overlapping
+    their jobs from a small thread pool (guide §2.6: actions are only
+    sequential because driver code calls them sequentially; the next
+    sink's tasks back-fill executors freed by the previous sink's
+    tail). This is the engine-side home of the overlap the r12 bench
+    prototyped in bench.py (r12 VERDICT item 3): an ingest that fans
+    out to several gold tables should overlap their materialization
+    wherever they land, not only in a benchmark harness.
+
+    `writer(name, df)` performs the actual materialization (defaults
+    to a noop-sink write — callers doing real output pass e.g.
+    ``lambda n, df: storage.write_lakehouse(df, n)``). Safe for tables
+    sharing a persisted upstream (the `cache='raw'` posture): Spark's
+    block-manager cache fill is per-partition locked, so concurrent
+    consumers still decode each source partition exactly once.
+    `concurrent=False` is the sequential escape hatch (same work, same
+    results — only the overlap differs); job descriptions are
+    thread-local, so each sink stays labelled in the UI."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if writer is None:
+
+        def writer(name: str, df: DataFrame) -> None:
+            df.write.format("noop").mode("overwrite").save()
+
+    def _sink(name: str) -> None:
+        df = tables[name]
+        df.sparkSession.sparkContext.setJobDescription(f"ingest sink: {name}")
+        writer(name, df)
+
+    if not concurrent or len(names) <= 1:
+        for name in names:
+            _sink(name)
+        return
+    with ThreadPoolExecutor(max_workers=len(names)) as pool:
+        list(pool.map(_sink, names))
+
+
 def ingest_blocks(
     spark: SparkSession,
     path: str,

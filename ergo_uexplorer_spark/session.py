@@ -48,6 +48,9 @@ def get_spark(
         # --- python interop ----------------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # the default, stated explicitly: Arrow-kernel timings depend on
+        # workers surviving across tasks (r12 turbulence finding)
+        .config("spark.python.worker.reuse", "true")
         # --- determinism ---------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")

@@ -623,3 +623,30 @@ def test_paginated_driver_loop_matches_file_ingest(spark):
     a = got.select("header.id", "header.height", "size").collect()
     b = want.select("header.id", "header.height", "size").collect()
     assert sorted(a) == sorted(b)
+
+
+def test_materialize_tables_concurrent_equals_sequential(spark, chain_dir):
+    """materialize_tables (the engine-side home of the r12 bench's sink
+    overlap) must produce the same gold tables concurrent and
+    sequential, off one shared raw cache — the per-partition cache
+    locks mean the gzip decode still runs once for the fan-out."""
+    from ergo_uexplorer_spark.pipeline import ingest_blocks, materialize_tables
+
+    counts: dict[str, dict[str, int]] = {"concurrent": {}, "sequential": {}}
+    for mode in ("concurrent", "sequential"):
+        tables = ingest_blocks(
+            spark, str(chain_dir / "blocks_main.jsonl.gz"), cache="raw"
+        )
+        seen: list[str] = []
+
+        def writer(name, df, seen=seen, mode=mode):
+            seen.append(name)
+            counts[mode][name] = df.count()
+
+        materialize_tables(
+            tables, writer=writer, concurrent=(mode == "concurrent")
+        )
+        assert sorted(seen) == ["address_stats", "blocks", "utxo"]
+        tables["raw"].unpersist(blocking=True)
+    assert counts["concurrent"] == counts["sequential"]
+    assert counts["concurrent"]["blocks"] == N_BLOCKS
