@@ -368,7 +368,7 @@ def jaccard_prefix_pairs(
     """
     arr = hashed_shingle_arrays(docs, id_col, text_col, n)
     if release and not arr.isStreaming:
-        arr = pin_corpus_dim(arr)
+        arr = pin_corpus_dim(arr, force=False)
     # PPJoin+-style LOSSLESS pruning inside the candidate join, before
     # anything shuffles to the distinct (`_ppjoin_conditions`)
     prefix = _prefix_slice_rows(arr, num, den)
@@ -420,7 +420,9 @@ def jaccard_prefix_stats(
     a cluster-day. Same constants and filter arithmetic as
     `jaccard_prefix_pairs` (shared expressions below), so the funnel is
     exactly what the production operator would do."""
-    arr = pin_corpus_dim(hashed_shingle_arrays(docs, id_col, text_col, n))
+    arr = pin_corpus_dim(
+        hashed_shingle_arrays(docs, id_col, text_col, n), force=False
+    )
     prefix = _prefix_slice_rows(arr, num, den).localCheckpoint(eager=True)
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -544,7 +546,7 @@ def containment_prefix_pairs(
     """
     arr = hashed_shingle_arrays(docs, id_col, text_col, n)
     if release and not arr.isStreaming:
-        arr = pin_corpus_dim(arr)
+        arr = pin_corpus_dim(arr, force=False)
     nn = F.size("hs")
     plen = (
         nn - F.expr(f"({num} * size(hs) + {den - 1}) div {den}") + F.lit(1)
@@ -699,7 +701,7 @@ def minhash_lsh_pairs(
     if not release:
         cand = lsh_candidates(minhash_signatures_from_arrays(arr))
     else:
-        arr = pin_corpus_dim(arr)
+        arr = pin_corpus_dim(arr, force=False)
         sig = minhash_signatures_from_arrays(arr).localCheckpoint(eager=True)
         cand = lsh_candidates(sig).localCheckpoint(eager=True)
     out = _verify_pairs(cand, arr, arr, "doc_a", "doc_b", num, den, release)
@@ -742,8 +744,8 @@ def incremental_dedup(
         # staged execution, same rationale as minhash_lsh_pairs: the
         # signature/candidate stages are doc-dim/collision-sized; the
         # BASE side is the 100 TB one, so it gets the adaptive pin too
-        arr_new = pin_corpus_dim(arr_new)
-        arr_base = pin_corpus_dim(arr_base)
+        arr_new = pin_corpus_dim(arr_new, force=False)
+        arr_base = pin_corpus_dim(arr_base, force=False)
     sig_new = minhash_signatures_from_arrays(arr_new)
     sig_base = minhash_signatures_from_arrays(arr_base)
     if release:
@@ -801,8 +803,8 @@ def incremental_jaccard_exact(
     arr_new = hashed_shingle_arrays(new_docs, id_col, text_col, n)
     arr_base = hashed_shingle_arrays(base_docs, id_col, text_col, n)
     if release:
-        arr_new = pin_corpus_dim(arr_new)
-        arr_base = pin_corpus_dim(arr_base)
+        arr_new = pin_corpus_dim(arr_new, force=False)
+        arr_base = pin_corpus_dim(arr_base, force=False)
     a = _prefix_slice_rows(arr_new, num, den, "new_id", "new_nn", "new_i")
     b = _prefix_slice_rows(arr_base, num, den, "base_id", "base_nn", "base_i")
     cand = (

@@ -1703,8 +1703,12 @@ def connected_components(
         n = num_partitions or spark.sparkContext.defaultParallelism
     else:
         # pin the input once: the symmetrize below scans it twice, and
-        # the sizing count must not recompute candidate generation
-        pairs = pairs.localCheckpoint(eager=True)
+        # the sizing count must not recompute candidate generation.
+        # Inputs that ARE already a materialized checkpoint (dedup
+        # pipelines hand over materialize_and_release output) skip the
+        # redundant re-pin — one fewer barrier job (r13).
+        if not _is_checkpoint_backed(pairs):
+            pairs = pairs.localCheckpoint(eager=True)
         n = num_partitions or max(
             1,
             min(
@@ -2494,6 +2498,16 @@ def _checkpoint_size_estimate(df: DataFrame) -> int | None:
     return None
 
 
+def _is_checkpoint_backed(df: DataFrame) -> bool:
+    """True when `df` IS a materialized localCheckpoint (its analyzed
+    plan is a LogicalRDD with blocks in the block manager) — used to
+    skip a redundant re-checkpoint: several operators eagerly pin their
+    output (`materialize_and_release`) and a downstream operator that
+    pins its input again (connected_components) would schedule one more
+    barrier job to copy an already-bounded RDD (r13)."""
+    return _checkpoint_size_estimate(df) is not None
+
+
 def _fits_one_task(e: DataFrame) -> bool:
     """Gate for the small-graph one-Arrow-task tier (shared by
     pagerank/k-hop/kcore/components): the MATERIALIZED edge table fits
@@ -2552,9 +2566,13 @@ def _cast_ids_for_arrow(e: DataFrame):
     return None, None
 
 
-def _kcore_local_arrow(e: DataFrame, k: int, max_rounds: int) -> DataFrame:
+def _kcore_local_arrow(
+    e: DataFrame, k: int, max_rounds: int, mirror: bool = False
+) -> DataFrame:
     """Small-graph execution of `kcore`: the whole peel in ONE Arrow
-    task over the mirrored edge multiset (the pagerank tier's posture —
+    task over the mirrored edge multiset (`mirror=True` takes ONE row
+    per undirected edge and mirrors inside the kernel — bit-identical,
+    half the Arrow ingest; the pagerank tier's posture —
     a graph that fits the broadcast budget fits one task, and on local
     mode each peel round otherwise costs a scheduled job of fixed
     latency). Exact twin of the distributed loop, property-pinned,
@@ -2585,6 +2603,15 @@ def _kcore_local_arrow(e: DataFrame, k: int, max_rounds: int) -> DataFrame:
         codes = np.where(codes < 0, null_idx, codes)  # never in semi-joins
         m = len(pdf)
         a_idx, b_idx = codes[:m], codes[m:]
+        if mirror:
+            # input is ONE row per undirected edge: mirror in numpy
+            # (r13 — halves the Arrow ingest and lets the caller skip
+            # materializing the union)
+            a_idx, b_idx = (
+                np.concatenate([a_idx, b_idx]),
+                np.concatenate([b_idx, a_idx]),
+            )
+            m *= 2
         n = n_real + 1
         alive = np.ones(m, dtype=bool)
         prev = None
@@ -2621,7 +2648,9 @@ def _kcore_local_arrow(e: DataFrame, k: int, max_rounds: int) -> DataFrame:
     return e.coalesce(1).mapInPandas(run, schema)
 
 
-def _kcore_local_arrow_int(e: DataFrame, k: int, max_rounds: int) -> DataFrame:
+def _kcore_local_arrow_int(
+    e: DataFrame, k: int, max_rounds: int, mirror: bool = False
+) -> DataFrame:
     """Integral-id twin of `_kcore_local_arrow` (r12, the k-hop int-
     kernel posture): the mirrored edge table crosses the boundary as
     EXACT int64 Arrow arrays via `mapInArrow` — no string cast of the
@@ -2664,6 +2693,15 @@ def _kcore_local_arrow_int(e: DataFrame, k: int, max_rounds: int) -> DataFrame:
         null_idx = n_real
         codes = np.where(null_mask, null_idx, codes)
         a_idx, b_idx = codes[:m], codes[m:]
+        if mirror:
+            # input is ONE row per undirected edge: mirror in numpy
+            # (r13 — halves the Arrow ingest and lets the caller skip
+            # materializing the union)
+            a_idx, b_idx = (
+                np.concatenate([a_idx, b_idx]),
+                np.concatenate([b_idx, a_idx]),
+            )
+            m *= 2
         n = n_real + 1
         alive = np.ones(m, dtype=bool)
         prev = None
@@ -2736,30 +2774,37 @@ def kcore(
     one = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .distinct()
-        .persist()  # real cached bytes for the tier gate — the lazy
-        # checkpoint below keeps the JOIN's pre-materialization size
-        # estimate, which is garbage for a join+distinct plan
+        .localCheckpoint(eager=False)
     )
-    e = one.unionByName(
-        one.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=False)
-    # the sizing count doubles as the checkpoint's materializing action;
-    # a tiny graph then peels single-partition — coalesce(1) makes
-    # SinglePartition planner-visible, so every round's agg + semi-joins
-    # run exchange-free in one task instead of 32-task waves (the
+    # the sizing count doubles as the checkpoint's materializing action
+    # (r13: ONLY the one-direction table is ever materialized — the
+    # kernels mirror internally, and the distributed union below is a
+    # narrow recompute over the checkpoint, so the former 2× union
+    # materialization + second cached copy are gone). A tiny graph then
+    # peels single-partition — coalesce(1) makes SinglePartition
+    # planner-visible, so every round's agg + semi-joins run
+    # exchange-free in one task instead of 32-task waves (the
     # pagerank_int posture; each scheduled job costs ~0.4 s of fixed
-    # driver latency on local mode regardless of data size)
-    single = e.count() <= 100_000
+    # driver latency on local mode regardless of data size). The
+    # mirrored multiset is exactly 2× the one-direction rows.
+    single = 2 * one.count() <= 100_000
     if local_tier is None:
-        # the one-task tier is gated on BYTES (the local-tier budget —
-        # mirrored edges ≈ 2× the cached one-direction table), not the
-        # stricter 100k single-partition row gate: a 500k-edge peel is
-        # still ~15 MB — trivially one task's work, while the
-        # distributed loop pays per-round scheduled jobs for it
-        est = _plan_size_estimate(one)
+        # the one-task tier is gated on BYTES (the local-tier budget),
+        # not the stricter 100k single-partition row gate: a 500k-edge
+        # peel is still tens of MB — trivially one task's work, while
+        # the distributed loop pays per-round scheduled jobs for it.
+        # The checkpoint's REAL block-manager bytes gate it (the r12
+        # fix); since r13 the kernel ingests the ONE-DIRECTION table
+        # and mirrors in numpy, so the budget compares that table's
+        # materialized bytes directly (no ×2) — deserialized
+        # checkpoint rows already run ~3× columnar, erring
+        # conservative (zyf1's 599k-edge graph reads 50 MB here vs
+        # ~15 MB columnar).
+        est = _checkpoint_size_estimate(one)
+        if est is None:
+            est = _plan_size_estimate(one)
         thr = _local_tier_max_bytes(edges.sparkSession)
-        local_tier = est is not None and 0 < est * 2 <= thr
-    one.unpersist(blocking=False)  # e is materialized; cache served
+        local_tier = est is not None and 0 < est <= thr
     if local_tier:
         from pyspark.sql.types import (
             ByteType,
@@ -2768,18 +2813,18 @@ def kcore(
             ShortType,
         )
 
-        id_t = e.schema["a"].dataType
+        id_t = one.schema["a"].dataType
         if isinstance(id_t, (ByteType, ShortType, IntegerType, LongType)):
-            e_long = (
-                e
+            one_long = (
+                one
                 if isinstance(id_t, LongType)
-                else e.select(
+                else one.select(
                     F.col("a").cast("long").alias("a"),
                     F.col("b").cast("long").alias("b"),
                 )
             )
             out = _kcore_local_arrow_int(
-                e_long, k, max_rounds
+                one_long, k, max_rounds, mirror=True
             ).localCheckpoint(eager=True)
             if out.filter(F.col("deg") < 0).limit(1).count():
                 raise RuntimeError(
@@ -2790,11 +2835,11 @@ def kcore(
             if isinstance(id_t, LongType):
                 return out
             return out.select(F.col("v").cast(id_t).alias("v"), "deg")
-        e2, restore = _cast_ids_for_arrow(e)
+        e2, restore = _cast_ids_for_arrow(one)
         if e2 is not None:
-            out = _kcore_local_arrow(e2, k, max_rounds).localCheckpoint(
-                eager=True
-            )
+            out = _kcore_local_arrow(
+                e2, k, max_rounds, mirror=True
+            ).localCheckpoint(eager=True)
             if out.filter(F.col("deg") < 0).limit(1).count():
                 raise RuntimeError(
                     f"k-core did not converge within {max_rounds} rounds"
@@ -2803,6 +2848,9 @@ def kcore(
                 )
             return restore(out, ["v"])
         # exotic id types: fall through to the distributed peel
+    e = one.unionByName(
+        one.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
     if single:
         e = e.coalesce(1)
     prev_n = None

@@ -50,35 +50,59 @@ def _bm25_prepare(
     all_terms: list[str],
     id_col: str,
     text_col: str,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+):
     """Shared BM25 inputs for one or many queries: the pinned
     term-frequency table (id, __dl, term, __tf) restricted to
-    `all_terms`, the per-term document frequencies, and the one-row
-    corpus scalars (__n, __l). The corpus text is tokenized in exactly
-    ONE scan regardless of how many queries consume the result: the
-    scan reduces each doc to a narrow (id, dl, matched-terms) row —
-    the matched array is empty for almost every doc, so the pinned
-    table is ~tens of bytes/row (the d04 doc-dim-signature shape; at
-    true scale this is the table you'd stage to temp storage) — and
-    both the corpus scalars and the tf table derive from it without
+    `all_terms`, the per-term document frequencies, and an
+    `attach_stats(df)` applier that adds the corpus scalars (__n, __l)
+    to a frame. The corpus text is tokenized in exactly ONE scan
+    regardless of how many queries consume the result: the scan
+    reduces each doc to a narrow (id, dl, matched-terms) row — the
+    matched array is empty for almost every doc, so the pinned table
+    is ~tens of bytes/row (the d04 doc-dim-signature shape; at true
+    scale this is the table you'd stage to temp storage) — and both
+    the corpus scalars and the tf table derive from it without
     re-tokenizing. The multi-query eval loop used to pay 2 full
-    tokenize scans PER query."""
+    tokenize scans PER query.
+
+    Batch job choreography (r13): the corpus scalars are a ONE-ROW
+    aggregate, so they are read to the driver and attached as literal
+    columns (no broadcast exchange, no checkpoint barrier — the same
+    bounded driver-control read the IVF seeds use), and that one
+    stats job doubles as the pin's cache-building action
+    (`pin_corpus_dim(force=False)`), collapsing the former
+    pin-count + stats-checkpoint pair of jobs into one. Streaming
+    frames keep the broadcast-join form (no driver read mid-plan)."""
     base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
     narrow = base.select(
         id_col,
         F.size("__t").cast("long").alias("__dl"),
         F.filter("__t", lambda c: c.isin(all_terms)).alias("__m"),
     )
-    if not narrow.isStreaming:
-        narrow = pin_corpus_dim(narrow)
+    streaming = narrow.isStreaming
+    if not streaming:
+        narrow = pin_corpus_dim(narrow, force=False)
+        row = narrow.agg(
+            F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__l")
+        ).first()
+        n_docs, l_tot = row["__n"], row["__l"]
 
-    # corpus scalars: one row, broadcast (the same single-row-scalar
-    # shape corpus.py uses for dataset totals); derived from the pinned
-    # narrow table, so downstream broadcast-join consumers never
-    # re-scan the corpus text.
-    stats = narrow.agg(
-        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__l")
-    )
+        def attach_stats(df: DataFrame) -> DataFrame:
+            return df.withColumns(
+                {
+                    "__n": F.lit(n_docs).cast("long"),
+                    "__l": F.lit(l_tot).cast("long"),
+                }
+            )
+
+    else:
+        stats = narrow.agg(
+            F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__l")
+        )
+
+        def attach_stats(df: DataFrame) -> DataFrame:
+            return df.join(F.broadcast(stats))
+
     tf = (
         narrow.filter(F.size("__m") > 0)
         .select(id_col, "__dl", F.explode("__m").alias("term"))
@@ -87,15 +111,15 @@ def _bm25_prepare(
     )
     # pin tf too: it feeds both the df aggregate and one scored join
     # per query (the common_neighbor_links / d04 lesson); it is
-    # ≤ |matched docs|·|terms| rows — cheap to pin.
-    if not tf.isStreaming:
+    # ≤ |matched docs|·|terms| rows — cheap to pin, and it reads the
+    # corpus pin the stats job just built.
+    if not streaming:
         tf = tf.localCheckpoint(eager=True)
-        stats = stats.localCheckpoint(eager=True)
-        # tf/stats are checkpointed — nothing references the corpus-dim
-        # pin anymore, so free it before the scoring joins run
+        # tf is checkpointed — nothing references the corpus-dim pin
+        # anymore, so free it before the scoring joins run
         narrow.unpersist(blocking=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
-    return tf, dfreq, stats
+    return tf, dfreq, attach_stats
 
 
 def bm25_topk(
@@ -117,9 +141,9 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    tf, dfreq, stats = _bm25_prepare(docs, query_terms, id_col, text_col)
+    tf, dfreq, attach_stats = _bm25_prepare(docs, query_terms, id_col, text_col)
     return _bm25_score_topk(
-        tf, dfreq, stats, k=k, id_col=id_col, scale=scale, exact=exact
+        tf, dfreq, attach_stats, k=k, id_col=id_col, scale=scale, exact=exact
     )
 
 
@@ -146,16 +170,13 @@ def _bm25_exact_contrib(scale: int):
 def _bm25_score_topk(
     tf: DataFrame,
     dfreq: DataFrame,
-    stats: DataFrame,
+    attach_stats,
     k: int,
     id_col: str,
     scale: int,
     exact: bool,
 ) -> DataFrame:
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(stats))
-    )
+    scored = attach_stats(tf.join(F.broadcast(dfreq), "term"))
     if exact:
         dec = _DEC38
         agg = scored.withColumn(
@@ -278,7 +299,7 @@ def retrieval_eval(
     all_terms = sorted({t for ts in queries.values() for t in ts})
     if not all_terms:
         raise ValueError("queries must contain at least one term")
-    tf, dfreq, stats = _bm25_prepare(docs, all_terms, id_col, text_col)
+    tf, dfreq, attach_stats = _bm25_prepare(docs, all_terms, id_col, text_col)
 
     # Score EVERY query in ONE aggregate (second r12 fusion step): the
     # (query, term) membership is a tiny literal dim broadcast into the
@@ -301,15 +322,20 @@ def retrieval_eval(
         "query string, term string",
     )
     scored = (
-        tf.join(F.broadcast(qt), "term")
-        .join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(stats))
+        attach_stats(
+            tf.join(F.broadcast(qt), "term").join(F.broadcast(dfreq), "term")
+        )
         .withColumn("__c", _bm25_exact_contrib(scale))
         .groupBy("query", id_col)
         .agg(F.sum("__c").cast(_DEC38).alias("__score"))
     )
     if not scored.isStreaming:
-        scored = scored.localCheckpoint(eager=True)
+        # LAZY checkpoint (r13): the pin still guarantees the scoring
+        # pipeline runs once for the per-query top-k branches (block-
+        # manager partition locks dedupe concurrent stage reads), but
+        # the materialization barrier job disappears — it happens
+        # inside the first consuming action.
+        scored = scored.localCheckpoint(eager=False)
     tops = []
     for qname in queries:
         top = (

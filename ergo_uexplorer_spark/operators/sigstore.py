@@ -108,7 +108,9 @@ def write_signature_store(
     # derive from the pinned arrays without re-tokenizing — the store's
     # ON-DISK format stays row-form (shard-pruned equi-joins at screen
     # time), only the derivation changed.
-    arr = pin_corpus_dim(hashed_shingle_arrays(docs, id_col, text_col, n))
+    arr = pin_corpus_dim(
+        hashed_shingle_arrays(docs, id_col, text_col, n), force=False
+    )
     bands = banded_signatures(minhash_signatures_from_arrays(arr))
     bands.write.mode("overwrite").parquet(f"{path}/bands/batch={batch}")
     sh = arr.select("doc_id", F.explode("hs").alias("h"))
@@ -203,7 +205,7 @@ def incremental_dedup_from_store(
             f"engine has {_hash_fingerprint()}"
         )
     arr_new = pin_corpus_dim(
-        hashed_shingle_arrays(new_docs, id_col, text_col, n)
+        hashed_shingle_arrays(new_docs, id_col, text_col, n), force=False
     )
     sh_new = arr_new.select("doc_id", F.explode("hs").alias("h"))
     sig_new = minhash_signatures_from_arrays(arr_new).localCheckpoint(

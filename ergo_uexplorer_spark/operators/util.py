@@ -40,7 +40,7 @@ def _free_storage_bytes(df: DataFrame) -> int:
         return 0
 
 
-def pin_corpus_dim(df: DataFrame) -> DataFrame:
+def pin_corpus_dim(df: DataFrame, force: bool = True) -> DataFrame:
     """Eagerly pin a reduced-but-CORPUS-sized table (doc-dim hash
     arrays, per-doc token stats) so multi-stage candidate/verify
     operators derive every stage from ONE materialization.
@@ -88,7 +88,11 @@ def pin_corpus_dim(df: DataFrame) -> DataFrame:
         else StorageLevel.MEMORY_AND_DISK_DESER
     )
     df = df.persist(level)
-    df.count()  # force the cache build (the checkpoint pin was eager too)
+    if force:
+        df.count()  # force the cache build (the checkpoint pin was eager)
+    # force=False: the CALLER's first action builds the cache — use when
+    # that action is itself a full pass over the pin (e.g. a stats
+    # aggregate), so pinning costs no extra scheduled job (r13)
     return df
 
 
