@@ -1132,6 +1132,15 @@ def simhash_pairs(
     ]
     allb = reduce(DataFrame.unionByName, blocks)
     a, b = allb.alias("a"), allb.alias("b")
+    # hamming filter BEFORE the distinct (r13): hamming is a function
+    # of the pair's two signatures, so every duplicate of a pair (one
+    # per colliding block) carries the same hamming — filtering first
+    # returns the identical pair set while the distinct's exchange
+    # shrinks from the full collision volume (2.1M rows at sf0.1) to
+    # the qualified pairs (~3k). A probe-sized repartition of the
+    # candidate join was measured NEGATIVE here (1.5 s base vs 2.9 s
+    # repartitioned, interleaved x3 — the explosion already spreads;
+    # unlike zya8 the cost was the distinct, not join serialization).
     cand = (
         a.join(
             b,
@@ -1141,17 +1150,15 @@ def simhash_pairs(
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
-            F.col("a.simhash").alias("ha"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("b.simhash").alias("hb"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.expr("ha ^ hb")))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return cand.select("doc_a", "doc_b", "hamming")
 
 
 def simhash_pairs_allpairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
