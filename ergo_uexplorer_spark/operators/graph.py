@@ -634,6 +634,27 @@ def motif_find(edges: DataFrame, pattern: str, reduce: bool = False) -> DataFram
     term_names = [{n for n in (a, b) if n} for a, _, b in pos]
     order = _order_motif_terms(term_names, sizes)
 
+    # r12 VERDICT item: a checkpoint-backed edge table (the common
+    # caller posture — z01 pins its derived graph) is a stat-less
+    # LogicalRDD, so every chain join fell back to SortMergeJoin even
+    # for an edge table of a few MB. Read the checkpoint's REAL
+    # block-manager bytes (r12 gate machinery) and broadcast the
+    # joining term sides when the WHOLE edge table fits the broadcast
+    # threshold (every term projects a subset of it). Fact-scale edge
+    # tables keep their SMJ: file-stat estimates exceed the threshold
+    # and checkpointed ones report their true (large) size.
+    esz = _checkpoint_size_estimate(edges)
+    if esz is None:
+        esz = _plan_size_estimate(edges)
+    small = (
+        not edges.isStreaming
+        and esz is not None
+        and 0 < esz <= _broadcast_threshold_bytes(edges.sparkSession)
+    )
+
+    def maybe_b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     if reduce and len(tdfs) > 1:
         # Yannakakis semi-join reduction: before the join chain, drop
         # every term row whose shared-vertex values have no partner in
@@ -665,7 +686,7 @@ def motif_find(edges: DataFrame, pattern: str, reduce: bool = False) -> DataFram
                 "disconnected motif pattern (would be a cross join): "
                 f"term {i} shares no vertex with the rest"
             )
-        out = out.join(tdfs[i], shared)
+        out = out.join(maybe_b(tdfs[i]), shared)
         bound |= term_names[i]
     for a, b in neg:
         if not {a, b} <= bound:
@@ -673,7 +694,9 @@ def motif_find(edges: DataFrame, pattern: str, reduce: bool = False) -> DataFram
                 f"negated term !({a})-[]->({b}) uses unbound vertices"
             )
         out = out.join(
-            edges.select(F.col("src").alias(a), F.col("dst").alias(b)),
+            maybe_b(
+                edges.select(F.col("src").alias(a), F.col("dst").alias(b))
+            ),
             [a, b],
             "left_anti",
         )

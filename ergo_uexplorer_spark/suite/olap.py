@@ -210,36 +210,28 @@ def zz_z01_motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import motif_find
 
     orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
-    placed = (
-        orders.filter(F.col("o_custkey") < 100)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias(
-                "dst"
-            ),
+
+    # distinct on the INTEGER key pairs first, tag-concat after (r13):
+    # the prefixes make the concat injective on each relation, so the
+    # string set is identical while the distinct's exchange carries two
+    # longs per row instead of two strings (guide §2.3 narrower types)
+    def tagged(df, a_tag: str, a_col: str, b_tag: str, b_col: str):
+        return df.select(F.col(a_col).alias("__a"), F.col(b_col).alias("__b")).distinct().select(
+            F.concat(F.lit(a_tag), F.col("__a").cast("string")).alias("src"),
+            F.concat(F.lit(b_tag), F.col("__b").cast("string")).alias("dst"),
         )
-        .distinct()
+
+    placed = tagged(
+        orders.filter(F.col("o_custkey") < 100),
+        "c", "o_custkey", "o", "o_orderkey",
     )
-    sourced = lineitem.select(
-        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    ).distinct()
-    returned = (
+    sourced = tagged(lineitem, "o", "l_orderkey", "s", "l_suppkey")
+    returned = tagged(
         orders.join(
             lineitem.filter(F.col("l_returnflag") == "R"),
             orders.o_orderkey == F.col("l_orderkey"),
-        )
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
+        ),
+        "c", "o_custkey", "s", "l_suppkey",
     )
     # the motif scans `edges` once per term (3 positive/negative scans):
     # materialize the derived graph once instead of re-running the three

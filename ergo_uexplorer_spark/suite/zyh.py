@@ -158,9 +158,19 @@ def _calibration_sql() -> str:
     tags=("dedup", "sketch", "quality"),
 )
 def zyh2_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.util import pin_corpus_dim
+
     (docs,) = load(spark, sf_dir, "documents")
-    sh = D.hashed_shingle_sets(docs).persist()
-    sig = D.minhash_signatures(sh).localCheckpoint(eager=True)
+    # ONE pinned doc-dim arrays table feeds signatures, candidate
+    # generation AND the exact statistics (r13 — the d03 posture): the
+    # former row-form `sh` persist (exploded corpus-sized table) and
+    # its |cand|·|set| shared-count join are replaced by array_intersect
+    # over the two candidates' arrays; na/nb are array sizes, so the
+    # ncount aggregate disappears. Signatures from arrays are
+    # bit-identical to the groupBy form (same hash family over the same
+    # distinct sets — dedup.minhash_signatures_from_arrays docstring).
+    arr = pin_corpus_dim(D.hashed_shingle_arrays(docs), force=False)
+    sig = D.minhash_signatures_from_arrays(arr).localCheckpoint(eager=True)
     cand = D.lsh_candidates(sig).localCheckpoint(eager=True)
 
     agree = None
@@ -180,32 +190,36 @@ def zyh2_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sigb, "doc_b")
         .select("doc_a", "doc_b", agree.alias("est12"))
     )
-    # Exact sufficient statistics CANDIDATE-SCOPED (r12): the former
-    # path ran the full threshold-0 inverted-index pair join over every
-    # TOUCHED doc (all pairs sharing >=1 shingle hash, Σ_h C(df_h, 2)
-    # intermediate rows) and then semi-joined the candidate set away.
-    # Walking cand → its doc_a shingles → equi-join on (doc_b, h)
-    # computes the same shared-count per candidate pair with a
-    # |cand|·|set| intermediate instead; pairs with no shared hash
-    # produce no rows, exactly the inner pairs0 join's drop semantics.
-    # na/nb are per-doc set sizes, unaffected by the former semi-filter.
-    shared = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    ncount = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nn"))
-    exact = shared.join(
-        ncount.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na")),
-        "doc_a",
-    ).join(
-        ncount.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb")),
-        "doc_b",
+    # Exact sufficient statistics CANDIDATE-SCOPED over the pinned
+    # ARRAYS (r13, supersedes the r12 row-form walk): shared =
+    # |array_intersect| on the two candidates' arrays — a per-pair
+    # bounded computation with no exploded intermediate at all. The
+    # shared > 0 filter reproduces the former inner shared-count
+    # join's drop semantics exactly (an LSH candidate pair CAN share
+    # zero shingles — banded minhash equality is a hash collision).
+    exact = (
+        cand.join(
+            arr.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("__ha")),
+            "doc_a",
+        )
+        .join(
+            arr.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("__hb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__ha", "__hb")).cast("long").alias(
+                "shared"
+            ),
+            F.size("__ha").cast("long").alias("na"),
+            F.size("__hb").cast("long").alias("nb"),
+        )
+        .filter(F.col("shared") > 0)
     )
     out = est.join(exact, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "est12", "shared", "na", "nb"
     )
     from ..operators.util import materialize_and_release
 
-    return materialize_and_release(out, sh)
+    return materialize_and_release(out, arr)

@@ -377,3 +377,27 @@ def test_triangle_count_orientation_invariant(spark):
     n_id = triangle_count(edges, orient="id").first()["n_triangles"]
     n_deg = triangle_count(edges, orient="degree").first()["n_triangles"]
     assert n_id == 4 and n_deg == 4
+
+
+def test_motif_broadcasts_small_checkpointed_edges(spark):
+    """r13: a checkpoint-backed edge table whose real block-manager
+    bytes fit the broadcast threshold must chain with BroadcastHashJoin
+    (a stat-less LogicalRDD formerly forced SortMergeJoin); results are
+    covered by the equivalence tests above — this pins the plan shape."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from ergo_uexplorer_spark.operators.graph import motif_find
+
+    rows = [("c1", "o1"), ("o1", "s1"), ("c2", "o1"), ("o1", "s2")]
+    edges = spark.createDataFrame(
+        rows, "src string, dst string"
+    ).localCheckpoint(eager=True)
+    out = motif_find(edges, "(c)-[]->(o); (o)-[]->(s)")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert re.search(r"BroadcastHashJoin", plan), plan
+    assert not re.search(r"SortMergeJoin", plan), plan
