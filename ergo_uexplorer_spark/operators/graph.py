@@ -1675,6 +1675,88 @@ def _components_local_arrow(e: DataFrame, numeric: bool = False) -> DataFrame:
     return e.coalesce(1).mapInPandas(run, schema)
 
 
+def _components_local_arrow_int(e: DataFrame) -> DataFrame:
+    """Integral-id twin of `_components_local_arrow` (r13, closing the
+    r12 honest-list port): the ONE-DIRECTION pair table crosses the
+    boundary as EXACT int64 Arrow arrays via `mapInArrow` (no string
+    cast, no object factorize; pyarrow int64 is exact at any magnitude
+    so the 2^53 hazard never arises), and union-find needs no mirrored
+    rows — merging (a,b) merges (b,a). Semantics identical to the
+    pandas twin: the node set is every distinct non-null endpoint,
+    component = minimum member id in NUMERIC order, a null endpoint is
+    its own (null, null) singleton emitted only when nulls exist, and
+    null never merges anything. A 0 injected by fill_null at null
+    positions is emitted only when 0 really occurs as a value (its
+    code is never referenced by a real position otherwise)."""
+    import numpy as np
+    import pyarrow as pa
+
+    schema = "id long, component long"
+
+    def run(batches):
+        bl = list(batches)
+        if not bl:
+            return
+        t = pa.Table.from_batches(bl)
+        m = t.num_rows
+        if m == 0:
+            return
+        u_c, v_c = t.column("u"), t.column("v")
+        null_mask = np.concatenate(
+            [
+                pa.compute.is_null(u_c).to_numpy(zero_copy_only=False),
+                pa.compute.is_null(v_c).to_numpy(zero_copy_only=False),
+            ]
+        )
+        vals = np.concatenate(
+            [
+                u_c.fill_null(0).to_numpy(zero_copy_only=False),
+                v_c.fill_null(0).to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+        uniques, codes = np.unique(vals, return_inverse=True)
+        n = len(uniques)
+        used = np.zeros(n, dtype=bool)
+        used[codes[~null_mask]] = True  # drop a fill_null-injected 0
+        codes = np.where(null_mask, -1, codes)
+        u_idx, v_idx = codes[:m], codes[m:]
+        parent = list(range(n))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(u_idx, v_idx):
+            if a < 0 or b < 0:
+                continue  # null never equi-matches
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[rb] = ra
+        best: dict = {}
+        for c in range(n):
+            if not used[c]:
+                continue
+            r = find(c)
+            v = int(uniques[c])
+            if r not in best or v < best[r]:
+                best[r] = v
+        ids = [int(uniques[c]) for c in range(n) if used[c]]
+        comps = [best[find(c)] for c in range(n) if used[c]]
+        if bool(null_mask.any()):
+            ids.append(None)
+            comps.append(None)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "component": pa.array(comps, pa.int64()),
+            }
+        )
+
+    return e.coalesce(1).mapInArrow(run, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -1744,9 +1826,37 @@ def connected_components(
         # size estimate is real; symmetrized edges ≤ 2× pairs bytes
         local_tier = _fits_one_task(pairs)
     if local_tier and not pairs.isStreaming:
-        sym = pairs.select(
-            F.col(a_col).alias("u"), F.col(b_col).alias("v")
-        ).unionByName(
+        from pyspark.sql.types import (
+            ByteType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+
+        one = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        id_t = one.schema["u"].dataType
+        if isinstance(id_t, (ByteType, ShortType, IntegerType, LongType)):
+            # exact int64 kernel over the ONE-DIRECTION pairs (r13):
+            # union-find needs no mirrored rows, ids cross as int64
+            # (no string round trip, no object factorize)
+            one_long = (
+                one
+                if isinstance(id_t, LongType)
+                else one.select(
+                    F.col("u").cast("long").alias("u"),
+                    F.col("v").cast("long").alias("v"),
+                )
+            )
+            out = _components_local_arrow_int(one_long).localCheckpoint(
+                eager=True
+            )
+            if isinstance(id_t, LongType):
+                return out
+            return out.select(
+                F.col("id").cast(id_t).alias("id"),
+                F.col("component").cast(id_t).alias("component"),
+            )
+        sym = one.unionByName(
             pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
         )
         e2, restore = _cast_ids_for_arrow(sym)
@@ -1820,6 +1930,7 @@ def degree_assortativity_stats(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Exact sufficient statistics for degree assortativity over an
     undirected edge list → ONE row (m, sum_j, sum_k, sum_jk, sum_j2,
@@ -1844,14 +1955,20 @@ def degree_assortativity_stats(
     shape bit-for-bit: degrees count NULL-neighbor rows (groupBy keeps
     the rows), but NULL-endpoint rows never PAIR (inner equi-joins
     dropped them), hence the explicit both-ends-non-null filter on the
-    pair side only."""
-    und = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(
-            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-        )
-        .distinct()
+    pair side only.
+
+    `edges_canonical=True` asserts the input is already one DISTINCT
+    row per undirected edge with src strictly < dst (no self-loops, no
+    mirrored rows) — then the symmetrized union is disjoint by
+    construction and the `.distinct()` exchange over 2× the edge rows
+    is skipped (r13; equality with the default path is test-pinned).
+    Callers whose edge build ends in a groupBy on (src, dst) under a
+    src < dst join condition (zy4) qualify; leave False otherwise."""
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    if not edges_canonical:
+        und = und.distinct()
     if not und.isStreaming:
         und = und.localCheckpoint(eager=False)
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))

@@ -253,7 +253,10 @@ def zy4_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__n") >= 4)
         .select("src", "dst")
     )
-    return degree_assortativity_stats(edges)
+    # the groupBy above emits DISTINCT (src, dst) rows with src < dst
+    # strictly (the join condition), so the operator may skip its
+    # symmetrize-distinct exchange (r13; equality test-pinned)
+    return degree_assortativity_stats(edges, edges_canonical=True)
 
 
 # --------------------------------------------------------------------------

@@ -348,6 +348,15 @@ def test_components_local_arrow_equals_distributed(spark):
         (_rand_edges(rng, 300, 50), "doc_a long, doc_b long"),
         ([("m", "n"), ("n", "o"), ("x", "y"), (None, "m")],
          "doc_a string, doc_b string"),
+        # r13 int64 kernel hazards: ids past 2^53 stay exact; duplicate
+        # pairs; a NULL next to a graph NOT containing 0 (fill_null's
+        # injected 0 must not surface as a spurious node); genuine 0
+        # alongside nulls
+        ([(2**53 + 1, 2**53 + 3), (2**53 + 3, 2**53 + 2),
+          (2**53 + 1, 2**53 + 2), (7, None), (8, 9), (8, 9)],
+         "doc_a long, doc_b long"),
+        ([(0, 5), (5, None), (None, 6)], "doc_a long, doc_b long"),
+        ([(3, 4), (4, None)], "doc_a int, doc_b int"),
     ]
     for rows, schema in cases:
         pairs = spark.createDataFrame(rows, schema)

@@ -206,3 +206,18 @@ def test_assortativity_empty_edges(spark):
     e = spark.createDataFrame([], "src long, dst long")
     row = G.degree_assortativity_stats(e).collect()[0]
     assert row.m == 0 and row.sum_j is None and row.sum_jk is None
+
+
+def test_assortativity_canonical_flag_equals_default(spark):
+    """r13: edges_canonical=True (skip the symmetrize distinct) must be
+    bit-equal to the default path on input that satisfies the contract
+    (distinct rows, src strictly < dst)."""
+    from ergo_uexplorer_spark.operators import graph as G
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 5), (3, 4), (4, 9)],
+        "src long, dst long",
+    )
+    a = G.degree_assortativity_stats(e).collect()[0]
+    b = G.degree_assortativity_stats(e, edges_canonical=True).collect()[0]
+    assert a.asDict() == b.asDict()
