@@ -90,8 +90,21 @@ def _broadcast_if_bounded(cand: DataFrame, counted: bool) -> DataFrame:
     broadcast_frontier_max_rows. `counted=False` (release=False callers:
     the candidates aren't checkpointed, so a count would recompute the
     whole candidate DAG) attaches no hint and lets AQE promote small
-    sides to broadcast at runtime."""
-    if counted and cand.count() <= BROADCAST_CAND_MAX_ROWS:
+    sides to broadcast at runtime.
+
+    When the candidate table IS a materialized checkpoint, its real
+    block-manager bytes answer the question WITHOUT a scheduled count
+    job (r13): ~40 B/deserialized pair row keeps the implied row gate
+    within the same order as the row cap, and the byte form is the
+    quantity the broadcast actually costs."""
+    if not counted:
+        return cand
+    from .graph import _checkpoint_size_estimate
+
+    est = _checkpoint_size_estimate(cand)
+    if est is not None:
+        return F.broadcast(cand) if est <= 192 * (1 << 20) else cand
+    if cand.count() <= BROADCAST_CAND_MAX_ROWS:
         return F.broadcast(cand)
     return cand
 
