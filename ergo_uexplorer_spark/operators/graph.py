@@ -2583,6 +2583,17 @@ def common_neighbor_links(
         if tier_stats is not None:
             tier_stats["local"] = False
     deg = e.groupBy("l").agg(F.count(F.lit(1)).alias("deg"))
+    if not e.isStreaming:
+        # deg is an aggregate of the checkpointed edge dim (stat-less
+        # LogicalRDD → the planner would SMJ both final joins); deg has
+        # ≤ e's rows, so broadcast it when e's REAL materialized bytes
+        # fit the broadcast threshold — fact-scale graphs refuse (r13;
+        # interleaved A/B ~0.1-0.2 s and two exchanges+sorts fewer)
+        esz = _checkpoint_size_estimate(e)
+        if esz is not None and 0 < esz <= _broadcast_threshold_bytes(
+            e.sparkSession
+        ):
+            deg = F.broadcast(deg)
     a = e.select("r", F.col("l").alias("node_a"))
     b = e.select("r", F.col("l").alias("node_b"))
     if wedge_vol:
